@@ -1,0 +1,89 @@
+"""Image decoding to packed numpy arrays.
+
+Replaces the reference's ImageJ/ImageIO decode layer
+(imageprocessing/ImageArrayUtils.java, LocalTiffDecoder.java) with a
+PIL-based decoder producing numpy arrays ready for device upload:
+
+  * RGB images  -> uint8 [H, W, 3]
+  * 8-bit gray  -> uint8 [H, W]
+  * 16-bit gray -> uint16 [H, W]
+
+Color depth MIPs are RGB TIFF/PNG (PackBits/LZW/uncompressed TIFFs are all
+handled by PIL); gradient images are 16-bit gray; z-gap variants are RGB.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import io as _io
+import os
+
+import numpy as np
+from PIL import Image
+
+
+class ImageType(enum.Enum):
+    GRAY8 = "gray8"
+    GRAY16 = "gray16"
+    RGB = "rgb"
+
+
+@dataclasses.dataclass
+class ImageData:
+    """Decoded image + pixel type (analogue of the reference ImageArray)."""
+    type: ImageType
+    pixels: np.ndarray  # [H, W] or [H, W, 3]
+
+    @property
+    def height(self) -> int:
+        return self.pixels.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.pixels.shape[1]
+
+    def as_rgb(self) -> np.ndarray:
+        """uint8 [H, W, 3] view (grays replicated across channels)."""
+        if self.type is ImageType.RGB:
+            return self.pixels
+        if self.type is ImageType.GRAY8:
+            return np.repeat(self.pixels[..., None], 3, axis=-1)
+        raise ValueError(f"cannot view {self.type} as RGB")
+
+
+SUPPORTED_SUFFIXES = (".png", ".tif", ".tiff", ".jpg", ".jpeg", ".gif", ".bmp")
+
+
+def is_image_file(name: str) -> bool:
+    return name.lower().endswith(SUPPORTED_SUFFIXES)
+
+
+def _from_pil(img: Image.Image) -> ImageData:
+    if img.mode in ("RGB", "RGBA", "P"):
+        arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return ImageData(ImageType.RGB, arr)
+    if img.mode == "L":
+        return ImageData(ImageType.GRAY8, np.asarray(img, dtype=np.uint8))
+    if img.mode in ("I;16", "I;16B", "I;16L"):
+        return ImageData(ImageType.GRAY16, np.asarray(img, dtype=np.uint16))
+    if img.mode == "I":
+        arr = np.asarray(img, dtype=np.int32)
+        if arr.max(initial=0) > 255:
+            return ImageData(ImageType.GRAY16, arr.astype(np.uint16))
+        return ImageData(ImageType.GRAY8, arr.astype(np.uint8))
+    # fall back to RGB conversion for exotic modes
+    return ImageData(ImageType.RGB, np.asarray(img.convert("RGB"), dtype=np.uint8))
+
+
+def read_image(path_or_bytes) -> ImageData:
+    """Decode an image from a path, byte string, or file-like object."""
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        img = Image.open(_io.BytesIO(path_or_bytes))
+    elif isinstance(path_or_bytes, (str, os.PathLike)):
+        img = Image.open(path_or_bytes)
+    else:
+        img = Image.open(path_or_bytes)
+    with img:
+        img.load()
+        return _from_pil(img)
