@@ -1,0 +1,99 @@
+"""Shared device-side pixel classification and packing.
+
+The TPU reformulation of the reference's per-pixel hue logic
+(cds/AbstractColorDepthSearchAlgorithm.java:157-390): every RGB pixel is
+summarized once into a packed uint32
+
+    bits  0..7   max channel value  (for the data threshold test)
+    bits  8..15  s: secondary channel value
+    bits 16..23  p: primary (dominant) channel value
+    bits 24..26  dominance class id (CLASS_*)
+
+so the pairwise z-gap predicate becomes integer/float32 arithmetic on two
+summaries.  Target stacks are packed into pixel-major [P, T] planes: a
+gather at a query position yields the lane-contiguous vector of all T
+targets' summaries — the layout that makes query-position gathers
+bandwidth-efficient on TPU and shards naturally over the target axis.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import jax
+import jax.numpy as jnp
+
+from colormipsearch_tpu.constants import (
+    CLASS_BG,
+    CLASS_BR,
+    CLASS_GB,
+    CLASS_GR,
+    CLASS_RB,
+    CLASS_RG,
+)
+
+
+def classify(rgb: jax.Array):
+    """uint8 [..., 3] -> (cls, s, p, maxch) int32 arrays.
+
+    Same strict-dominance classification as the pixel-match oracle: ties
+    (including black) produce class 0 with s = p = 0.
+    """
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+
+    b_dom = (b > r) & (b > g)
+    g_dom = (g > b) & (g > r)
+    r_dom = (r > b) & (r > g)
+    rg_gt = r > g
+    bg_gt = b > r
+    gb_gt = g > b
+
+    cls = jnp.where(
+        b_dom, jnp.where(rg_gt, CLASS_BR, CLASS_BG),
+        jnp.where(
+            g_dom, jnp.where(bg_gt, CLASS_GB, CLASS_GR),
+            jnp.where(r_dom, jnp.where(gb_gt, CLASS_RG, CLASS_RB), 0)))
+    p = jnp.where(b_dom, b, jnp.where(g_dom, g, jnp.where(r_dom, r, 0)))
+    s = jnp.where(
+        b_dom, jnp.where(rg_gt, r, g),
+        jnp.where(
+            g_dom, jnp.where(bg_gt, b, r),
+            jnp.where(r_dom, jnp.where(gb_gt, g, b), 0)))
+    maxch = jnp.maximum(jnp.maximum(r, g), b)
+    return cls, s, p, maxch
+
+
+def pack_summary(cls, s, p, maxch) -> jax.Array:
+    """Pack classification into uint32 (see module docstring)."""
+    packed = (cls << 24) | (p << 16) | (s << 8) | maxch
+    return packed.astype(jnp.uint32)
+
+
+def unpack_summary(packed: jax.Array):
+    """uint32 -> (cls, s, p, maxch) int32."""
+    v = packed.astype(jnp.int32)
+    return (v >> 24) & 0x7, (v >> 8) & 0xFF, (v >> 16) & 0xFF, v & 0xFF
+
+
+@jax.jit
+def pack_target_planes(rgb_stack: jax.Array) -> jax.Array:
+    """uint8 [T, H, W, 3] -> packed uint32 [P, T] pixel-major planes."""
+    t = rgb_stack.shape[0]
+    cls, s, p, maxch = classify(rgb_stack)
+    packed = pack_summary(cls, s, p, maxch)
+    return packed.reshape(t, -1).T
+
+
+def ztol_fraction(pix_color_fluctuation) -> tuple[int, int]:
+    """Exact rational z-tolerance a/b from the CLI fluctuation value.
+
+    The reference computes zTolerance = pixColorFluctuation / 100 in
+    float64; all achievable pixel gaps are rationals with denominator
+    <= 255*255, far from the float64 rounding of a/b, so comparing against
+    the exact rational is equivalent (exact ties are flagged separately
+    and resolved by the float64 oracle).
+    """
+    f = Fraction(str(pix_color_fluctuation)) / 100
+    return f.numerator, f.denominator

@@ -1,0 +1,238 @@
+"""Batched TPU pixel-match (positive CDS) scoring kernel.
+
+TPU-first redesign of the reference hot loop
+(cds/PixelMatchColorDepthSearchAlgorithm.calculateScore:235-263):
+
+  * targets are packed ONCE into pixel-major [P, T] uint32 summary planes
+    (ops/common.py), resident in device HBM; a gather at one query
+    position reads the lane-contiguous summaries of ALL T targets,
+  * one kernel invocation scores one query against a whole target shard
+    for every shift/mirror variant: scores[V, T] = sum over query
+    positions of the match predicate,
+  * the predicate is exact integer arithmetic for same-class pixels and
+    float32-with-guard-band for the adjacent-class branches; pixels whose
+    verdict falls inside the ambiguity band are counted separately so the
+    (rare) affected pairs can be re-scored bit-exactly by the float64
+    oracle on the host.
+
+Numerical contract: outside the flagged band the predicate provably equals
+the reference's float64 computation (margins between achievable rational
+gaps and thresholds are >= 1/(255*255*b), orders of magnitude above both
+float32 and float64 rounding error).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from colormipsearch_tpu.constants import (
+    BG_GB,
+    BR_BG,
+    CLASS_BG,
+    CLASS_BR,
+    CLASS_GB,
+    CLASS_GR,
+    CLASS_RB,
+    CLASS_RG,
+    GB_GR,
+    GR_RG,
+    RG_RB,
+)
+from colormipsearch_tpu.oracle import pixel as oracle_pixel
+from colormipsearch_tpu.ops import common
+
+# Adjacent-class compatibility table.  Each row:
+#   (query class, target class,
+#    (qs_mul, qp_mul, q_is_less), (ts_mul, tp_mul, t_is_less),
+#    gap_is_sum_minus_2c, boundary constant)
+# The ratio preconditions (e.g. r < 0.44) are exact as integer
+# cross-multiplications: 25*s < 11*p  <=>  s/p < 0.44 in float64 (ties at
+# equality agree because fl(s/p) == fl(0.44) is not < fl(0.44)).
+_ADJ_TABLE = (
+    (CLASS_BR, CLASS_BG, (25, 11, True), (50, 27, True), True, BR_BG),
+    (CLASS_BG, CLASS_BR, (50, 27, True), (25, 11, True), True, BR_BG),
+    (CLASS_BG, CLASS_GB, (5, 4, False), (5, 4, False), False, BG_GB),
+    (CLASS_GB, CLASS_BG, (5, 4, False), (5, 4, False), False, BG_GB),
+    (CLASS_GB, CLASS_GR, (10, 7, True), (10, 7, True), True, GB_GR),
+    (CLASS_GR, CLASS_GB, (10, 7, True), (10, 7, True), True, GB_GR),
+    (CLASS_GR, CLASS_RG, (5, 4, False), (5, 4, False), False, GR_RG),
+    (CLASS_RG, CLASS_GR, (5, 4, False), (5, 4, False), False, GR_RG),
+    (CLASS_RG, CLASS_RB, (10, 7, True), (10, 7, True), True, RG_RB),
+    (CLASS_RB, CLASS_RG, (10, 7, True), (10, 7, True), True, RG_RB),
+)
+
+# float32 guard band around the z-tolerance for the adjacent-class gap;
+# float32 evaluation error is bounded by ~5e-7, float64-vs-exact by ~3e-16.
+ADJ_BAND = 1e-4
+
+# Largest exact-integer denominator for the same-class test:
+# |d| * b <= 65025 * b must stay inside int32.
+_MAX_INT_DENOM = 30000
+
+
+@dataclasses.dataclass
+class QueryPlan:
+    """Host-side precomputation for one query (mask) image.
+
+    Mirrors the reference's precomputed shifted/mirrored position arrays
+    (PixelMatchColorDepthSearchAlgorithm ctor) in padded dense form.
+    """
+    positions: np.ndarray      # int32 [V, Q] target-lookup positions, -1 pad
+    q_cls: np.ndarray          # int32 [Q]
+    q_s: np.ndarray            # int32 [Q]
+    q_p: np.ndarray            # int32 [Q]
+    query_size: int            # true (unpadded) number of query positions
+    n_straight: int            # variants [0:n_straight] are unmirrored
+    mirror: bool
+    ztol_num: int
+    ztol_den: int
+
+    @property
+    def n_variants(self) -> int:
+        return self.positions.shape[0]
+
+
+def build_query_plan(query_rgb: np.ndarray, query_threshold: int, *,
+                     mirror: bool, xy_shift: int,
+                     pix_color_fluctuation,
+                     excluded_region: np.ndarray | None = None,
+                     pad_to: int | None = None) -> QueryPlan:
+    """Build the padded position/attribute arrays for one query image."""
+    h, w = query_rgb.shape[:2]
+    fg = (query_rgb > query_threshold).any(axis=-1)
+    if excluded_region is not None:
+        fg &= ~excluded_region
+    positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
+    q = positions.size
+
+    cls, s, p = oracle_pixel.classify_rgb(query_rgb.reshape(-1, 3))
+    q_cls = cls[positions].astype(np.int32)
+    q_s = s[positions].astype(np.int32)
+    q_p = p[positions].astype(np.int32)
+
+    x = positions % w
+    y = positions // w
+    variants = []
+    for dx, dy in oracle_pixel.shift_offsets(xy_shift):
+        nx, ny = x + dx, y + dy
+        ok = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
+        variants.append(np.where(ok, ny * w + nx, -1))
+    n_straight = len(variants)
+    if mirror:
+        for v in list(variants):
+            vx = v % w
+            variants.append(np.where(v < 0, -1, v + (w - 1) - 2 * vx))
+    pos = np.stack(variants).astype(np.int32) if q else \
+        np.full((n_straight * (2 if mirror else 1), 0), -1, np.int32)
+
+    q_pad = pad_to if pad_to is not None else _bucket(q)
+    if q_pad < q:
+        raise ValueError(f"pad_to {q_pad} < query size {q}")
+    if q_pad > q:
+        pos = np.pad(pos, ((0, 0), (0, q_pad - q)), constant_values=-1)
+        q_cls = np.pad(q_cls, (0, q_pad - q))
+        q_s = np.pad(q_s, (0, q_pad - q))
+        q_p = np.pad(q_p, (0, q_pad - q))
+
+    a, b = common.ztol_fraction(pix_color_fluctuation)
+    return QueryPlan(pos, q_cls, q_s, q_p, q, n_straight, mirror, a, b)
+
+
+def _bucket(q: int, minimum: int = 512) -> int:
+    """Pad query sizes to power-of-two buckets to bound recompilation."""
+    n = minimum
+    while n < q:
+        n *= 2
+    return n
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target_threshold", "ztol_num", "ztol_den"))
+def score_query_against_planes(t_planes: jax.Array, pos: jax.Array,
+                               q_cls: jax.Array, q_s: jax.Array,
+                               q_p: jax.Array, *, target_threshold: int,
+                               ztol_num: int, ztol_den: int):
+    """Score one query plan against packed target planes.
+
+    Args:
+      t_planes: uint32 [P, T] packed target summaries (common.pack_*).
+      pos:      int32 [V, Q] target-lookup positions (-1 = skip).
+      q_cls, q_s, q_p: int32 [Q] query pixel summaries.
+      target_threshold: data threshold (python int, static).
+      ztol_num, ztol_den: exact rational z-tolerance (static).
+
+    Returns:
+      scores: int32 [V, T] matching-pixel counts per variant per target.
+      flags:  int32 [V, T] count of ambiguity-band pixels (0 => exact).
+    """
+    a, b = ztol_num, ztol_den
+    use_int_same = b <= _MAX_INT_DENOM
+    ztol_f32 = jnp.float32(a / b)
+    band = jnp.float32(ADJ_BAND)
+
+    # query-side precomputation (variant independent)
+    q_r = q_s.astype(jnp.float32) / jnp.maximum(q_p, 1).astype(jnp.float32)
+    q_pre = []
+    for qc, _, (ms, mp, less), _, _, _ in _ADJ_TABLE:
+        cond = (ms * q_s < mp * q_p) if less else (ms * q_s > mp * q_p)
+        q_pre.append((q_cls == qc) & cond)
+
+    def per_variant(_, pos_v):
+        gathered = jnp.take(t_planes, jnp.maximum(pos_v, 0), axis=0)  # [Q,T]
+        t_cls, t_s, t_p, t_max = common.unpack_summary(gathered)
+        valid = (pos_v >= 0)[:, None] & (t_max > target_threshold)
+
+        qc = q_cls[:, None]
+        qs = q_s[:, None]
+        qp = q_p[:, None]
+
+        same = (qc == t_cls) & (qc > 0) & (qs >= 1) & (t_s >= 1)
+        if use_int_same:
+            d = jnp.abs(qs * t_p - t_s * qp)
+            lhs = d * b
+            rhs = a * (qp * t_p)
+            m_same = same & (lhs <= rhs)
+            f_same = same & (lhs == rhs)
+        else:
+            t_r32 = t_s.astype(jnp.float32) / jnp.maximum(t_p, 1).astype(jnp.float32)
+            gap = jnp.abs(t_r32 - q_r[:, None])
+            m_same = same & (gap <= ztol_f32)
+            f_same = same & (jnp.abs(gap - ztol_f32) < band)
+
+        t_r = t_s.astype(jnp.float32) / jnp.maximum(t_p, 1).astype(jnp.float32)
+        m_adj = jnp.zeros_like(same)
+        f_adj = jnp.zeros_like(same)
+        for row, (_, tc, _, (ms, mp, less), plus, c) in enumerate(_ADJ_TABLE):
+            pre_t = (ms * t_s < mp * t_p) if less else (ms * t_s > mp * t_p)
+            sel = q_pre[row][:, None] & (t_cls == tc) & pre_t
+            two_c = jnp.float32(2.0 * c)
+            ssum = q_r[:, None] + t_r
+            gap = (ssum - two_c) if plus else (two_c - ssum)
+            m_adj |= sel & (gap <= ztol_f32)
+            f_adj |= sel & (jnp.abs(gap - ztol_f32) < band)
+
+        match = valid & (m_same | m_adj)
+        flag = valid & (f_same | f_adj)
+        return None, (match.sum(axis=0, dtype=jnp.int32),
+                      flag.sum(axis=0, dtype=jnp.int32))
+
+    _, (scores, flags) = jax.lax.scan(per_variant, None, pos)
+    return scores, flags
+
+
+def reduce_variant_scores(scores: np.ndarray, plan: QueryPlan):
+    """[V, T] per-variant scores -> (best [T], mirrored [T]) per reference
+    max semantics (mirror wins only when strictly greater)."""
+    straight = scores[:plan.n_straight].max(axis=0)
+    if plan.mirror:
+        mirrored = scores[plan.n_straight:].max(axis=0)
+        best = np.maximum(straight, mirrored)
+        return best, mirrored > straight
+    return straight, np.zeros(scores.shape[1], dtype=bool)

@@ -1,0 +1,98 @@
+"""Device pixel-match kernel vs float64 oracle."""
+
+import numpy as np
+import pytest
+
+from colormipsearch_tpu.oracle.pixel import PixelMatchOracle
+from colormipsearch_tpu.ops import common, pixel_match
+
+
+def _score_with_device(mask_rgb, targets, *, query_threshold, target_threshold,
+                       mirror, xy_shift, fluctuation, region=None):
+    import jax.numpy as jnp
+    plan = pixel_match.build_query_plan(
+        mask_rgb, query_threshold, mirror=mirror, xy_shift=xy_shift,
+        pix_color_fluctuation=fluctuation, excluded_region=region)
+    stack = np.stack(targets)
+    planes = common.pack_target_planes(jnp.asarray(stack))
+    scores, flags = pixel_match.score_query_against_planes(
+        planes, jnp.asarray(plan.positions), jnp.asarray(plan.q_cls),
+        jnp.asarray(plan.q_s), jnp.asarray(plan.q_p),
+        target_threshold=target_threshold,
+        ztol_num=plan.ztol_num, ztol_den=plan.ztol_den)
+    scores = np.asarray(scores)
+    flags = np.asarray(flags)
+    best, mirrored = pixel_match.reduce_variant_scores(scores, plan)
+    return best, mirrored, flags, plan
+
+
+def test_device_matches_oracle_on_golden_fixture(mask_rgb, target_rgb,
+                                                 golden_region):
+    best, mirrored, flags, plan = _score_with_device(
+        mask_rgb, [target_rgb, mask_rgb],
+        query_threshold=20, target_threshold=20, mirror=True, xy_shift=2,
+        fluctuation=1.0, region=golden_region)
+    # the fixture pair contains a genuine near-threshold pixel in one shift
+    # variant; the kernel must flag it (the engine then oracle-rescan the
+    # pair), and the device count may differ from the oracle by at most the
+    # number of flagged pixels
+    per_pair_flags = flags.sum(axis=0)
+    assert per_pair_flags[0] <= 2
+    assert abs(best[0] - 87) <= per_pair_flags[0]
+    assert best[1] == plan.query_size  # self match
+    assert per_pair_flags[1] == 0 and not mirrored[1]
+    assert plan.ztol_num == 1 and plan.ztol_den == 100
+
+
+def test_device_matches_oracle_on_random_images():
+    rng = np.random.default_rng(7)
+    h, w = 40, 60
+    # sparse colorful images resembling CDMs
+    def mk():
+        img = np.zeros((h, w, 3), np.uint8)
+        n = rng.integers(50, 300)
+        ys = rng.integers(0, h, n)
+        xs = rng.integers(0, w, n)
+        img[ys, xs] = rng.integers(0, 256, (n, 3))
+        return img
+
+    mask = mk()
+    targets = [mk() for _ in range(5)] + [mask]
+    for fluct, xy, mirror in ((1.0, 0, False), (2.0, 2, True), (10.0, 4, True)):
+        oracle = PixelMatchOracle(
+            mask, 20, mirror=mirror, target_threshold=30,
+            z_tolerance=fluct / 100, xy_shift=xy)
+        best, mirrored, flags, plan = _score_with_device(
+            mask, targets, query_threshold=20, target_threshold=30,
+            mirror=mirror, xy_shift=xy, fluctuation=fluct)
+        for i, t in enumerate(targets):
+            res = oracle.score(t)
+            if flags[:, i].sum() == 0:
+                assert best[i] == res.matching_pixels, (fluct, xy, mirror, i)
+                assert mirrored[i] == res.mirrored
+
+
+def test_device_flags_exact_boundary_pair():
+    """A pixel pair whose gap is exactly the z tolerance must be flagged
+    (Java's float64 rounding decides such pairs; e.g. ratios 1/4 vs 6/25
+    give gap 0.01 exactly but Java computes 0.010000000000000009 > fl(0.01)).
+    """
+    mask = np.zeros((8, 8, 3), np.uint8)
+    target = np.zeros((8, 8, 3), np.uint8)
+    # class BR: blue dominant, red secondary: ratio = r/b
+    mask[0, 0] = (1, 0, 4)      # ratio 0.25
+    target[0, 0] = (6, 0, 25)   # ratio 0.24
+    best, mirrored, flags, plan = _score_with_device(
+        mask, [target], query_threshold=0, target_threshold=0,
+        mirror=False, xy_shift=0, fluctuation=1.0)
+    assert flags.sum() > 0
+    # the oracle (Java semantics) says NO match for this pair
+    oracle = PixelMatchOracle(mask, 0, mirror=False, target_threshold=0,
+                              z_tolerance=0.01, xy_shift=0)
+    assert oracle.score(target).matching_pixels == 0
+
+
+def test_bucket_padding():
+    assert pixel_match._bucket(1) == 512
+    assert pixel_match._bucket(512) == 512
+    assert pixel_match._bucket(513) == 1024
