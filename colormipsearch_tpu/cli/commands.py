@@ -1,0 +1,475 @@
+"""CLI subcommand implementations (FS/JSON storage backend).
+
+Each command mirrors its reference counterpart's flags and file formats:
+  * colorDepthSearch            — cmd/ColorDepthSearchCmd.java:52-440
+  * gradientScores              — cmd/CalculateGradientScoresCmd.java:67-461
+  * normalizeGradientScores     — cmd/NormalizeGradientScoresCmd.java:92-239
+  * createColorDepthSearchDataInput — cmd/CreateCDSDataInputCmd.java (offline mode)
+  * searchFromJSON / searchLocalFiles — cmd_v2/ColorDepthSearch*Cmd.java
+  * mergeResults                — cmd_v2/MergeResultsCmd.java
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from pathlib import Path
+
+from colormipsearch_tpu.dataio import v2_io
+from colormipsearch_tpu.dataio.json_io import (
+    JSONMatchesReader,
+    JSONMatchesWriter,
+    read_neurons_json,
+    write_cds_session,
+    write_neurons_json,
+)
+from colormipsearch_tpu.engine.cds import CDSParams, CDSearchEngine
+from colormipsearch_tpu.io import mips as mips_io
+from colormipsearch_tpu.io.mips import ListArg
+from colormipsearch_tpu.model import (
+    CDMatch,
+    ComputeFileType,
+    EMNeuron,
+    FileData,
+    LMNeuron,
+    Neuron,
+    ProcessingType,
+)
+from colormipsearch_tpu.oracle import shape as shape_oracle
+from colormipsearch_tpu.results.grouping import select_best_matches
+
+LOG = logging.getLogger(__name__)
+
+
+# -------------------------------------------------------------------------
+# shared argument groups
+# -------------------------------------------------------------------------
+
+
+def _add_cds_params(sp):
+    """Shared CDS params (cmd/AbstractColorDepthMatchArgs.java)."""
+    sp.add_argument("--dataThreshold", type=int, default=100)
+    sp.add_argument("--maskThreshold", type=int, default=100)
+    sp.add_argument("--pixColorFluctuation", type=float, default=2.0)
+    sp.add_argument("--xyShift", type=int, default=0)
+    sp.add_argument("--mirrorMask", action="store_true")
+    sp.add_argument("--pctPositivePixels", type=float, default=0.0)
+    sp.add_argument("--negativeRadius", type=int, default=20)
+    sp.add_argument("--border", type=int, default=0)
+    sp.add_argument("--no-name-labels", dest="noNameLabels",
+                    action="store_true",
+                    help="do not exclude the name label region")
+    sp.add_argument("--no-colormap-labels", dest="noColormapLabels",
+                    action="store_true",
+                    help="do not exclude the color scale label region")
+    sp.add_argument("--processingPartitionSize", "-ps", type=int, default=100)
+    sp.add_argument("--query-roi-mask", dest="queryROIMask", default=None)
+
+
+def _add_output_args(sp):
+    sp.add_argument("-od", "--outputDir", required=False, default=None)
+    sp.add_argument("--perMaskSubdir", default=None)
+    sp.add_argument("--perTargetSubdir", default=None)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def _cds_params(args) -> CDSParams:
+    return CDSParams(
+        mask_threshold=args.maskThreshold,
+        data_threshold=args.dataThreshold,
+        pix_color_fluctuation=args.pixColorFluctuation,
+        xy_shift=args.xyShift,
+        mirror_mask=args.mirrorMask,
+        pct_positive_pixels=args.pctPositivePixels,
+        negative_radius=args.negativeRadius,
+        border_size=args.border,
+        with_name_label_region=not args.noNameLabels,
+        with_color_scale_region=not args.noColormapLabels,
+        processing_partition_size=args.processingPartitionSize,
+    )
+
+
+def _out_dirs(args):
+    out = Path(args.outputDir) if args.outputDir else None
+    if out is None:
+        return None, None
+    per_mask = out / args.perMaskSubdir if args.perMaskSubdir else out
+    per_target = out / args.perTargetSubdir if args.perTargetSubdir else None
+    return per_mask, per_target
+
+
+# -------------------------------------------------------------------------
+# v3: colorDepthSearch
+# -------------------------------------------------------------------------
+
+
+def configure_color_depth_search(sp):
+    sp.add_argument("-m", "--masks", nargs="+", required=True,
+                    help="neuron-metadata JSON file(s) with the masks "
+                         "(location[:offset[:length]])")
+    sp.add_argument("-i", "--targets", nargs="+", required=True,
+                    help="neuron-metadata JSON file(s) with the targets")
+    sp.add_argument("--masks-index", type=int, default=0)
+    sp.add_argument("--masks-length", type=int, default=-1)
+    sp.add_argument("--targets-index", type=int, default=0)
+    sp.add_argument("--targets-length", type=int, default=-1)
+    sp.add_argument("--masks-tags", nargs="*", default=None)
+    sp.add_argument("--targets-tags", nargs="*", default=None)
+    sp.add_argument("--masks-published-names", nargs="*", default=None)
+    sp.add_argument("--targets-published-names", nargs="*", default=None)
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--processing-tag", dest="processingTag", default="")
+    _add_cds_params(sp)
+    _add_output_args(sp)
+
+
+def _read_neuron_sources(specs, index, length, tags, names) -> list[Neuron]:
+    out: list[Neuron] = []
+    for spec in specs:
+        arg = ListArg.parse(spec)
+        neurons = read_neurons_json(arg.location, arg.offset, arg.length)
+        out.extend(neurons)
+    if index > 0:
+        out = out[index:]
+    if length > 0:
+        out = out[:length]
+    if tags:
+        out = [n for n in out if n.tags & set(tags)]
+    if names:
+        out = [n for n in out if n.published_name in set(names)]
+    return out
+
+
+def cmd_color_depth_search(args) -> int:
+    masks = _read_neuron_sources(args.masks, args.masks_index,
+                                 args.masks_length, args.masks_tags,
+                                 args.masks_published_names)
+    targets = _read_neuron_sources(args.targets, args.targets_index,
+                                   args.targets_length, args.targets_tags,
+                                   args.targets_published_names)
+    LOG.info("colorDepthSearch: %d masks x %d targets", len(masks), len(targets))
+    params = _cds_params(args)
+    engine = CDSearchEngine(params)
+    tags = [args.processingTag] if args.processingTag else []
+    matches = engine.find_all_matches(masks, targets, tags=tags)
+
+    per_mask, per_target = _out_dirs(args)
+    if per_mask is not None and args.outputDir:
+        write_cds_session(args.outputDir,
+                          [str(s) for s in args.masks],
+                          [str(s) for s in args.targets],
+                          params.as_map(), pretty=not args.noPrettyPrint)
+    writer = JSONMatchesWriter(
+        per_masks_dir=per_mask, per_targets_dir=per_target,
+        pretty=not args.noPrettyPrint,
+        # CDS results are ordered by matching pixels desc
+        # (ColorDepthSearchCmd.java:383)
+        ordering=lambda m: -(m.matching_pixels or 0))
+    n = writer.write(matches)
+    LOG.info("wrote %d grouped result files", n)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# v3: gradientScores
+# -------------------------------------------------------------------------
+
+
+def configure_gradient_scores(sp):
+    sp.add_argument("--matches", "-md", nargs="+", required=True,
+                    help="directories (or files) of per-mask grouped "
+                         "match JSON files")
+    sp.add_argument("--matches-index", type=int, default=0)
+    sp.add_argument("--matches-length", type=int, default=-1)
+    sp.add_argument("--nBestLines", type=int, default=-1)
+    sp.add_argument("--nBestSamplesPerLine", type=int, default=-1)
+    sp.add_argument("--nBestMatchesPerSample", type=int, default=-1)
+    sp.add_argument("--processing-tag", dest="processingTag", default="")
+    sp.add_argument("--use-device", action="store_true", default=True,
+                    help="use the TPU shape-scoring kernels (default)")
+    sp.add_argument("--no-use-device", dest="use_device", action="store_false")
+    _add_cds_params(sp)
+    _add_output_args(sp)
+
+
+def cmd_gradient_scores(args) -> int:
+    from colormipsearch_tpu.engine.gradscore import GradScoreEngine
+
+    files = JSONMatchesReader.list_matches_locations(
+        args.matches, args.matches_index, args.matches_length)
+    LOG.info("gradientScores over %d match files", len(files))
+    params = _cds_params(args)
+    engine = GradScoreEngine(params, use_device=args.use_device)
+    per_mask, _ = _out_dirs(args)
+    writer = JSONMatchesWriter(
+        per_masks_dir=per_mask, pretty=not args.noPrettyPrint,
+        ordering=lambda m: -(m.normalized_score or 0.0))
+
+    roi_rgb = None
+    if args.queryROIMask:
+        roi_rgb = mips_io.load_image(FileData(args.queryROIMask)).as_rgb()
+
+    for f in files:
+        matches = JSONMatchesReader.read_matches(f)
+        if args.pctPositivePixels > 0:
+            thr = args.pctPositivePixels / 100
+            matches = [m for m in matches
+                       if (m.matching_pixels_ratio or 0) >= thr]
+        selected = select_best_matches(
+            matches, args.nBestLines, args.nBestSamplesPerLine,
+            args.nBestMatchesPerSample)
+        scored = engine.score_matches(selected, roi_rgb=roi_rgb)
+        if scored:
+            if args.processingTag:
+                for m in scored:
+                    if m.mask_image:
+                        m.mask_image.add_processed_tags(
+                            ProcessingType.GradientScore, [args.processingTag])
+            writer.write_updates(scored)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# v3: normalizeGradientScores
+# -------------------------------------------------------------------------
+
+
+def configure_normalize_scores(sp):
+    sp.add_argument("--matches", "-md", nargs="+", required=True)
+    sp.add_argument("--pctPositivePixels", type=float, default=0.0)
+    sp.add_argument("--processing-tag", dest="processingTag", default="")
+    _add_output_args(sp)
+
+
+def cmd_normalize_scores(args) -> int:
+    """Recompute normalizedScore against per-mask maxima
+    (cmd/NormalizeGradientScoresCmd.java:92-239)."""
+    files = JSONMatchesReader.list_matches_locations(args.matches)
+    per_mask, _ = _out_dirs(args)
+    writer = JSONMatchesWriter(
+        per_masks_dir=per_mask, pretty=not args.noPrettyPrint,
+        ordering=lambda m: -(m.normalized_score or 0.0))
+    for f in files:
+        matches = JSONMatchesReader.read_matches(f)
+        eligible = [m for m in matches
+                    if m.gradient_area_gap is not None
+                    and m.gradient_area_gap >= 0
+                    and (m.matching_pixels_ratio or 0)
+                    >= args.pctPositivePixels / 100]
+        if not eligible:
+            continue
+        _update_normalized_scores(eligible)
+        writer.write_updates(eligible)
+    return 0
+
+
+def _update_normalized_scores(matches: list[CDMatch]) -> None:
+    """CalculateGradientScoresCmd.updateNormalizedScores:443-459."""
+    max_pixels = max((m.matching_pixels or -1) for m in matches)
+    max_neg = max(m.negative_score() for m in matches)
+    for m in matches:
+        m.normalized_score = float(shape_oracle.normalized_score(
+            m.matching_pixels or 0, m.gradient_area_gap,
+            m.high_expression_area, max_pixels, max_neg))
+
+
+# -------------------------------------------------------------------------
+# v3: createColorDepthSearchDataInput (offline/local mode)
+# -------------------------------------------------------------------------
+
+
+def configure_create_data_input(sp):
+    sp.add_argument("-i", "--input", required=True,
+                    help="image library location (dir or zip), "
+                         "location[:offset[:length]]")
+    sp.add_argument("-l", "--library", default=None,
+                    help="library name recorded on the neurons")
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--type", choices=["em", "lm", "auto"], default="auto")
+    sp.add_argument("--gradients-location", nargs="*", default=[])
+    sp.add_argument("--gradient-suffix", default="_gradient")
+    sp.add_argument("--zgap-location", nargs="*", default=[])
+    sp.add_argument("--zgap-suffix", default="_20pxRGB")
+    sp.add_argument("--output-filename", default=None)
+    _add_output_args(sp)
+
+
+def cmd_create_data_input(args) -> int:
+    arg = ListArg.parse(args.input)
+    files = arg.apply(mips_io.list_image_files(arg.location))
+    lib = args.library or os.path.basename(arg.location.rstrip("/"))
+    cls = {"em": EMNeuron, "lm": LMNeuron, "auto": None}[args.type]
+    neurons = mips_io.neurons_from_image_files(
+        files, library_name=lib, alignment_space=args.alignment_space,
+        neuron_cls=cls)
+    for n in neurons:
+        fd = n.compute_file(ComputeFileType.InputColorDepthImage)
+        if args.gradients_location:
+            g = mips_io.find_variant(fd, args.gradients_location,
+                                     args.gradient_suffix)
+            if g is not None:
+                n.set_compute_file(ComputeFileType.GradientImage, g)
+        if args.zgap_location:
+            z = mips_io.find_variant(fd, args.zgap_location,
+                                     args.zgap_suffix)
+            if z is not None:
+                n.set_compute_file(ComputeFileType.ZGapImage, z)
+    out_name = args.output_filename or f"{lib}.json"
+    out_dir = args.outputDir or "."
+    out_path = Path(out_dir) / out_name
+    write_neurons_json(neurons, out_path, pretty=not args.noPrettyPrint)
+    LOG.info("wrote %d neurons to %s", len(neurons), out_path)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# v2: searchFromJSON / searchLocalFiles
+# -------------------------------------------------------------------------
+
+
+def configure_search_from_json(sp):
+    sp.add_argument("-m", "--masks", nargs="+", required=True,
+                    help="v2 MIP-list JSON file(s), location[:offset[:length]]")
+    sp.add_argument("-i", "--images", "--targets", dest="targets", nargs="+",
+                    required=True)
+    _add_cds_params(sp)
+    _add_output_args(sp)
+
+
+def configure_search_local_files(sp):
+    sp.add_argument("-m", "-q", "--queries", dest="masks", nargs="+",
+                    required=True, help="mask images location (dir/zip/file)")
+    sp.add_argument("-i", "-t", "--targets", dest="targets", nargs="+",
+                    required=True, help="target images location")
+    _add_cds_params(sp)
+    _add_output_args(sp)
+
+
+def _mip_to_neuron(mip: v2_io.MIPMetadata) -> Neuron:
+    lib = (mip.libraryName or "").lower()
+    cls = EMNeuron if ("flyem" in lib or "_em_" in lib) else LMNeuron
+    n = cls(mip_id=mip.id, library_name=mip.libraryName,
+            published_name=mip.publishedName,
+            alignment_space=mip.alignmentSpace)
+    n.set_compute_file(ComputeFileType.InputColorDepthImage, mip.file_data())
+    return n
+
+
+def _neuron_to_mip(n: Neuron) -> v2_io.MIPMetadata:
+    fd = n.compute_file(ComputeFileType.InputColorDepthImage)
+    m = v2_io.MIPMetadata(
+        id=n.mip_id, publishedName=n.published_name,
+        libraryName=n.library_name, alignmentSpace=n.alignment_space)
+    if fd is not None:
+        if fd.is_zip_entry:
+            m.imageArchivePath = fd.file_name
+            m.imageName = fd.entry_name
+            m.imageType = "zipEntry"
+        else:
+            m.imageName = fd.file_name
+            m.imageType = "file"
+    return m
+
+
+def _run_v2_search(args, masks, targets, mip_by_key) -> int:
+    params = _cds_params(args)
+    engine = CDSearchEngine(params)
+    matches = engine.find_all_matches(masks, targets)
+    rows = []
+    for m in matches:
+        src = mip_by_key.get(id(m.mask_image)) or _neuron_to_mip(m.mask_image)
+        tgt = mip_by_key.get(id(m.matched_image)) \
+            or _neuron_to_mip(m.matched_image)
+        rows.append(v2_io.V2Match(
+            source=src, target=tgt,
+            matchingPixels=m.matching_pixels or 0,
+            matchingRatio=m.matching_pixels_ratio or 0.0,
+            mirrored=m.mirrored))
+    per_mask, _ = _out_dirs(args)
+    if per_mask is None:
+        per_mask = Path(".")
+    groups = v2_io.group_matches_by_source(rows)
+    for g in groups:
+        name = g.maskId or g.maskPublishedName or "results"
+        name = re.sub(r"[^A-Za-z0-9._-]", "_", name)
+        v2_io.write_cds_matches(g, per_mask / f"{name}.json",
+                                pretty=not args.noPrettyPrint)
+    LOG.info("wrote %d v2 result files to %s", len(groups), per_mask)
+    return 0
+
+
+def cmd_search_from_json(args) -> int:
+    mip_by_key: dict[int, v2_io.MIPMetadata] = {}
+
+    def load(specs):
+        neurons = []
+        for spec in specs:
+            arg = ListArg.parse(spec)
+            for mip in v2_io.read_mips_json(arg.location, arg.offset,
+                                            arg.length):
+                n = _mip_to_neuron(mip)
+                mip_by_key[id(n)] = mip
+                neurons.append(n)
+        return neurons
+
+    return _run_v2_search(args, load(args.masks), load(args.targets),
+                          mip_by_key)
+
+
+def cmd_search_local_files(args) -> int:
+    def load(specs):
+        neurons = []
+        for spec in specs:
+            arg = ListArg.parse(spec)
+            files = arg.apply(mips_io.list_image_files(arg.location))
+            neurons.extend(mips_io.neurons_from_image_files(
+                files, library_name=os.path.basename(arg.location.rstrip("/"))))
+        return neurons
+
+    return _run_v2_search(args, load(args.masks), load(args.targets), {})
+
+
+# -------------------------------------------------------------------------
+# v2: mergeResults
+# -------------------------------------------------------------------------
+
+
+def configure_merge_results(sp):
+    sp.add_argument("-rd", "--resultsDir", nargs="+", required=True,
+                    help="directories of per-mask result files to merge")
+    _add_output_args(sp)
+
+
+def cmd_merge_results(args) -> int:
+    """Merge per-mask result files across libraries, deduping pairs and
+    keeping the best score (cmd_v2/MergeResultsCmd.java)."""
+    by_name: dict[str, list[Path]] = {}
+    for d in args.resultsDir:
+        for f in sorted(Path(d).glob("*.json")):
+            by_name.setdefault(f.name, []).append(f)
+    per_mask, _ = _out_dirs(args)
+    if per_mask is None:
+        per_mask = Path(".")
+    for name, paths in by_name.items():
+        merged: dict[tuple, v2_io.V2Match] = {}
+        header = None
+        for p in paths:
+            g = v2_io.read_cds_matches(p)
+            if header is None:
+                header = g
+            for r in g.results:
+                key = (r.source.id, r.target.id)
+                cur = merged.get(key)
+                if cur is None or r.matchingPixels > cur.matchingPixels:
+                    merged[key] = r
+        if header is None:
+            continue
+        header.results = sorted(merged.values(),
+                                key=lambda r: -r.normalized_score)
+        v2_io.write_cds_matches(header, per_mask / name,
+                                pretty=not args.noPrettyPrint)
+    LOG.info("merged %d result files", len(by_name))
+    return 0
