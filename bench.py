@@ -1,0 +1,123 @@
+"""Throughput benchmark: mask-target pair comparisons per second per chip.
+
+Workload: the production CDS configuration (maskThreshold 20,
+dataThreshold 20, pixColorFluctuation 1.0, xyShift 2, mirror — reference
+cdsparams.sh:42-46 / DATA_NOTES.md:59-66) on real reference fixture
+images: the LPLC2 EM mask (1897 query pixels) scored against a library of
+CDM-sized targets synthesized from the GMR_31G04 LM fixture.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the baseline is measured here: the vectorized float64 numpy oracle —
+itself faster than the reference's scalar Java loops — timed on one core
+and scaled by the reference's production per-node concurrency (39 threads
+on a 20-core node, submitCDSJob.sh:13-18).  vs_baseline is TPU pairs/s
+per chip over that estimated per-node baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+FIX = ("/root/reference/colormipsearch-api/src/test/resources/"
+       "colormipsearch/api/cdsearch")
+MASK_TIF = f"{FIX}/1752016801-LPLC2-RT_18U.tif"
+TARGET_TIF = (f"{FIX}/GMR_31G04_AE_01-20190813_66_F3-40x-Brain-"
+              "JRC2018_Unisex_20x_HR-2704505419467849826-CH2-07_CDM.tif")
+
+N_TARGETS = 256
+N_MASK_REPEATS = 8
+BASELINE_ORACLE_TARGETS = 6
+REFERENCE_NODE_THREADS = 39  # submitCDSJob.sh:13-18 (2*20 cores - 1)
+
+
+def build_workload():
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.pixel import label_regions_mask
+
+    mask_rgb = read_image(MASK_TIF).as_rgb()
+    target_rgb = read_image(TARGET_TIF).as_rgb()
+    h, w = mask_rgb.shape[:2]
+    region = label_regions_mask(w, h)
+
+    # target library: rolled/flipped variants of the real CDM (keeps the
+    # realistic foreground density ~6%, avoids trivially-identical pixels)
+    rng = np.random.default_rng(0)
+    targets = np.empty((N_TARGETS, h, w, 3), np.uint8)
+    for i in range(N_TARGETS):
+        t = np.roll(target_rgb, (int(rng.integers(0, h)),
+                                 int(rng.integers(0, w))), axis=(0, 1))
+        if i % 2:
+            t = t[:, ::-1]
+        targets[i] = t
+    return mask_rgb, targets, region
+
+
+def bench_tpu(mask_rgb, targets, region):
+    import jax
+    import jax.numpy as jnp
+
+    from colormipsearch_tpu.ops import common, pixel_match
+
+    plan = pixel_match.build_query_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    planes = common.pack_target_planes(jnp.asarray(targets))
+    jax.block_until_ready(planes)
+
+    def run_once():
+        s, f = pixel_match.score_query_against_planes(
+            planes, jnp.asarray(plan.positions), jnp.asarray(plan.q_cls),
+            jnp.asarray(plan.q_s), jnp.asarray(plan.q_p),
+            target_threshold=20, ztol_num=plan.ztol_num,
+            ztol_den=plan.ztol_den)
+        return jax.block_until_ready((s, f))
+
+    run_once()  # compile
+    t0 = time.perf_counter()
+    for _ in range(N_MASK_REPEATS):
+        out = run_once()
+    dt = time.perf_counter() - t0
+    pairs = N_MASK_REPEATS * targets.shape[0]
+    # sanity: scoring is live (self-similar targets must score > 0)
+    assert int(np.asarray(out[0]).max()) > 0
+    return pairs / dt, plan
+
+
+def bench_oracle_baseline(mask_rgb, targets, region):
+    from colormipsearch_tpu.oracle.pixel import PixelMatchOracle
+
+    oracle = PixelMatchOracle(mask_rgb, 20, mirror=True, target_threshold=20,
+                              z_tolerance=0.01, xy_shift=2,
+                              excluded_region=region)
+    t0 = time.perf_counter()
+    for i in range(BASELINE_ORACLE_TARGETS):
+        oracle.score(targets[i])
+    dt = time.perf_counter() - t0
+    single_core = BASELINE_ORACLE_TARGETS / dt
+    return single_core * REFERENCE_NODE_THREADS
+
+
+def main() -> int:
+    mask_rgb, targets, region = build_workload()
+    tpu_rate, plan = bench_tpu(mask_rgb, targets, region)
+    baseline_rate = bench_oracle_baseline(mask_rgb, targets, region)
+    result = {
+        "metric": "cds_pair_comparisons_per_sec_per_chip",
+        "value": round(tpu_rate, 1),
+        "unit": "mask-target pairs/s (prod params: thr 20/20, xyShift 2, "
+                f"mirror, {plan.query_size}-px query, "
+                f"{plan.n_variants} variants)",
+        "vs_baseline": round(tpu_rate / baseline_rate, 2),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -152,13 +152,10 @@ def _bucket(q: int, minimum: int = 512) -> int:
     return n
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("target_threshold", "ztol_num", "ztol_den"))
-def score_query_against_planes(t_planes: jax.Array, pos: jax.Array,
-                               q_cls: jax.Array, q_s: jax.Array,
-                               q_p: jax.Array, *, target_threshold: int,
-                               ztol_num: int, ztol_den: int):
+def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
+                                   q_cls: jax.Array, q_s: jax.Array,
+                                   q_p: jax.Array, *, target_threshold: int,
+                                   ztol_num: int, ztol_den: int):
     """Score one query plan against packed target planes.
 
     Args:
@@ -225,6 +222,29 @@ def score_query_against_planes(t_planes: jax.Array, pos: jax.Array,
 
     _, (scores, flags) = jax.lax.scan(per_variant, None, pos)
     return scores, flags
+
+
+score_query_against_planes = functools.partial(
+    jax.jit,
+    static_argnames=("target_threshold", "ztol_num", "ztol_den"))(
+        score_query_against_planes_raw)
+
+
+def reduce_variants_device(scores: jax.Array, flags: jax.Array,
+                           n_straight: int):
+    """Device-side variant reduction: (best, mirrored, pair_flags).
+
+    Same semantics as reduce_variant_scores (mirror wins only when
+    strictly greater than the best straight variant)."""
+    straight = scores[:n_straight].max(axis=0)
+    if scores.shape[0] > n_straight:
+        mirrored = scores[n_straight:].max(axis=0)
+        best = jnp.maximum(straight, mirrored)
+        is_mirrored = mirrored > straight
+    else:
+        best = straight
+        is_mirrored = jnp.zeros_like(straight, dtype=jnp.bool_)
+    return best, is_mirrored, flags.sum(axis=0, dtype=jnp.int32)
 
 
 def reduce_variant_scores(scores: np.ndarray, plan: QueryPlan):

@@ -1,0 +1,275 @@
+"""Batched TPU shape (gradient-area-gap) scoring.
+
+TPU-first reformulation of the reference's per-pair lazy-image fold
+(cds/ShapeMatchColorDepthSearchAlgorithm.calculateNegativeScores:191-240):
+
+  * the z-slice number of a pixel is a pure function of its RGB value, so
+    slice planes are computed ONCE per image (the reference re-scans its
+    256-entry LUT per pixel per comparison — GradientAreaGapUtils:132-198),
+  * per-target data is packed into a pixel-major uint32 plane [P, T]:
+        bits  0..15  gradient value (16-bit gradient image)
+        bits 16..24  z-gap slice number (0..256 -> 9 bits)
+        bit   25     z-gap nonzero flag
+        bit   26     target foreground flag (any channel > maskThreshold)
+    so one elementwise pass over [P, T] scores a query against T targets,
+  * per-query data packs to an int32 plane [P]:
+        bits  0..8   query slice number
+        bit   9      query nonzero
+        bit   10     query signal (intensity >= threshold 2)
+        bit   11     query high-expression-ring bit
+  * per-pixel gap values are <= 2^17, so the [P, T] sum is carried in two
+    int32 accumulators (lo 10 bits / hi bits) to avoid int64 (TPU x64 is
+    off) and recombined on the host,
+  * the mirror pass reuses the same packs: flipping the query and the
+    target z-gap plane (the reference's quirk, :214-221) is equivalent to
+    flipping the target gradient+foreground fields instead, so a second
+    "mirror pack" with grad/fg flipped horizontally scores the mirrored
+    orientation without touching the query.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from colormipsearch_tpu.constants import (
+    DEFAULT_COLOR_FLUX,
+    GAP_THRESHOLD,
+    RAINBOW_LUT,
+    SLICE_LUT_RANGES,
+)
+from colormipsearch_tpu.oracle import shape as shape_oracle
+
+# field layout (keep in sync with pack_* below)
+_GRAD_BITS = 16
+_SL_SHIFT = 16
+_ZNZ_SHIFT = 25
+_TFG_SHIFT = 26
+
+_Q_SL_MASK = 0x1FF
+_Q_NZ_SHIFT = 9
+_Q_SIG_SHIFT = 10
+_Q_HE_SHIFT = 11
+
+
+# -------------------------------------------------------------------------
+# device slice numbers
+# -------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1)
+def _lut_tables():
+    """Per-class padded integer LUT tables for the exact device argmin.
+
+    Every in-range LUT entry has a dominant channel value of 255
+    (asserted below), so the nearest-ratio comparison
+        |s/p - S_i/255|  ->  argmin_i |255*s - S_i*p|
+    is EXACT in int32 (max magnitude 255*255*255 ~ 1.66e7), reproducing
+    the float64 oracle bit-for-bit including first-minimum tie-breaks.
+
+    Returns (secondaries i32 [6, L] with huge padding, starts i32 [6]).
+    """
+    lut = RAINBOW_LUT
+    r, g, b = lut[:, 0], lut[:, 1], lut[:, 2]
+    r_dom = (r >= g) & (r >= b)
+    g_dom = ~r_dom & (g >= r) & (g >= b)
+    prim = np.where(r_dom, r, np.where(g_dom, g, b))
+    sec = np.where(r_dom, np.maximum(g, b),
+                   np.where(g_dom, np.maximum(r, b), np.maximum(r, g)))
+    rows, starts = [], []
+    max_len = max(hi - lo + 1 for lo, hi in SLICE_LUT_RANGES.values())
+    for cid in range(1, 7):
+        lo, hi = SLICE_LUT_RANGES[cid]
+        assert (prim[lo:hi + 1] == 255).all(), \
+            "LUT dominant channel must be 255 for the exact integer scan"
+        s_row = sec[lo:hi + 1].astype(np.int64)
+        pad = np.full(max_len - s_row.size, 1 << 20, np.int64)
+        rows.append(np.concatenate([s_row, pad]))
+        starts.append(lo)
+    return (np.asarray(rows, np.int32), np.asarray(starts, np.int32))
+
+
+def slice_numbers_device(rgb: jax.Array) -> jax.Array:
+    """int32 z-slice numbers (1..256; 0 for black) for uint8 [..., 3] rgb.
+
+    Device equivalent of oracle.shape.slice_numbers: >=-tie classification
+    (R,G,B priority), nearest-ratio scan with first-minimum tie-breaking,
+    evaluated in exact integer arithmetic (see _lut_tables).
+
+    NOTE: at EXACT rational ties between two LUT distances this takes the
+    first minimum, whereas the reference's float64 arithmetic lets
+    rounding noise pick a side; for bit parity use
+    ops.slice_lut.slice_numbers_lut (oracle-built table).  Everywhere
+    else the orderings provably agree (margins >= 1/(255*255) >> f64
+    error).
+    """
+    rows, starts = _lut_tables()
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+
+    r_dom = (r >= g) & (r >= b)
+    g_dom = ~r_dom & (g >= r) & (g >= b)
+    # class ids 1..6 matching SLICE_LUT_RANGES keys (CLASS_*)
+    cls = jnp.where(
+        r_dom, jnp.where(g >= b, 5, 6),
+        jnp.where(g_dom, jnp.where(r >= b, 4, 3),
+                  jnp.where(r >= g, 1, 2)))
+    p = jnp.where(r_dom, r, jnp.where(g_dom, g, b))
+    s = jnp.where(r_dom, jnp.maximum(g, b),
+                  jnp.where(g_dom, jnp.maximum(r, b), jnp.maximum(r, g)))
+
+    table = jnp.asarray(rows)        # [6, L] secondaries (pad = huge)
+    sec = table[cls - 1]             # [..., L]
+    # padded entries: 255*s - huge*p is large negative -> abs huge, never
+    # the minimum (p >= 1 for non-black pixels)
+    keys = jnp.abs(255 * s[..., None] - sec * p[..., None])
+    idx = jnp.argmin(keys, axis=-1).astype(jnp.int32)  # first min wins
+    slice_no = jnp.asarray(starts)[cls - 1] + idx + 1
+    black = (r == 0) & (g == 0) & (b == 0)
+    return jnp.where(black, 0, slice_no)
+
+
+# -------------------------------------------------------------------------
+# packing
+# -------------------------------------------------------------------------
+
+
+def pack_targets(t_rgb: np.ndarray, grad: np.ndarray,
+                 zgap_rgb: np.ndarray, *, mask_threshold: int):
+    """uint8 [T,H,W,3] x uint16 [T,H,W] x uint8 [T,H,W,3] -> (straight,
+    mirror) packed uint32 [P, T] planes (device arrays).
+
+    Slice numbers come from the exact full-RGB table (ops/slice_lut.py),
+    so the pack is bit-faithful to the reference including f64 rounding at
+    nearest-ratio ties.  The mirror pack flips the gradient and foreground
+    fields horizontally while keeping the z-gap fields in place (see
+    module docstring).
+    """
+    from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
+
+    t = t_rgb.shape[0]
+    sl = slice_numbers_lut(zgap_rgb).astype(np.uint32)
+    znz = (zgap_rgb.astype(np.int32).sum(axis=-1) > 0).astype(np.uint32)
+    tfg = (t_rgb > mask_threshold).any(axis=-1).astype(np.uint32)
+    word = (grad.astype(np.uint32)
+            | (sl << _SL_SHIFT) | (znz << _ZNZ_SHIFT) | (tfg << _TFG_SHIFT))
+    grad_fg = word & np.uint32(0xFFFF | (1 << _TFG_SHIFT))
+    z_part = word & np.uint32((0x1FF << _SL_SHIFT) | (1 << _ZNZ_SHIFT))
+    mirror = z_part | grad_fg[:, :, ::-1]
+    flat = jnp.asarray(np.ascontiguousarray(word.reshape(t, -1).T))
+    flat_m = jnp.asarray(np.ascontiguousarray(mirror.reshape(t, -1).T))
+    return flat, flat_m
+
+
+def pack_query(q_rgb: np.ndarray, *, excluded_region=None,
+               roi_keep=None, negative_radius: int = 20) -> np.ndarray:
+    """Query-side int32 [P] plane (host precompute, once per mask).
+
+    Uses the oracle's exact integer signal formulas and scipy dilation for
+    the high-expression ring (r=60/r=20 — factory :113-131); this runs
+    once per mask, outside the pairwise hot path.
+    """
+    from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
+
+    q = shape_oracle.clear_region(q_rgb, excluded_region)
+    sl = slice_numbers_lut(q).astype(np.int32)
+    nz = (q.astype(np.int32).sum(axis=-1) > 0)
+    sig = shape_oracle.rgb_signal(q, 2).astype(bool)
+    d60 = shape_oracle.dilate_rgb(q, 60)
+    d20 = shape_oracle.dilate_rgb(q, 20)
+    ring = np.where((d20.astype(np.int32).sum(axis=-1) > 0)[..., None],
+                    0, d60).astype(np.uint8)
+    he = shape_oracle.rgb_signal(ring, 0).astype(bool)
+    if roi_keep is not None:
+        nz &= roi_keep
+        sig &= roi_keep
+        he &= roi_keep
+    word = (sl | (nz.astype(np.int32) << _Q_NZ_SHIFT)
+            | (sig.astype(np.int32) << _Q_SIG_SHIFT)
+            | (he.astype(np.int32) << _Q_HE_SHIFT))
+    return word.reshape(-1).astype(np.int32)
+
+
+# -------------------------------------------------------------------------
+# pair scoring
+# -------------------------------------------------------------------------
+
+
+def shape_score_pairs_raw(t_pack: jax.Array, q_pack: jax.Array):
+    """Score one query against T targets.
+
+    Args:
+      t_pack: uint32 [P, T] packed target planes.
+      q_pack: int32 [P] packed query plane.
+    Returns:
+      (gap_hi, gap_lo, high_expr): int32 [T] each; the gradient area gap
+      is gap_hi * 1024 + gap_lo (combined on host).
+    """
+    w = t_pack.astype(jnp.int32)
+    grad = w & 0xFFFF
+    z_sl = (w >> _SL_SHIFT) & 0x1FF
+    z_nz = (w >> _ZNZ_SHIFT) & 1
+    t_fg = (w >> _TFG_SHIFT) & 1
+
+    q = q_pack[:, None]
+    q_sl = q & _Q_SL_MASK
+    q_nz = (q >> _Q_NZ_SHIFT) & 1
+    q_sig = (q >> _Q_SIG_SHIFT) & 1
+    q_he = (q >> _Q_HE_SHIFT) & 1
+
+    # slice gap: if either slice is 0 the gap is the target slice
+    sg = jnp.where((q_sl == 0) | (z_sl == 0), z_sl, jnp.abs(q_sl - z_sl))
+    overlap = (q_nz & z_nz) == 1
+    grad_term = q_sig * grad
+    val = jnp.where(overlap & (sg >= 2 * DEFAULT_COLOR_FLUX),
+                    sg - DEFAULT_COLOR_FLUX, grad_term)
+    val = jnp.where(val > GAP_THRESHOLD, val, 0)
+
+    gap_lo = (val & 0x3FF).sum(axis=0, dtype=jnp.int32)
+    gap_hi = (val >> 10).sum(axis=0, dtype=jnp.int32)
+    high_expr = (q_he & t_fg).sum(axis=0, dtype=jnp.int32)
+    return gap_hi, gap_lo, high_expr
+
+
+shape_score_pairs = jax.jit(shape_score_pairs_raw)
+
+
+def combine_gap(gap_hi: np.ndarray, gap_lo: np.ndarray) -> np.ndarray:
+    return gap_hi.astype(np.int64) * 1024 + gap_lo.astype(np.int64)
+
+
+def score_shape_batch(t_pack, t_pack_mirror, q_pack, *, mirror: bool,
+                      q_pack_mirror=None):
+    """Full shape scoring of one query vs T targets, both orientations.
+
+    Returns (gradient_area_gap int64 [T], high_expression_area int64 [T],
+    mirrored bool [T]) with the reference's mirror selection: the
+    orientation with the LOWER negative score wins, straight on ties
+    (ShapeMatchColorDepthSearchAlgorithm:172-179).
+
+    q_pack_mirror: only needed with an ROI mask — the reference applies
+    the (unmirrored) ROI after mirroring the query, which in the
+    flip-the-target formulation becomes the query packed with a flipped
+    ROI; without ROI both orientations share q_pack.
+    """
+    hi, lo, he = shape_score_pairs(t_pack, jnp.asarray(q_pack))
+    gap_s = combine_gap(np.asarray(hi), np.asarray(lo))
+    he_s = np.asarray(he).astype(np.int64)
+    if not mirror:
+        return gap_s, he_s, np.zeros(gap_s.shape, bool)
+    if q_pack_mirror is None:
+        q_pack_mirror = q_pack
+    hi_m, lo_m, he_m = shape_score_pairs(t_pack_mirror,
+                                         jnp.asarray(q_pack_mirror))
+    gap_m = combine_gap(np.asarray(hi_m), np.asarray(lo_m))
+    he_m = np.asarray(he_m).astype(np.int64)
+    neg_s = gap_s + he_s // 2
+    neg_m = gap_m + he_m // 2
+    use_m = neg_m < neg_s
+    return (np.where(use_m, gap_m, gap_s), np.where(use_m, he_m, he_s),
+            use_m)

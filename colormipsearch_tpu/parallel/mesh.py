@@ -1,0 +1,127 @@
+"""Multi-device sharding of the all-pairs search.
+
+TPU-native replacement of the reference's distribution mechanisms
+(Spark RDD over targets — cmd/cdsprocess/SparkColorMIPSearchProcessor.java:43-81;
+LSF tile sharding — scripts/submitCDSBatch.sh): the target library is
+sharded over a 1-D device mesh along the `targets` axis (each device holds
+its shard of the packed uint32 summary planes in HBM), masks are
+replicated, and one `shard_map`-ped step scores a mask against every
+shard concurrently.  Cross-device reductions that the reference does
+driver-side (per-mask global max for normalization, top-k merge —
+CalculateGradientScoresCmd.java:443-459, ItemsHandling.selectTopRanked)
+become ICI collectives: `pmax` for the global max, all_gather of
+per-shard top-k for the merged ranking.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from colormipsearch_tpu.ops import pixel_match
+
+TARGET_AXIS = "targets"
+
+
+def create_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D mesh over the available devices (the target-sharding axis)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (TARGET_AXIS,))
+
+
+def shard_target_planes(mesh: Mesh, planes) -> jax.Array:
+    """Place packed [P, T] planes with T sharded across the mesh."""
+    sharding = NamedSharding(mesh, P(None, TARGET_AXIS))
+    return jax.device_put(planes, sharding)
+
+
+def make_sharded_search_step(mesh: Mesh, *, target_threshold: int,
+                             ztol_num: int, ztol_den: int,
+                             n_straight: int, top_k: int = 0):
+    """Build the jitted multi-device search step.
+
+    Returns fn(planes[P, T], pos[V, Q], q_cls[Q], q_s[Q], q_p[Q]) ->
+      (best[T], mirrored[T], pair_flags[T], global_max[],
+       topk_scores[D*k], topk_idx[D*k])  (top-k parts only if top_k > 0).
+
+    The step runs one query against every target shard in SPMD, then:
+      * `pmax` over the target axis for the global best score (the
+        per-mask max the reference reduces driver-side),
+      * optional per-shard `lax.top_k` + `all_gather` so the host only
+        sees D*k candidates instead of T scores.
+    """
+
+    def local_step(planes, pos, q_cls, q_s, q_p):
+        scores, flags = pixel_match.score_query_against_planes_raw(
+            planes, pos, q_cls, q_s, q_p,
+            target_threshold=target_threshold,
+            ztol_num=ztol_num, ztol_den=ztol_den)
+        best, mirrored, pair_flags = pixel_match.reduce_variants_device(
+            scores, flags, n_straight)
+        global_max = jax.lax.pmax(best.max(), TARGET_AXIS)
+        if top_k > 0:
+            k = min(top_k, best.shape[0])
+            top_scores, top_idx = jax.lax.top_k(best, k)
+            # translate shard-local indices to global target indices
+            shard = jax.lax.axis_index(TARGET_AXIS)
+            top_idx = top_idx + shard * best.shape[0]
+            top_scores = jax.lax.all_gather(top_scores, TARGET_AXIS,
+                                            tiled=True)
+            top_idx = jax.lax.all_gather(top_idx, TARGET_AXIS, tiled=True)
+            return best, mirrored, pair_flags, global_max, top_scores, top_idx
+        return best, mirrored, pair_flags, global_max
+
+    out_specs = (P(TARGET_AXIS), P(TARGET_AXIS), P(TARGET_AXIS), P())
+    if top_k > 0:
+        out_specs = out_specs + (P(), P())
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, TARGET_AXIS), P(None, None), P(None), P(None),
+                  P(None)),
+        out_specs=out_specs,
+        check_rep=False)
+    return jax.jit(step)
+
+
+def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
+                            ztol_num: int, ztol_den: int, n_straight: int):
+    """Batched variant: scores a stack of B query plans in one step.
+
+    All query arrays gain a leading batch axis (replicated); the result is
+    best[B, T] / mirrored[B, T] / flags[B, T] with T sharded.  This is the
+    full production step jitted over the mesh — masks stream through in
+    batches while the target shards stay resident.
+    """
+
+    def local_step(planes, pos, q_cls, q_s, q_p):
+        def one(args):
+            pos_b, cls_b, s_b, p_b = args
+            scores, flags = pixel_match.score_query_against_planes_raw(
+                planes, pos_b, cls_b, s_b, p_b,
+                target_threshold=target_threshold,
+                ztol_num=ztol_num, ztol_den=ztol_den)
+            return pixel_match.reduce_variants_device(
+                scores, flags, n_straight)
+
+        best, mirrored, pair_flags = jax.lax.map(
+            one, (pos, q_cls, q_s, q_p))
+        global_max = jax.lax.pmax(best.max(axis=-1), TARGET_AXIS)
+        return best, mirrored, pair_flags, global_max
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, TARGET_AXIS), P(None, None, None),
+                  P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(None, TARGET_AXIS), P(None, TARGET_AXIS),
+                   P(None, TARGET_AXIS), P(None)),
+        check_rep=False)
+    return jax.jit(step)

@@ -13,6 +13,12 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+# The axon sitecustomize pre-imports jax and pins the platform to the
+# TPU tunnel; the env vars alone are too late.  Force CPU explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
