@@ -30,9 +30,9 @@ MASK_TIF = f"{FIX}/1752016801-LPLC2-RT_18U.tif"
 TARGET_TIF = (f"{FIX}/GMR_31G04_AE_01-20190813_66_F3-40x-Brain-"
               "JRC2018_Unisex_20x_HR-2704505419467849826-CH2-07_CDM.tif")
 
-N_TARGETS = 256
-N_MASK_REPEATS = 8
-BASELINE_ORACLE_TARGETS = 6
+N_TARGETS = 96          # tunnel-upload bound; steady-state rate is what
+N_MASK_REPEATS = 32     # matters and is T-independent past ~64 targets
+BASELINE_ORACLE_TARGETS = 24
 REFERENCE_NODE_THREADS = 39  # submitCDSJob.sh:13-18 (2*20 cores - 1)
 
 
@@ -67,18 +67,27 @@ def bench_tpu(mask_rgb, targets, region):
     plan = pixel_match.build_query_plan(
         mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
         excluded_region=region)
+    t0 = time.perf_counter()
     planes = common.pack_target_planes(jnp.asarray(targets))
     jax.block_until_ready(planes)
+    print(f"# packed {targets.shape[0]} targets in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
+    pos = jax.device_put(plan.positions)
+    q_cls = jax.device_put(plan.q_cls)
+    q_s = jax.device_put(plan.q_s)
+    q_p = jax.device_put(plan.q_p)
 
     def run_once():
         s, f = pixel_match.score_query_against_planes(
-            planes, jnp.asarray(plan.positions), jnp.asarray(plan.q_cls),
-            jnp.asarray(plan.q_s), jnp.asarray(plan.q_p),
+            planes, pos, q_cls, q_s, q_p,
             target_threshold=20, ztol_num=plan.ztol_num,
             ztol_den=plan.ztol_den)
         return jax.block_until_ready((s, f))
 
+    t0 = time.perf_counter()
     run_once()  # compile
+    print(f"# compiled in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(N_MASK_REPEATS):
         out = run_once()
@@ -90,14 +99,43 @@ def bench_tpu(mask_rgb, targets, region):
 
 
 def bench_oracle_baseline(mask_rgb, targets, region):
-    from colormipsearch_tpu.oracle.pixel import PixelMatchOracle
+    """Single-core positions-only scorer emulating the reference's access
+    pattern (PixelMatchColorDepthSearchAlgorithm.calculateScore:235-263:
+    only query positions are touched, no full-image precompute), but
+    vectorized with numpy — i.e. an upper bound on the Java scalar loop's
+    per-core speed.  Scaled by the production node concurrency."""
+    from colormipsearch_tpu.oracle.pixel import (
+        PixelMatchOracle,
+        classify_rgb,
+        pixel_gap,
+        ratio_f64,
+    )
 
     oracle = PixelMatchOracle(mask_rgb, 20, mirror=True, target_threshold=20,
                               z_tolerance=0.01, xy_shift=2,
                               excluded_region=region)
+    variants = np.concatenate([oracle.variants, oracle.mirror_variants])
+
+    def score_one(target):
+        flat = target.reshape(-1, 3)
+        best = 0
+        for pos in variants:
+            ok = pos >= 0
+            tp = pos[ok]
+            px = flat[tp]
+            sel = px.astype(np.int32).max(axis=-1) > 20
+            if not sel.any():
+                continue
+            cls, s, p = classify_rgb(px[sel])
+            r = ratio_f64(cls, s, p)
+            gaps = pixel_gap(oracle.q_cls[ok][sel], oracle.q_ratio[ok][sel],
+                             cls, r)
+            best = max(best, int(np.count_nonzero(gaps <= 0.01)))
+        return best
+
     t0 = time.perf_counter()
     for i in range(BASELINE_ORACLE_TARGETS):
-        oracle.score(targets[i])
+        score_one(targets[i])
     dt = time.perf_counter() - t0
     single_core = BASELINE_ORACLE_TARGETS / dt
     return single_core * REFERENCE_NODE_THREADS

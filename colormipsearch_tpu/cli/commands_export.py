@@ -1,0 +1,223 @@
+"""Export + import + tagging subcommands.
+
+  * exportData        — cmd/ExportData4NBCmd.java:50-392 + cmd/dataexport/
+                        (offline FS mode: no JACS REST enrichment)
+  * importPPPResults  — cmd/ImportPPPResultsCmd.java
+  * tag               — cmd/TagNeuronMetadataCmd.java
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+
+from colormipsearch_tpu.dataio.json_io import (
+    JSONMatchesReader,
+    read_neurons_json,
+    write_neurons_json,
+)
+from colormipsearch_tpu.io import ppp as ppp_io
+from colormipsearch_tpu.model import dto
+from colormipsearch_tpu.model.entities import (
+    EMNeuron,
+    LMNeuron,
+    ProcessingType,
+)
+from colormipsearch_tpu.model.ids import TimebasedIdGenerator
+
+LOG = logging.getLogger(__name__)
+
+
+# -------------------------------------------------------------------------
+# exportData
+# -------------------------------------------------------------------------
+
+
+EXPORT_TYPES = ("EM_CD_MATCHES", "LM_CD_MATCHES", "EM_PPP_MATCHES",
+                "EM_MIPS", "LM_MIPS")
+
+
+def configure_export_data(sp):
+    sp.add_argument("--exported-result-type", required=True,
+                    choices=EXPORT_TYPES)
+    sp.add_argument("--matches", "-md", nargs="*", default=[],
+                    help="per-mask grouped match files/dirs to export")
+    sp.add_argument("--mips", nargs="*", default=[],
+                    help="neuron JSON files (for *_MIPS exports)")
+    sp.add_argument("--relative-url-index", type=int, default=1)
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--subdir", default=None)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_export_data(args) -> int:
+    out_dir = Path(args.outputDir)
+    if args.subdir:
+        out_dir = out_dir / args.subdir
+    out_dir.mkdir(parents=True, exist_ok=True)
+    pretty = not args.noPrettyPrint
+
+    if args.exported_result_type in ("EM_MIPS", "LM_MIPS"):
+        return _export_mips(args, out_dir, pretty)
+    if args.exported_result_type == "EM_PPP_MATCHES":
+        LOG.error("PPP export requires imported pppMatches; use "
+                  "importPPPResults output as --matches")
+    return _export_cd_matches(args, out_dir, pretty)
+
+
+def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
+    """Per-mask publish files: dedupe to best match per (mask, target) MIP
+    pair (AbstractCDMatchesExporter.selectBestMatchPerMIPPair:66-85), group
+    by mask published name."""
+    files = JSONMatchesReader.list_matches_locations(args.matches)
+    by_published: dict[str, list] = {}
+    for f in files:
+        for m in JSONMatchesReader.read_matches(f):
+            if m.mask_image is None or m.matched_image is None:
+                continue
+            name = m.mask_image.published_name or m.mask_image.mip_id
+            by_published.setdefault(name, []).append(m)
+
+    n = 0
+    for name, matches in by_published.items():
+        best: dict[tuple, object] = {}
+        for m in matches:
+            key = (m.mask_image.mip_id, m.matched_image.mip_id)
+            cur = best.get(key)
+            if cur is None or (m.normalized_score or 0) > \
+                    (cur.normalized_score or 0):
+                best[key] = m
+        selected = sorted(best.values(),
+                          key=lambda m: -(m.normalized_score or 0))
+        input_meta = dto.neuron_metadata(selected[0].mask_image)
+        doc = dto.result_matches_json(
+            input_meta, [dto.cd_match_to_dto(m) for m in selected])
+        with open(out_dir / f"{name}.json", "w") as f:
+            json.dump(doc, f, indent=2 if pretty else None)
+        n += 1
+    LOG.info("exported %d publish files to %s", n, out_dir)
+    return 0
+
+
+def _export_mips(args, out_dir: Path, pretty: bool) -> int:
+    """by_body / by_line MIP export (cmd/dataexport/MIPsExporter)."""
+    by_name: dict[str, list] = {}
+    for src in args.mips:
+        for n in read_neurons_json(src):
+            name = n.published_name or n.mip_id
+            by_name.setdefault(name, []).append(n)
+    for name, neurons in by_name.items():
+        doc = {"results": [dto.neuron_metadata(n).to_json()
+                           for n in neurons]}
+        with open(out_dir / f"{name}.json", "w") as f:
+            json.dump(doc, f, indent=2 if pretty else None)
+    LOG.info("exported %d MIP files to %s", len(by_name), out_dir)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# importPPPResults
+# -------------------------------------------------------------------------
+
+
+def configure_import_ppp(sp):
+    sp.add_argument("--results-dir", "-rd", nargs="+", required=True,
+                    help="PPP results dirs (em subdirs w/ cov_scores_*.json)")
+    sp.add_argument("--em-library", default=None)
+    sp.add_argument("--lm-library", default=None)
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--only-best-skeleton-matches", action="store_true")
+    sp.add_argument("--include-skeletons", action="store_true", default=True)
+    sp.add_argument("--processing-tag", dest="processingTag", default="")
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_import_ppp(args) -> int:
+    """Parse raw PPP files to pppMatches grouped per EM neuron
+    (ImportPPPResultsCmd; groups by source ref — here by EM name)."""
+    gen = TimebasedIdGenerator()
+    files = ppp_io.find_ppp_result_files(args.results_dir)
+    out_dir = Path(args.outputDir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n_matches = 0
+    for f in files:
+        matches = ppp_io.read_raw_ppp_matches(
+            f, only_best_matches=args.only_best_skeleton_matches,
+            include_skeletons=args.include_skeletons)
+        if not matches:
+            continue
+        em = ppp_io.em_neuron_from_ppp_name(
+            matches[0].source_em_name, library=args.em_library,
+            alignment_space=args.alignment_space)
+        em.entity_id = gen.generate_id()
+        for m in matches:
+            m.mask_image = em
+            m.matched_image = ppp_io.lm_neuron_from_ppp_name(
+                m.source_lm_name, library=args.lm_library,
+                alignment_space=args.alignment_space)
+            m.entity_id = gen.generate_id()
+            m.source_em_library = args.em_library
+            m.source_lm_library = args.lm_library
+            if args.processingTag:
+                m.tags.add(args.processingTag)
+        matches.sort(key=lambda m: m.rank if m.rank is not None else 1e9)
+        doc = {
+            "inputImage": em.to_json(),
+            "results": [_ppp_result_json(m) for m in matches],
+        }
+        name = em.published_name or f.stem
+        with open(out_dir / f"{name}.json", "w") as fh:
+            json.dump(doc, fh, indent=None if args.noPrettyPrint else 2)
+        n_matches += len(matches)
+    LOG.info("imported %d PPP matches from %d files", n_matches, len(files))
+    return 0
+
+
+def _ppp_result_json(m) -> dict:
+    d = m.to_json()
+    d.pop("maskImage", None)
+    return d
+
+
+# -------------------------------------------------------------------------
+# tag
+# -------------------------------------------------------------------------
+
+
+def configure_tag(sp):
+    sp.add_argument("-i", "--input", nargs="+", required=True,
+                    help="neuron JSON files to tag")
+    sp.add_argument("--tag", nargs="+", required=True)
+    sp.add_argument("--published-names", nargs="*", default=None)
+    sp.add_argument("--libraries", nargs="*", default=None)
+    sp.add_argument("--processing-type", default=None,
+                    choices=[p.value for p in ProcessingType])
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_tag(args) -> int:
+    """Bulk-tag neuron metadata in place (TagNeuronMetadataCmd)."""
+    names = set(args.published_names or ())
+    libs = set(args.libraries or ())
+    for src in args.input:
+        neurons = read_neurons_json(src)
+        n = 0
+        for neuron in neurons:
+            if names and neuron.published_name not in names:
+                continue
+            if libs and neuron.library_name not in libs:
+                continue
+            if args.processing_type:
+                neuron.add_processed_tags(
+                    ProcessingType(args.processing_type), args.tag)
+            else:
+                neuron.tags.update(args.tag)
+            n += 1
+        write_neurons_json(neurons, src, pretty=not args.noPrettyPrint)
+        LOG.info("tagged %d/%d neurons in %s", n, len(neurons), src)
+    return 0

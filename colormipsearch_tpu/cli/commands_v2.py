@@ -1,0 +1,369 @@
+"""v2 file-pipeline subcommands beyond search.
+
+  * gradientScore                    — cmd_v2/CalculateNegativeScoresCmd.java:107-331
+  * gradientScoresFromMatchedResults — cmd_v2/UpdateGradientScoresFromReverseSearchResultsCmd.java:176-321
+  * groupMIPsByPublishedName         — cmd_v2/GroupMIPsByPublishedNameCmd.java (local mode)
+  * createColorDepthSearchJSONInput  — cmd_v2/CreateColorDepthSearchJSONInputCmd.java (local mode)
+  * replaceAttributes                — cmd_v2/ReplaceMIPsMetadataAttributesCmd.java
+  * mergeMips                        — cmd_v2/MergeMipsCmd.java
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from pathlib import Path
+
+import numpy as np
+
+from colormipsearch_tpu.dataio import v2_io
+from colormipsearch_tpu.io import mips as mips_io
+from colormipsearch_tpu.io.mips import ListArg
+from colormipsearch_tpu.oracle.shape import ShapeMatchOracle, normalized_score
+from colormipsearch_tpu.oracle.pixel import label_regions_mask
+from colormipsearch_tpu.results.grouping import select_top_ranked
+
+LOG = logging.getLogger(__name__)
+
+
+def _result_files(args) -> list[str]:
+    files: list[str] = []
+    if getattr(args, "resultsFile", None):
+        files.extend(args.resultsFile)
+    if getattr(args, "resultsDir", None):
+        arg = ListArg.parse(args.resultsDir)
+        listed = sorted(str(p) for p in Path(arg.location).glob("*.json"))
+        files.extend(arg.apply(listed))
+    return files
+
+
+def _extract_publishing_name(image_name: str | None) -> str:
+    """ColorMIPSearchResultUtils.extractPublishingNameCandidateFromImageName."""
+    if not image_name:
+        return ""
+    base = os.path.basename(image_name)
+    return base.split("_")[0].split("-")[0]
+
+
+def select_for_grad_score(rows, top_lines, top_samples, top_matches):
+    """pickBestPublishedNameAndSampleMatches (:141-165) over v2 rows."""
+    for r in rows:
+        r.gradientAreaGap = -1
+    top = select_top_ranked(
+        rows,
+        lambda r: (r.target.publishedName
+                   or _extract_publishing_name(r.target.imageName)),
+        lambda r: r.matchingPixels,
+        top_lines, -1)
+    out = []
+    for se in top:
+        for sub in select_top_ranked(
+                se.entry,
+                lambda r: r.target.slideCode or r.target.sampleRef or "",
+                lambda r: r.matchingPixels,
+                top_samples, top_matches):
+            out.extend(sub.entry)
+    return out
+
+
+# -------------------------------------------------------------------------
+# gradientScore (v2)
+# -------------------------------------------------------------------------
+
+
+def configure_gradient_score_v2(sp):
+    sp.add_argument("--resultsDir", "-rd", default=None)
+    sp.add_argument("--resultsFile", "-rf", nargs="*", default=None)
+    sp.add_argument("--topPublishedNameMatches", type=int, default=-1)
+    sp.add_argument("--topPublishedSampleMatches", type=int, default=-1)
+    sp.add_argument("--topMatchesPerSample", type=int, default=-1)
+    sp.add_argument("--maskThreshold", type=int, default=100)
+    sp.add_argument("--mirrorMask", action="store_true")
+    sp.add_argument("--negativeRadius", type=int, default=20)
+    sp.add_argument("--gradientPath", "-gp", nargs="*", default=[])
+    sp.add_argument("--gradientSuffix", default="_gradient")
+    sp.add_argument("--zgapPath", "-zgp", nargs="*", default=[])
+    sp.add_argument("--zgapSuffix", default="_20pxRGB")
+    sp.add_argument("--no-name-labels", dest="noNameLabels",
+                    action="store_true")
+    sp.add_argument("--no-colormap-labels", dest="noColormapLabels",
+                    action="store_true")
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_gradient_score_v2(args) -> int:
+    from colormipsearch_tpu.io.image import read_image
+
+    out_dir = Path(args.outputDir)
+    for f in _result_files(args):
+        g = v2_io.read_cds_matches(f)
+        if not g.results:
+            continue
+        selected = select_for_grad_score(
+            g.results, args.topPublishedNameMatches,
+            args.topPublishedSampleMatches, args.topMatchesPerSample)
+        # load the mask image (all rows share the source MIP)
+        src_fd = g.results[0].source.file_data()
+        try:
+            mask_rgb = mips_io.load_image(src_fd).as_rgb()
+        except (OSError, FileNotFoundError):
+            LOG.error("cannot load mask image %s for %s", src_fd, f)
+            continue
+        h, w = mask_rgb.shape[:2]
+        region = None
+        if not (args.noNameLabels and args.noColormapLabels):
+            region = label_regions_mask(
+                w, h, with_name_label=not args.noNameLabels,
+                with_color_scale_label=not args.noColormapLabels)
+        oracle = ShapeMatchOracle(
+            mask_rgb, args.maskThreshold, mirror=args.mirrorMask,
+            negative_radius=args.negativeRadius, excluded_region=region)
+        max_pixels, max_neg = -1, -1
+        for r in selected:
+            t_fd = r.target.file_data()
+            grad_fd = mips_io.find_variant(t_fd, args.gradientPath,
+                                           args.gradientSuffix)
+            if grad_fd is None:
+                continue
+            try:
+                t_rgb = mips_io.load_image(t_fd).as_rgb()
+                grad_img = mips_io.load_image(grad_fd).pixels
+            except (OSError, FileNotFoundError):
+                continue
+            if grad_img.ndim == 3:
+                grad_img = grad_img.astype(np.int32).max(axis=-1)
+            zgap_rgb = None
+            z_fd = mips_io.find_variant(t_fd, args.zgapPath, args.zgapSuffix)
+            if z_fd is not None:
+                try:
+                    zgap_rgb = mips_io.load_image(z_fd).as_rgb()
+                except (OSError, FileNotFoundError):
+                    zgap_rgb = None
+            res = oracle.score(t_rgb, grad_img, zgap_rgb)
+            r.gradientAreaGap = res.gradient_area_gap
+            r.highExpressionArea = res.high_expression_area
+            max_pixels = max(max_pixels, r.matchingPixels)
+            neg = res.gradient_area_gap + res.high_expression_area // 2
+            max_neg = max(max_neg, neg)
+        for r in selected:
+            if r.gradientAreaGap is not None and r.gradientAreaGap >= 0:
+                r.normalizedGapScore = normalized_score(
+                    r.matchingPixels, r.gradientAreaGap,
+                    r.highExpressionArea, max_pixels, max_neg)
+        g.results = sorted(selected, key=lambda r: -r.normalized_score)
+        v2_io.write_cds_matches(g, out_dir / Path(f).name,
+                                pretty=not args.noPrettyPrint)
+        LOG.info("grad-scored %d results of %s", len(selected), f)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# gradientScoresFromMatchedResults (reverse transfer)
+# -------------------------------------------------------------------------
+
+
+def configure_reverse_transfer(sp):
+    sp.add_argument("--resultsDir", "-rd", default=None)
+    sp.add_argument("--resultsFile", "-rf", nargs="*", default=None)
+    sp.add_argument("--reverseResultsDir", "-revd", required=True)
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_reverse_transfer(args) -> int:
+    """Copy negative scores from reverse (EM->LM) result files into
+    LM->EM files (UpdateGradientScoresFromReverseSearchResultsCmd:240-321):
+    for each row, load the reverse file named after the row's target id,
+    index its rows by their target id, look up this row's source id, match
+    exactly by image name first, then at MIP level."""
+    rev_dir = Path(args.reverseResultsDir)
+    rev_cache: dict[str, dict] = {}
+
+    def reverse_rows(mip_id: str) -> dict:
+        if mip_id in rev_cache:
+            return rev_cache[mip_id]
+        rows: dict[str, list] = {}
+        p = rev_dir / f"{mip_id}.json"
+        if p.exists():
+            g = v2_io.read_cds_matches(str(p))
+            for r in g.results:
+                if r.gradientAreaGap is None or r.gradientAreaGap < 0:
+                    continue
+                rows.setdefault(r.target.id or "", []).append(r)
+        rev_cache[mip_id] = rows
+        return rows
+
+    out_dir = Path(args.outputDir)
+    for f in _result_files(args):
+        g = v2_io.read_cds_matches(f)
+        n_updates = 0
+        for r in g.results:
+            candidates = reverse_rows(r.target.id or "").get(
+                r.source.id or "")
+            if not candidates:
+                continue
+            rev = next(
+                (c for c in candidates
+                 if c.target.imageName and r.source.imageName
+                 and os.path.basename(c.target.imageName)
+                 == os.path.basename(r.source.imageName)),
+                candidates[0])
+            r.gradientAreaGap = rev.gradientAreaGap
+            r.highExpressionArea = rev.highExpressionArea
+            r.normalizedGapScore = rev.normalizedGapScore
+            n_updates += 1
+        g.results.sort(key=lambda r: -r.normalized_score)
+        v2_io.write_cds_matches(g, out_dir / Path(f).name,
+                                pretty=not args.noPrettyPrint)
+        LOG.info("updated %d/%d results in %s", n_updates,
+                 len(g.results), f)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# createColorDepthSearchJSONInput (local mode) / groupMIPsByPublishedName
+# -------------------------------------------------------------------------
+
+
+def configure_create_json_input_v2(sp):
+    sp.add_argument("-i", "--input", required=True,
+                    help="image library (dir or zip), location[:off[:len]]")
+    sp.add_argument("-l", "--library", default=None)
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--output-filename", default=None)
+    sp.add_argument("-od", "--outputDir", default=".")
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_create_json_input_v2(args) -> int:
+    arg = ListArg.parse(args.input)
+    files = arg.apply(mips_io.list_image_files(arg.location))
+    lib = args.library or os.path.basename(arg.location.rstrip("/"))
+    mips = []
+    for fd in files:
+        base = os.path.basename(fd.name)
+        stem = re.sub(r"\.[^.]+$", "", base)
+        m = v2_io.MIPMetadata(
+            id=stem, publishedName=_extract_publishing_name(base),
+            libraryName=lib, alignmentSpace=args.alignment_space)
+        if fd.is_zip_entry:
+            m.imageArchivePath = fd.file_name
+            m.imageName = fd.entry_name
+            m.imageType = "zipEntry"
+        else:
+            m.imageName = fd.file_name
+            m.imageType = "file"
+        mips.append(m)
+    out = Path(args.outputDir) / (args.output_filename or f"{lib}.json")
+    v2_io.write_mips_json(mips, out, pretty=not args.noPrettyPrint)
+    LOG.info("wrote %d MIPs to %s", len(mips), out)
+    return 0
+
+
+def configure_group_mips(sp):
+    sp.add_argument("-i", "--input", nargs="+", required=True,
+                    help="v2 MIP JSON list file(s)")
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_group_mips(args) -> int:
+    """Group MIPs by published name into by-name JSON files
+    (GroupMIPsByPublishedNameCmd, local metadata mode)."""
+    by_name: dict[str, list] = {}
+    for src in args.input:
+        for m in v2_io.read_mips_json(src):
+            name = m.publishedName or _extract_publishing_name(m.imageName)
+            by_name.setdefault(name, []).append(m)
+    out_dir = Path(args.outputDir)
+    for name, mips in by_name.items():
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", name or "UNKNOWN")
+        v2_io.write_mips_json(mips, out_dir / f"{safe}.json",
+                              pretty=not args.noPrettyPrint)
+    LOG.info("grouped %d MIPs into %d files",
+             sum(len(v) for v in by_name.values()), len(by_name))
+    return 0
+
+
+# -------------------------------------------------------------------------
+# replaceAttributes / mergeMips
+# -------------------------------------------------------------------------
+
+
+def configure_replace_attrs(sp):
+    sp.add_argument("--input", "-i", nargs="+", required=True,
+                    help="result/MIP JSON files to update")
+    sp.add_argument("--attributes-values", "-av", required=True,
+                    help="JSON file of {id: {attr: value}} replacements")
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_replace_attrs(args) -> int:
+    """Replace metadata attributes by id
+    (ReplaceMIPsMetadataAttributesCmd)."""
+    with open(args.attributes_values) as f:
+        repl = json.load(f)
+    if isinstance(repl, list):  # tolerate a list of MIP metadata
+        repl = {m["id"]: m for m in repl if m.get("id")}
+    out_dir = Path(args.outputDir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for src in args.input:
+        with open(src) as f:
+            doc = json.load(f)
+        n = 0
+
+        def patch(obj):
+            nonlocal n
+            if isinstance(obj, dict):
+                oid = obj.get("id") or obj.get("mipId")
+                if oid in repl:
+                    for k, v in repl[oid].items():
+                        if k != "id":
+                            obj[k] = v
+                    n += 1
+                for v in obj.values():
+                    patch(v)
+            elif isinstance(obj, list):
+                for v in obj:
+                    patch(v)
+
+        patch(doc)
+        with open(out_dir / Path(src).name, "w") as f:
+            json.dump(doc, f, indent=None if args.noPrettyPrint else 2)
+        LOG.info("replaced attributes on %d entries in %s", n, src)
+    return 0
+
+
+def configure_merge_mips(sp):
+    sp.add_argument("-i", "--input", nargs="+", required=True)
+    sp.add_argument("--output-filename", required=True)
+    sp.add_argument("-od", "--outputDir", default=".")
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_merge_mips(args) -> int:
+    """Concatenate MIP lists, deduping by (id, imageName)
+    (MergeMipsCmd)."""
+    seen = set()
+    merged = []
+    for src in args.input:
+        for m in v2_io.read_mips_json(src):
+            key = (m.id, m.imageName)
+            if key in seen:
+                continue
+            seen.add(key)
+            merged.append(m)
+    out = Path(args.outputDir) / args.output_filename
+    v2_io.write_mips_json(merged, out, pretty=not args.noPrettyPrint)
+    LOG.info("merged %d MIPs to %s", len(merged), out)
+    return 0

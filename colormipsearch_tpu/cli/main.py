@@ -11,7 +11,7 @@ import argparse
 import logging
 import sys
 
-from colormipsearch_tpu.cli import commands
+from colormipsearch_tpu.cli import commands, commands_export, commands_v2
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     add("createColorDepthSearchDataInput", commands.cmd_create_data_input,
         commands.configure_create_data_input,
         help="create neuron metadata input from a library of images")
+    add("exportData", commands_export.cmd_export_data,
+        commands_export.configure_export_data,
+        help="export matches/MIPs to the NeuronBridge publish schema")
+    add("importPPPResults", commands_export.cmd_import_ppp,
+        commands_export.configure_import_ppp,
+        help="import raw PatchPerPix cov_scores results")
+    add("tag", commands_export.cmd_tag, commands_export.configure_tag,
+        help="bulk-tag neuron metadata")
 
     # ---- v2 commands (cmd_v2/Main.java:26-52) ----
     add("searchFromJSON", commands.cmd_search_from_json,
@@ -53,9 +61,28 @@ def build_parser() -> argparse.ArgumentParser:
     add("searchLocalFiles", commands.cmd_search_local_files,
         commands.configure_search_local_files,
         help="v2 search over local image files/zips")
+    add("gradientScore", commands_v2.cmd_gradient_score_v2,
+        commands_v2.configure_gradient_score_v2,
+        help="v2 shape rescoring of result files")
+    add("gradientScoresFromMatchedResults", commands_v2.cmd_reverse_transfer,
+        commands_v2.configure_reverse_transfer,
+        help="transfer negative scores from reverse search results")
     add("mergeResults", commands.cmd_merge_results,
         commands.configure_merge_results,
         help="merge per-mask result files across libraries")
+    add("createColorDepthSearchJSONInput",
+        commands_v2.cmd_create_json_input_v2,
+        commands_v2.configure_create_json_input_v2,
+        help="v2 MIP list creation from local images")
+    add("groupMIPsByPublishedName", commands_v2.cmd_group_mips,
+        commands_v2.configure_group_mips,
+        help="group MIP lists by published name")
+    add("replaceAttributes", commands_v2.cmd_replace_attrs,
+        commands_v2.configure_replace_attrs,
+        help="replace metadata attributes by id")
+    add("mergeMips", commands_v2.cmd_merge_mips,
+        commands_v2.configure_merge_mips,
+        help="merge MIP list files, deduping")
     return p
 
 

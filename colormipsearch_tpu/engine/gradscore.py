@@ -57,39 +57,13 @@ class GradScoreEngine:
             mask_rgb = mask_mip.image.as_rgb()
             h, w = mask_rgb.shape[:2]
             region = self.params.excluded_region(h, w)
-            oracle = ShapeMatchOracle(
-                mask_rgb, self.params.mask_threshold,
-                mirror=self.params.mirror_mask,
-                negative_radius=self.params.negative_radius,
-                excluded_region=region,
-                roi_mask_rgb=roi_rgb)
-            n_ok = 0
-            for m in group:
-                target = m.matched_image
-                t_mip = mips_io.load_compute_file(
-                    target, ComputeFileType.InputColorDepthImage)
-                if not t_mip.has_image:
-                    m.gradient_area_gap = -1
-                    continue
-                g_mip = mips_io.load_compute_file(
-                    target, ComputeFileType.GradientImage)
-                if not g_mip.has_image:
-                    # shape scoring requires the gradient variant
-                    # (ShapeMatchColorDepthSearchAlgorithm:142-144)
-                    m.gradient_area_gap = -1
-                    continue
-                z_mip = mips_io.load_compute_file(
-                    target, ComputeFileType.ZGapImage)
-                grad = g_mip.image.pixels
-                if grad.ndim == 3:
-                    # gradient images are 16-bit gray; tolerate RGB encodes
-                    grad = grad.astype(np.int32).max(axis=-1)
-                res = oracle.score(
-                    t_mip.image.as_rgb(), grad,
-                    z_mip.image.as_rgb() if z_mip.has_image else None)
-                m.gradient_area_gap = res.gradient_area_gap
-                m.high_expression_area = res.high_expression_area
-                n_ok += 1
+            loaded = self._load_group_targets(group, (h, w), region)
+            if self.use_device:
+                n_ok = self._score_group_device(
+                    mask_rgb, region, roi_rgb, loaded)
+            else:
+                n_ok = self._score_group_oracle(
+                    mask_rgb, region, roi_rgb, loaded)
             ok = [m for m in group if m.has_grad_score()]
             scored.extend(ok)
             LOG.info("grad-scored %d/%d matches of %s in %.1fs",
@@ -97,6 +71,103 @@ class GradScoreEngine:
 
         update_normalized_scores([m for m in scored])
         return scored
+
+    def _load_group_targets(self, group, mask_shape, region):
+        """Load target/gradient/zgap images for each match; matches with
+        missing target or gradient get gradientAreaGap = -1 (the
+        reference's hasGradScore filter then drops them)."""
+        from colormipsearch_tpu.oracle.shape import (
+            clear_region, dilate_rgb, mask_rgb as mask_fn)
+
+        loaded = []
+        for m in group:
+            target = m.matched_image
+            t_mip = mips_io.load_compute_file(
+                target, ComputeFileType.InputColorDepthImage)
+            if not t_mip.has_image or \
+                    t_mip.image.pixels.shape[:2] != mask_shape:
+                m.gradient_area_gap = -1
+                continue
+            g_mip = mips_io.load_compute_file(
+                target, ComputeFileType.GradientImage)
+            if not g_mip.has_image:
+                # shape scoring requires the gradient variant
+                # (ShapeMatchColorDepthSearchAlgorithm:142-144)
+                m.gradient_area_gap = -1
+                continue
+            grad = g_mip.image.pixels
+            if grad.ndim == 3:
+                # gradient images are 16-bit gray; tolerate RGB encodes
+                grad = grad.astype(np.int32).max(axis=-1)
+            if grad.shape != mask_shape:
+                m.gradient_area_gap = -1
+                continue
+            z_mip = mips_io.load_compute_file(
+                target, ComputeFileType.ZGapImage)
+            t_rgb = t_mip.image.as_rgb()
+            if z_mip.has_image and \
+                    z_mip.image.pixels.shape[:2] == mask_shape:
+                zgap = z_mip.image.as_rgb()
+            else:
+                # on-the-fly dilation fallback
+                # (ShapeMatchColorDepthSearchAlgorithm:166-168)
+                zgap = dilate_rgb(
+                    mask_fn(clear_region(t_rgb, region),
+                            self.params.mask_threshold),
+                    self.params.negative_radius)
+            loaded.append((m, t_rgb, grad.astype(np.uint16), zgap))
+        return loaded
+
+    def _score_group_device(self, mask_rgb, region, roi_rgb, loaded) -> int:
+        from colormipsearch_tpu.ops import shape_score
+        from colormipsearch_tpu.oracle.shape import clear_region
+
+        if not loaded:
+            return 0
+        p = self.params
+        roi_keep = None
+        roi_keep_m = None
+        if roi_rgb is not None:
+            roi = clear_region(roi_rgb, region)
+            roi_keep = roi.astype(np.int32).sum(axis=-1) > 0
+            roi_keep_m = roi_keep[:, ::-1]
+        q_pack = shape_score.pack_query(
+            mask_rgb, excluded_region=region, roi_keep=roi_keep,
+            negative_radius=p.negative_radius)
+        q_pack_m = None
+        if p.mirror_mask and roi_keep is not None:
+            q_pack_m = shape_score.pack_query(
+                mask_rgb, excluded_region=region, roi_keep=roi_keep_m,
+                negative_radius=p.negative_radius)
+
+        t_stack = np.stack([clear_region(t, region)
+                            for _, t, _, _ in loaded])
+        g_stack = np.stack([g for _, _, g, _ in loaded])
+        z_stack = np.stack([z for _, _, _, z in loaded])
+        t_pack, t_pack_m = shape_score.pack_targets(
+            t_stack, g_stack, z_stack, mask_threshold=p.mask_threshold)
+        gap, he, mirrored = shape_score.score_shape_batch(
+            t_pack, t_pack_m, q_pack, mirror=p.mirror_mask,
+            q_pack_mirror=q_pack_m)
+        for i, (m, _, _, _) in enumerate(loaded):
+            m.gradient_area_gap = int(gap[i])
+            m.high_expression_area = int(he[i])
+            # note: the shape pass does not change the pixel-match
+            # `mirrored` flag on the entity (reference keeps the CDS one)
+        return len(loaded)
+
+    def _score_group_oracle(self, mask_rgb, region, roi_rgb, loaded) -> int:
+        oracle = ShapeMatchOracle(
+            mask_rgb, self.params.mask_threshold,
+            mirror=self.params.mirror_mask,
+            negative_radius=self.params.negative_radius,
+            excluded_region=region,
+            roi_mask_rgb=roi_rgb)
+        for m, t_rgb, grad, zgap in loaded:
+            res = oracle.score(t_rgb, grad, zgap)
+            m.gradient_area_gap = res.gradient_area_gap
+            m.high_expression_area = res.high_expression_area
+        return len(loaded)
 
 
 def update_normalized_scores(matches: list[CDMatch]) -> None:

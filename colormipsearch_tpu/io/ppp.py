@@ -1,0 +1,141 @@
+"""PatchPerPix (PPP) raw result ingestion.
+
+Parses the PPP pipeline's `cov_scores_<em>.json` files — nested
+{emName: {lmName: rawSkeletonMatch}} maps with numpy-printed array
+strings — into PPPMatch entities, mirroring
+ppp/RawPPPMatchesReader.java:36-90 and the EM/LM name parsing of
+model/PPPMatchEntity.java:17-19,195-215.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Iterable
+
+from colormipsearch_tpu.model import (
+    EMNeuron,
+    LMNeuron,
+    PPPMatch,
+    PPPSkeletonMatch,
+)
+
+EM_NAME_RE = re.compile(r"([0-9]+)-([^-]*)-(.*)", re.IGNORECASE)
+LM_NAME_RE = re.compile(r"(.+)_REG_UNISEX_(.+)", re.IGNORECASE)
+OBJECTIVE_RE = re.compile(r"\d+x", re.IGNORECASE)
+DEFAULT_OBJECTIVE = "40x"
+
+
+def _parse_np_list(s: str | None) -> list:
+    """Parse numpy-printed or JSON list strings like
+    '[  379  5477]' or '[1.5, 0.93]' or '[[31, 245, 16], ...]'."""
+    if not s:
+        return []
+    s = s.strip()
+    if not s.startswith("["):
+        return []
+    try:
+        return json.loads(s)
+    except json.JSONDecodeError:
+        pass
+    # numpy print format: whitespace-separated, possibly multi-line
+    inner = s.strip("[]")
+    if "[" in inner:  # nested lists in numpy format
+        return [json.loads("[" + p + "]")
+                for p in re.findall(r"\[([^\]]*)\]", s[1:-1])]
+    vals = inner.split()
+    out = []
+    for v in vals:
+        try:
+            out.append(int(v))
+        except ValueError:
+            try:
+                out.append(float(v))
+            except ValueError:
+                pass
+    return out
+
+
+def read_raw_ppp_matches(path, *, only_best_matches: bool = True,
+                         include_skeletons: bool = False) -> list[PPPMatch]:
+    """One cov_scores file -> PPPMatch list (RawPPPMatchesReader:36-79)."""
+    with open(path) as f:
+        doc = json.load(f)
+    out: list[PPPMatch] = []
+    for em_name, lm_map in doc.items():
+        for lm_name, raw in lm_map.items():
+            m = PPPMatch(
+                source_em_name=em_name,
+                source_lm_name=lm_name,
+                coverage_score=raw.get("cov_score"),
+                aggregate_coverage=raw.get("aggregate_coverage"),
+                mirrored=bool(raw.get("mirrored", False)),
+                rank=raw.get("rank"),
+            )
+            if include_skeletons:
+                prefix = "" if only_best_matches else "all_"
+                ids = _parse_np_list(raw.get(prefix + "skel_ids")
+                                     or raw.get("skel_ids"))
+                nblast = _parse_np_list(raw.get(prefix + "nblast_scores")
+                                        or raw.get("nblast_scores"))
+                covs = _parse_np_list(raw.get(prefix + "coverages")
+                                      or raw.get("coverages"))
+                colors = _parse_np_list(raw.get(prefix + "colors")
+                                        or raw.get("colors"))
+                if len(ids) != len(nblast):
+                    raise ValueError(
+                        f"{path}: skeleton ids and nblast scores counts "
+                        f"differ for {em_name}->{lm_name}")
+                for i, sid in enumerate(ids):
+                    m.skeleton_matches.append(PPPSkeletonMatch(
+                        id=str(sid),
+                        nblast_score=nblast[i] if i < len(nblast) else None,
+                        coverage=covs[i] if i < len(covs) else None,
+                        color=colors[i] if i < len(colors) else None))
+            out.append(m)
+    return out
+
+
+def em_neuron_from_ppp_name(em_name: str, *, library=None,
+                            alignment_space=None) -> EMNeuron:
+    """'1599747200-PFNp_c-RT_18U' -> EM neuron (body id, type)."""
+    n = EMNeuron(library_name=library, alignment_space=alignment_space)
+    m = EM_NAME_RE.match(em_name)
+    if m:
+        n.published_name = m.group(1)
+        n.neuron_type = m.group(2)
+    else:
+        n.published_name = em_name
+    return n
+
+
+def lm_neuron_from_ppp_name(lm_name: str, *, library=None,
+                            alignment_space=None) -> LMNeuron:
+    """'BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_40x' -> LM neuron."""
+    n = LMNeuron(library_name=library, alignment_space=alignment_space)
+    m = LM_NAME_RE.match(lm_name)
+    base = m.group(1) if m else lm_name
+    objective = m.group(2) if m else None
+    if objective and not OBJECTIVE_RE.fullmatch(objective):
+        objective = DEFAULT_OBJECTIVE
+    n.objective = objective
+    parts = base.split("-", 1)
+    n.published_name = parts[0]
+    n.internal_line_name = parts[0]
+    if len(parts) > 1:
+        n.slide_code = parts[1]
+    return n
+
+
+def find_ppp_result_files(dirs: Iterable[str]) -> list[Path]:
+    """Locate cov_scores_*.json files under the given directories
+    (ImportPPPResultsCmd walks em-subdirectories)."""
+    out: list[Path] = []
+    for d in dirs:
+        p = Path(d)
+        if p.is_file():
+            out.append(p)
+        elif p.is_dir():
+            out.extend(sorted(p.rglob("cov_scores_*.json")))
+    return out

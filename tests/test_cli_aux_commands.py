@@ -1,0 +1,145 @@
+"""Tests for auxiliary CLI commands: PPP import, export, merge, tag,
+reverse score transfer."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+PPP_FIXTURES = ("/root/reference/colormipsearch-api/src/test/resources/"
+                "colormipsearch/api/pppsearch")
+
+
+def run_cli(*argv):
+    from colormipsearch_tpu.cli.main import main
+    assert main([str(a) for a in argv]) == 0
+
+
+def test_import_ppp_results(tmp_path):
+    out = tmp_path / "ppp"
+    run_cli("importPPPResults", "-rd", PPP_FIXTURES,
+            "--em-library", "flyem_hemibrain_1_2_1",
+            "--lm-library", "FlyLight Gen1 MCFO",
+            "--alignment-space", "JRC2018_Unisex_20x_HR",
+            "--include-skeletons",
+            "-od", out)
+    files = sorted(out.glob("*.json"))
+    assert len(files) >= 2
+    doc = json.loads((out / "1599747200.json").read_text())
+    assert doc["inputImage"]["publishedName"] == "1599747200"
+    assert doc["inputImage"]["neuronType"] == "PFNp_c"
+    first = doc["results"][0]
+    # results sorted by rank ascending
+    ranks = [r.get("rank") for r in doc["results"]]
+    assert ranks == sorted(ranks)
+    assert first["sourceLmName"]
+    assert first["coverageScore"] is not None
+    # lm name parsing: line + slide code + objective
+    assert first["image"]["slideCode"]
+    assert first["image"]["objective"] in ("20x", "40x", "63x")
+    assert first["skeletonMatches"], "skeletons requested"
+
+
+def test_export_cd_matches(tmp_path):
+    # build a tiny grouped match file in the v3 shape
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+
+    em = EMNeuron(mip_id="em1", published_name="12345",
+                  library_name="FlyEM_Hemibrain", alignment_space="AS")
+    lm = LMNeuron(mip_id="lm1", published_name="R99X99",
+                  library_name="MCFO", slide_code="sc1", gender="f")
+    m = CDMatch(mask_image=em, matched_image=lm, matching_pixels=87,
+                matching_pixels_ratio=0.05, normalized_score=2801.1,
+                mirrored=False)
+    dup = CDMatch(mask_image=em, matched_image=lm, matching_pixels=50,
+                  matching_pixels_ratio=0.03, normalized_score=1000.0,
+                  mirrored=True)
+    matches_dir = tmp_path / "matches"
+    JSONMatchesWriter(per_masks_dir=matches_dir).write([m, dup])
+
+    out = tmp_path / "export"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--matches", matches_dir, "-od", out)
+    doc = json.loads((out / "12345.json").read_text())
+    assert doc["inputImage"]["type"] == "EMImage"
+    assert doc["inputImage"]["id"] == "em1"
+    # deduped to the best match per MIP pair
+    assert len(doc["results"]) == 1
+    res = doc["results"][0]
+    assert res["type"] == "CDSMatch"
+    assert res["normalizedScore"] == pytest.approx(2801.1)
+    assert res["image"]["type"] == "LMImage"
+    assert res["image"]["slideCode"] == "sc1"
+
+
+def test_reverse_transfer_and_merge(tmp_path):
+    from colormipsearch_tpu.dataio import v2_io
+
+    src = v2_io.MIPMetadata(id="LM1", publishedName="lineA",
+                            imageName="a/lm1.tif")
+    tgt = v2_io.MIPMetadata(id="EM1", publishedName="111",
+                            imageName="b/em1.tif")
+    # forward LM->EM file without negative scores
+    fwd = v2_io.CDSMatches(maskId="LM1", results=[
+        v2_io.V2Match(source=src, target=tgt, matchingPixels=87,
+                      matchingRatio=0.05)])
+    fwd_dir = tmp_path / "fwd"
+    v2_io.write_cds_matches(fwd, fwd_dir / "LM1.json")
+    # reverse EM->LM file carrying the negative scores
+    rev = v2_io.CDSMatches(maskId="EM1", results=[
+        v2_io.V2Match(source=tgt, target=src, matchingPixels=87,
+                      matchingRatio=0.05, gradientAreaGap=2438,
+                      highExpressionArea=100,
+                      normalizedGapScore=998.35)])
+    rev_dir = tmp_path / "rev"
+    v2_io.write_cds_matches(rev, rev_dir / "EM1.json")
+
+    out = tmp_path / "updated"
+    run_cli("gradientScoresFromMatchedResults",
+            "-rf", fwd_dir / "LM1.json", "-revd", rev_dir, "-od", out)
+    doc = json.loads((out / "LM1.json").read_text())
+    [r] = doc["results"]
+    assert r["gradientAreaGap"] == 2438
+    assert r["highExpressionArea"] == 100
+    assert r["normalizedGapScore"] == pytest.approx(998.35)
+    assert r["normalizedScore"] == pytest.approx(998.35)
+
+
+def test_merge_mips_and_group(tmp_path):
+    from colormipsearch_tpu.dataio import v2_io
+
+    a = [v2_io.MIPMetadata(id="1", publishedName="n1", imageName="x/1.tif"),
+         v2_io.MIPMetadata(id="2", publishedName="n2", imageName="x/2.tif")]
+    b = [v2_io.MIPMetadata(id="2", publishedName="n2", imageName="x/2.tif"),
+         v2_io.MIPMetadata(id="3", publishedName="n1", imageName="x/3.tif")]
+    v2_io.write_mips_json(a, tmp_path / "a.json")
+    v2_io.write_mips_json(b, tmp_path / "b.json")
+
+    run_cli("mergeMips", "-i", tmp_path / "a.json", tmp_path / "b.json",
+            "--output-filename", "merged.json", "-od", tmp_path)
+    merged = v2_io.read_mips_json(tmp_path / "merged.json")
+    assert [m.id for m in merged] == ["1", "2", "3"]
+
+    run_cli("groupMIPsByPublishedName", "-i", tmp_path / "merged.json",
+            "-od", tmp_path / "grouped")
+    g = v2_io.read_mips_json(tmp_path / "grouped" / "n1.json")
+    assert sorted(m.id for m in g) == ["1", "3"]
+
+
+def test_tag_command(tmp_path):
+    from colormipsearch_tpu.model import EMNeuron
+    from colormipsearch_tpu.dataio.json_io import (
+        read_neurons_json,
+        write_neurons_json,
+    )
+
+    neurons = [EMNeuron(mip_id="a", published_name="x"),
+               EMNeuron(mip_id="b", published_name="y")]
+    f = tmp_path / "n.json"
+    write_neurons_json(neurons, f)
+    run_cli("tag", "-i", f, "--tag", "v1", "--published-names", "x")
+    back = read_neurons_json(f)
+    tags = {n.mip_id: n.tags for n in back}
+    assert tags["a"] == {"v1"}
+    assert tags["b"] == set()

@@ -1,0 +1,102 @@
+"""End-to-end gradientScores CLI test with synthesized variants."""
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import MASK_TIF, TARGET_TIF
+
+
+@pytest.fixture()
+def pipeline_dirs(tmp_path):
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb
+
+    lib = tmp_path / "lib"
+    grad_dir = tmp_path / "grad"
+    zgap_dir = tmp_path / "zgap"
+    for d in (lib, grad_dir, zgap_dir):
+        d.mkdir()
+    shutil.copy(MASK_TIF, lib / Path(MASK_TIF).name)
+    shutil.copy(TARGET_TIF, lib / Path(TARGET_TIF).name)
+
+    # synthesized target variants: 16-bit gradient + 20px zgap
+    t_rgb = read_image(TARGET_TIF).as_rgb()
+    rng = np.random.default_rng(0)
+    grad = rng.integers(0, 400, t_rgb.shape[:2]).astype(np.uint16)
+    stem = Path(TARGET_TIF).stem
+    Image.fromarray(grad, mode="I;16").save(grad_dir / f"{stem}_gradient.png")
+    zgap = dilate_rgb(mask_rgb(t_rgb, 20), 20)
+    Image.fromarray(zgap).save(zgap_dir / f"{stem}_20pxRGB.png")
+    return tmp_path
+
+
+def run_cli(*argv):
+    from colormipsearch_tpu.cli.main import main
+    assert main([str(a) for a in argv]) == 0
+
+
+def test_gradient_scores_cli(tmp_path, pipeline_dirs):
+    base = pipeline_dirs
+    inputs = base / "inputs"
+    run_cli("createColorDepthSearchDataInput", "-i", base / "lib",
+            "-l", "gslib", "--gradients-location", base / "grad",
+            "--zgap-location", base / "zgap",
+            "-od", inputs, "--output-filename", "all.json")
+    data = json.loads((inputs / "all.json").read_text())
+    targets = [d for d in data if "LPLC2" not in d["mipId"]]
+    masks = [d for d in data if "LPLC2" in d["mipId"]]
+    assert "GradientImage" in targets[0]["computeFiles"]
+    assert "ZGapImage" in targets[0]["computeFiles"]
+    (inputs / "masks.json").write_text(json.dumps(masks))
+    (inputs / "targets.json").write_text(json.dumps(targets))
+
+    out = base / "results"
+    run_cli("colorDepthSearch", "-m", inputs / "masks.json",
+            "-i", inputs / "targets.json",
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask",
+            "-od", out, "--perMaskSubdir", "masks")
+
+    run_cli("gradientScores", "--matches", out / "masks",
+            "--maskThreshold", 20, "--mirrorMask",
+            "--processing-tag", "gs-run",
+            "-od", out, "--perMaskSubdir", "masks")
+
+    doc = json.loads(
+        (out / "masks" / f"{Path(MASK_TIF).stem}.json").read_text())
+    [res] = doc["results"]
+    assert res["matchingPixels"] == 87
+    assert res["gradientAreaGap"] >= 0
+    assert res["highExpressionArea"] >= 0
+    assert res["normalizedScore"] > 0
+
+    # cross-check against the float64 oracle
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.pixel import label_regions_mask
+    from colormipsearch_tpu.oracle.shape import (
+        ShapeMatchOracle,
+        normalized_score,
+    )
+
+    mask_rgb_img = read_image(MASK_TIF).as_rgb()
+    t_rgb = read_image(TARGET_TIF).as_rgb()
+    h, w = mask_rgb_img.shape[:2]
+    region = label_regions_mask(w, h)
+    grad = np.asarray(Image.open(
+        base / "grad" / f"{Path(TARGET_TIF).stem}_gradient.png"))
+    zgap = read_image(
+        str(base / "zgap" / f"{Path(TARGET_TIF).stem}_20pxRGB.png")).as_rgb()
+    oracle = ShapeMatchOracle(mask_rgb_img, 20, mirror=True,
+                              excluded_region=region)
+    ref = oracle.score(t_rgb, grad, zgap)
+    assert res["gradientAreaGap"] == ref.gradient_area_gap
+    assert res["highExpressionArea"] == ref.high_expression_area
+    expected_norm = normalized_score(
+        87, ref.gradient_area_gap, ref.high_expression_area, 87,
+        ref.negative_score)
+    assert res["normalizedScore"] == pytest.approx(expected_norm, rel=1e-6)
