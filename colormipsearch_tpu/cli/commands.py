@@ -74,6 +74,15 @@ def _add_output_args(sp):
     sp.add_argument("--perTargetSubdir", default=None)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
+    sp.add_argument("--results-storage", dest="resultsStorage",
+                    choices=["FS", "DB"], default="FS")
+    sp.add_argument("--config", dest="configFile", default=None,
+                    help="properties file for the DB storage backend")
+
+
+def _daos(args):
+    from colormipsearch_tpu.persist import Config, DaosProvider
+    return DaosProvider(Config(getattr(args, "configFile", None)))
 
 
 def _cds_params(args) -> CDSParams:
@@ -122,6 +131,12 @@ def configure_color_depth_search(sp):
     sp.add_argument("--targets-published-names", nargs="*", default=None)
     sp.add_argument("--alignment-space", "-as", default=None)
     sp.add_argument("--processing-tag", dest="processingTag", default="")
+    sp.add_argument("--mips-storage", dest="mipsStorage",
+                    choices=["FS", "DB"], default="FS",
+                    help="FS: -m/-i are neuron JSON files; DB: they are "
+                         "library names in the metadata store")
+    sp.add_argument("--update-matches", dest="updateMatches",
+                    action="store_true")
     _add_cds_params(sp)
     _add_output_args(sp)
 
@@ -144,17 +159,60 @@ def _read_neuron_sources(specs, index, length, tags, names) -> list[Neuron]:
 
 
 def cmd_color_depth_search(args) -> int:
-    masks = _read_neuron_sources(args.masks, args.masks_index,
-                                 args.masks_length, args.masks_tags,
-                                 args.masks_published_names)
-    targets = _read_neuron_sources(args.targets, args.targets_index,
-                                   args.targets_length, args.targets_tags,
-                                   args.targets_published_names)
+    daos = None
+    if args.mipsStorage == "DB" or args.resultsStorage == "DB":
+        daos = _daos(args)
+    if args.mipsStorage == "DB":
+        from colormipsearch_tpu.dataio.db_io import DBCDMIPsReader
+
+        reader = DBCDMIPsReader(daos)
+
+        def read_db(specs, index, length, tags, names):
+            out = []
+            for spec in specs:
+                arg = ListArg.parse(spec)
+                out.extend(reader.read_mips(
+                    [arg.location], alignment_space=args.alignment_space,
+                    tags=tags or (), names=names or (),
+                    offset=arg.offset, size=arg.length))
+            if index > 0:
+                out = out[index:]
+            if length > 0:
+                out = out[:length]
+            return out
+
+        masks = read_db(args.masks, args.masks_index, args.masks_length,
+                        args.masks_tags, args.masks_published_names)
+        targets = read_db(args.targets, args.targets_index,
+                          args.targets_length, args.targets_tags,
+                          args.targets_published_names)
+    else:
+        masks = _read_neuron_sources(args.masks, args.masks_index,
+                                     args.masks_length, args.masks_tags,
+                                     args.masks_published_names)
+        targets = _read_neuron_sources(args.targets, args.targets_index,
+                                       args.targets_length,
+                                       args.targets_tags,
+                                       args.targets_published_names)
     LOG.info("colorDepthSearch: %d masks x %d targets", len(masks), len(targets))
     params = _cds_params(args)
     engine = CDSearchEngine(params)
     tags = [args.processingTag] if args.processingTag else []
     matches = engine.find_all_matches(masks, targets, tags=tags)
+
+    if args.resultsStorage == "DB":
+        from colormipsearch_tpu.dataio.db_io import DBNeuronMatchesWriter
+
+        # neurons need entity ids for the match ref keys
+        for m in matches:
+            for n in (m.mask_image, m.matched_image):
+                if n.entity_id is None:
+                    daos.neuron_metadata_dao.create_or_update(n)
+            m.mask_image_ref_id = m.mask_image.entity_id
+            m.matched_image_ref_id = m.matched_image.entity_id
+        n_written = DBNeuronMatchesWriter(daos).write(matches)
+        LOG.info("wrote %d matches to the DB store", n_written)
+        return 0
 
     per_mask, per_target = _out_dirs(args)
     if per_mask is not None and args.outputDir:
@@ -198,26 +256,48 @@ def configure_gradient_scores(sp):
 def cmd_gradient_scores(args) -> int:
     from colormipsearch_tpu.engine.gradscore import GradScoreEngine
 
-    files = JSONMatchesReader.list_matches_locations(
-        args.matches, args.matches_index, args.matches_length)
-    LOG.info("gradientScores over %d match files", len(files))
     params = _cds_params(args)
     engine = GradScoreEngine(params, use_device=args.use_device)
-    per_mask, _ = _out_dirs(args)
-    writer = JSONMatchesWriter(
-        per_masks_dir=per_mask, pretty=not args.noPrettyPrint,
-        ordering=lambda m: -(m.normalized_score or 0.0))
+
+    use_db = args.resultsStorage == "DB"
+    if use_db:
+        from colormipsearch_tpu.dataio.db_io import (
+            DBNeuronMatchesReader,
+            DBNeuronMatchesWriter,
+        )
+
+        daos = _daos(args)
+        db_reader = DBNeuronMatchesReader(daos)
+        locations = db_reader.list_matches_locations(args.matches)
+        if args.matches_index > 0:
+            locations = locations[args.matches_index:]
+        if args.matches_length > 0:
+            locations = locations[:args.matches_length]
+        writer = DBNeuronMatchesWriter(daos)
+    else:
+        locations = JSONMatchesReader.list_matches_locations(
+            args.matches, args.matches_index, args.matches_length)
+        per_mask, _ = _out_dirs(args)
+        writer = JSONMatchesWriter(
+            per_masks_dir=per_mask, pretty=not args.noPrettyPrint,
+            ordering=lambda m: -(m.normalized_score or 0.0))
+    LOG.info("gradientScores over %d match %s", len(locations),
+             "mask ids" if use_db else "files")
 
     roi_rgb = None
     if args.queryROIMask:
         roi_rgb = mips_io.load_image(FileData(args.queryROIMask)).as_rgb()
 
-    for f in files:
-        matches = JSONMatchesReader.read_matches(f)
-        if args.pctPositivePixels > 0:
-            thr = args.pctPositivePixels / 100
-            matches = [m for m in matches
-                       if (m.matching_pixels_ratio or 0) >= thr]
+    for loc in locations:
+        if use_db:
+            matches = db_reader.read_matches_by_mask(
+                loc, min_ratio=args.pctPositivePixels / 100)
+        else:
+            matches = JSONMatchesReader.read_matches(loc)
+            if args.pctPositivePixels > 0:
+                thr = args.pctPositivePixels / 100
+                matches = [m for m in matches
+                           if (m.matching_pixels_ratio or 0) >= thr]
         selected = select_best_matches(
             matches, args.nBestLines, args.nBestSamplesPerLine,
             args.nBestMatchesPerSample)
@@ -247,13 +327,28 @@ def configure_normalize_scores(sp):
 def cmd_normalize_scores(args) -> int:
     """Recompute normalizedScore against per-mask maxima
     (cmd/NormalizeGradientScoresCmd.java:92-239)."""
-    files = JSONMatchesReader.list_matches_locations(args.matches)
-    per_mask, _ = _out_dirs(args)
-    writer = JSONMatchesWriter(
-        per_masks_dir=per_mask, pretty=not args.noPrettyPrint,
-        ordering=lambda m: -(m.normalized_score or 0.0))
-    for f in files:
-        matches = JSONMatchesReader.read_matches(f)
+    use_db = args.resultsStorage == "DB"
+    if use_db:
+        from colormipsearch_tpu.dataio.db_io import (
+            DBNeuronMatchesReader,
+            DBNeuronMatchesWriter,
+        )
+
+        daos = _daos(args)
+        db_reader = DBNeuronMatchesReader(daos)
+        locations = db_reader.list_matches_locations(args.matches)
+        writer = DBNeuronMatchesWriter(daos)
+    else:
+        locations = JSONMatchesReader.list_matches_locations(args.matches)
+        per_mask, _ = _out_dirs(args)
+        writer = JSONMatchesWriter(
+            per_masks_dir=per_mask, pretty=not args.noPrettyPrint,
+            ordering=lambda m: -(m.normalized_score or 0.0))
+    for loc in locations:
+        if use_db:
+            matches = db_reader.read_matches_by_mask(loc)
+        else:
+            matches = JSONMatchesReader.read_matches(loc)
         eligible = [m for m in matches
                     if m.gradient_area_gap is not None
                     and m.gradient_area_gap >= 0
@@ -294,6 +389,8 @@ def configure_create_data_input(sp):
     sp.add_argument("--zgap-location", nargs="*", default=[])
     sp.add_argument("--zgap-suffix", default="_20pxRGB")
     sp.add_argument("--output-filename", default=None)
+    sp.add_argument("--mips-storage", dest="mipsStorage",
+                    choices=["FS", "DB"], default="FS")
     _add_output_args(sp)
 
 
@@ -317,6 +414,12 @@ def cmd_create_data_input(args) -> int:
                                      args.zgap_suffix)
             if z is not None:
                 n.set_compute_file(ComputeFileType.ZGapImage, z)
+    if args.mipsStorage == "DB":
+        from colormipsearch_tpu.dataio.db_io import DBCDMIPsWriter
+
+        n = DBCDMIPsWriter(_daos(args)).write(neurons)
+        LOG.info("wrote %d neurons to the DB store", n)
+        return 0
     out_name = args.output_filename or f"{lib}.json"
     out_dir = args.outputDir or "."
     out_path = Path(out_dir) / out_name

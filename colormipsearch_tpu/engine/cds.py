@@ -133,6 +133,8 @@ class CDSearchEngine:
     def __init__(self, params: CDSParams):
         self.params = params
 
+    MASK_BATCH = 8  # query plans scored per device dispatch
+
     def find_all_matches(self, masks: Sequence[Neuron],
                          targets: Sequence[Neuron], *,
                          tags: Iterable[str] = (),
@@ -140,85 +142,110 @@ class CDSearchEngine:
         """Score masks x targets; returns entities for found matches only
         (LocalColorMIPSearchProcessor filters isMatchFound :110)."""
         t0 = time.time()
+        p = self.params
         shards = load_target_shards(targets)
         n_targets = sum(s.count for s in shards)
         LOG.info("packed %d targets into %d shards in %.1fs",
                  n_targets, len(shards), time.time() - t0)
         tags = set(tags)
 
-        matches: list[CDMatch] = []
+        # precompute all query plans, grouped by (shape, padded Q) so a
+        # whole group goes through one batched dispatch
+        groups: dict[tuple, list] = {}
         for mask in masks:
             mask_mip = mips_io.load_compute_file(
                 mask, ComputeFileType.InputColorDepthImage)
             if not mask_mip.has_image:
                 LOG.warning("mask %s has no loadable image", mask.mip_id)
                 continue
-            matches.extend(self._search_one_mask(
-                mask, mask_mip.image.as_rgb(), shards, tags, session_ref_id))
+            mask_rgb = mask_mip.image.as_rgb()
+            h, w = mask_rgb.shape[:2]
+            region = p.excluded_region(h, w)
+            plan = pixel_match.build_query_plan(
+                mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
+                xy_shift=p.xy_shift,
+                pix_color_fluctuation=p.pix_color_fluctuation,
+                excluded_region=region)
+            if plan.query_size == 0:
+                continue
+            key = ((h, w), plan.positions.shape[1])
+            groups.setdefault(key, []).append((mask, mask_rgb, region, plan))
+
+        matches: list[CDMatch] = []
+        for shard in shards:
+            for (shape, _), entries in groups.items():
+                if shape != shard.shape:
+                    # the reference requires target size == query size
+                    continue
+                for i in range(0, len(entries), self.MASK_BATCH):
+                    batch = entries[i:i + self.MASK_BATCH]
+                    matches.extend(self._score_batch(
+                        batch, shard, tags, session_ref_id))
         LOG.info("found %d matches for %d masks x %d targets in %.1fs",
                  len(matches), len(masks), n_targets, time.time() - t0)
         return matches
 
-    def _search_one_mask(self, mask: Neuron, mask_rgb: np.ndarray,
-                         shards: list[TargetShard], tags: set,
-                         session_ref_id) -> list[CDMatch]:
+    def _score_batch(self, batch, shard: TargetShard, tags: set,
+                     session_ref_id) -> list[CDMatch]:
         p = self.params
-        h, w = mask_rgb.shape[:2]
-        region = p.excluded_region(h, w)
-        plan = pixel_match.build_query_plan(
-            mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
-            xy_shift=p.xy_shift, pix_color_fluctuation=p.pix_color_fluctuation,
-            excluded_region=region)
-        if plan.query_size == 0:
-            return []
-        oracle = None  # lazy: only when an ambiguous pair appears
+        plans = [e[3] for e in batch]
+        best, mirrored, pair_flags = pixel_match.score_query_batch(
+            shard.planes,
+            jnp.asarray(np.stack([pl.positions for pl in plans])),
+            jnp.asarray(np.stack([pl.q_cls for pl in plans])),
+            jnp.asarray(np.stack([pl.q_s for pl in plans])),
+            jnp.asarray(np.stack([pl.q_p for pl in plans])),
+            target_threshold=p.data_threshold,
+            ztol_num=plans[0].ztol_num, ztol_den=plans[0].ztol_den,
+            n_straight=plans[0].n_straight)
+        best = np.asarray(best)
+        mirrored = np.asarray(mirrored)
+        pair_flags = np.asarray(pair_flags)
 
         out: list[CDMatch] = []
-        for shard in shards:
-            if shard.shape != (h, w):
-                # the reference requires target size == query size
-                continue
-            scores, flags = pixel_match.score_query_against_planes(
-                shard.planes, jnp.asarray(plan.positions),
-                jnp.asarray(plan.q_cls), jnp.asarray(plan.q_s),
-                jnp.asarray(plan.q_p),
-                target_threshold=p.data_threshold,
-                ztol_num=plan.ztol_num, ztol_den=plan.ztol_den)
-            scores = np.asarray(scores)
-            pair_flags = np.asarray(flags).sum(axis=0)
-            best, mirrored = pixel_match.reduce_variant_scores(scores, plan)
+        for b, (mask, mask_rgb, region, plan) in enumerate(batch):
+            out.extend(self._emit_matches(
+                mask, mask_rgb, region, plan, shard,
+                best[b], mirrored[b], pair_flags[b], tags, session_ref_id))
+        return out
 
-            for t_idx in np.flatnonzero(best > 0):
-                score = int(best[t_idx])
-                is_mirrored = bool(mirrored[t_idx])
-                if pair_flags[t_idx] > 0:
-                    if oracle is None:
-                        oracle = PixelMatchOracle(
-                            mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
-                            target_threshold=p.data_threshold,
-                            z_tolerance=p.pix_color_fluctuation / 100,
-                            xy_shift=p.xy_shift, excluded_region=region)
-                    res = oracle.score(shard.host_rgb[t_idx])
-                    score, is_mirrored = res.matching_pixels, res.mirrored
-                    if score == 0:
-                        continue
-                ratio = score / plan.query_size
-                if not (score > 0 and ratio > p.pct_positive_pixels / 100):
+    def _emit_matches(self, mask, mask_rgb, region, plan, shard,
+                      best, mirrored, pair_flags, tags,
+                      session_ref_id) -> list[CDMatch]:
+        p = self.params
+        oracle = None  # lazy: only when an ambiguous pair appears
+        out: list[CDMatch] = []
+        for t_idx in np.flatnonzero(best > 0):
+            score = int(best[t_idx])
+            is_mirrored = bool(mirrored[t_idx])
+            if pair_flags[t_idx] > 0:
+                if oracle is None:
+                    oracle = PixelMatchOracle(
+                        mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
+                        target_threshold=p.data_threshold,
+                        z_tolerance=p.pix_color_fluctuation / 100,
+                        xy_shift=p.xy_shift, excluded_region=region)
+                res = oracle.score(shard.host_rgb[t_idx])
+                score, is_mirrored = res.matching_pixels, res.mirrored
+                if score == 0:
                     continue
-                target = shard.neurons[t_idx]
-                mask.add_processed_tags(ProcessingType.ColorDepthSearch, tags)
-                target.add_processed_tags(ProcessingType.ColorDepthSearch, tags)
-                out.append(CDMatch(
-                    mask_image=mask,
-                    matched_image=target,
-                    mask_image_ref_id=mask.entity_id,
-                    matched_image_ref_id=target.entity_id,
-                    session_ref_id=session_ref_id,
-                    mirrored=is_mirrored,
-                    matching_pixels=score,
-                    matching_pixels_ratio=ratio,
-                    normalized_score=ratio,
-                    match_found=True,
-                    tags=set(tags),
-                ))
+            ratio = score / plan.query_size
+            if not (score > 0 and ratio > p.pct_positive_pixels / 100):
+                continue
+            target = shard.neurons[t_idx]
+            mask.add_processed_tags(ProcessingType.ColorDepthSearch, tags)
+            target.add_processed_tags(ProcessingType.ColorDepthSearch, tags)
+            out.append(CDMatch(
+                mask_image=mask,
+                matched_image=target,
+                mask_image_ref_id=mask.entity_id,
+                matched_image_ref_id=target.entity_id,
+                session_ref_id=session_ref_id,
+                mirrored=is_mirrored,
+                matching_pixels=score,
+                matching_pixels_ratio=ratio,
+                normalized_score=ratio,
+                match_found=True,
+                tags=set(tags),
+            ))
         return out

@@ -230,6 +230,34 @@ score_query_against_planes = functools.partial(
         score_query_against_planes_raw)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("target_threshold", "ztol_num", "ztol_den",
+                     "n_straight"))
+def score_query_batch(t_planes: jax.Array, pos: jax.Array, q_cls: jax.Array,
+                      q_s: jax.Array, q_p: jax.Array, *,
+                      target_threshold: int, ztol_num: int, ztol_den: int,
+                      n_straight: int):
+    """Score a batch of B query plans in ONE dispatch.
+
+    Args are the batched forms of score_query_against_planes
+    (pos [B, V, Q], q_* [B, Q]).  Returns (best [B, T], mirrored [B, T],
+    pair_flags [B, T]).  Batching amortizes per-dispatch latency — the
+    analogue of the reference scoring many masks against the cached
+    target stack inside one executor task.
+    """
+
+    def one(args):
+        pos_b, cls_b, s_b, p_b = args
+        scores, flags = score_query_against_planes_raw(
+            t_planes, pos_b, cls_b, s_b, p_b,
+            target_threshold=target_threshold,
+            ztol_num=ztol_num, ztol_den=ztol_den)
+        return reduce_variants_device(scores, flags, n_straight)
+
+    return jax.lax.map(one, (pos, q_cls, q_s, q_p))
+
+
 def reduce_variants_device(scores: jax.Array, flags: jax.Array,
                            n_straight: int):
     """Device-side variant reduction: (best, mirrored, pair_flags).

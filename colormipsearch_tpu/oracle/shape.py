@@ -83,12 +83,35 @@ def dilate_rgb(rgb: np.ndarray, radius: float) -> np.ndarray:
 
     Out-of-image pixels do not participate (equivalent to zero padding for
     non-negative values), matching the reference histogram dilation.
+
+    Decomposes the circular footprint into per-row horizontal windows
+    (the same row-extent form as the reference's makeLineRadii,
+    ImageTransformation.java:549-572): one O(n) 1-D max filter per
+    distinct row extent, then a vertical max over shifted rows — O(k·n)
+    instead of the naive O(k^2·n).
     """
     fp = circular_footprint(radius)
-    out = np.empty_like(rgb)
-    for c in range(3):
-        out[..., c] = ndimage.grey_dilation(
-            rgb[..., c], footprint=fp, mode="constant", cval=0)
+    k = fp.shape[0] // 2
+    extents = [int(np.flatnonzero(fp[y])[-1] - k)
+               for y in range(fp.shape[0])]  # dx per dy=-k..k
+    out = np.zeros_like(rgb)
+    # horizontal max per unique window width (C-implemented, O(n))
+    by_extent = {}
+    for e in set(extents):
+        by_extent[e] = ndimage.maximum_filter1d(
+            rgb, 2 * e + 1, axis=1, mode="constant", cval=0)
+    h = rgb.shape[0]
+    for dy, e in zip(range(-k, k + 1), extents):
+        if abs(dy) >= h:  # kernel rows beyond the image contribute nothing
+            continue
+        row_max = by_extent[e]
+        # out[y] collects max over rgb[y+dy] rows: shift down by -dy
+        if dy < 0:
+            out[:h + dy] = np.maximum(out[:h + dy], row_max[-dy:])
+        elif dy > 0:
+            out[dy:] = np.maximum(out[dy:], row_max[:h - dy])
+        else:
+            out = np.maximum(out, row_max)
     return out
 
 

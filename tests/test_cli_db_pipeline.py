@@ -1,0 +1,103 @@
+"""Full pipeline through the DB (sqlite) storage backend."""
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tests.conftest import MASK_TIF, TARGET_TIF
+
+
+def run_cli(*argv):
+    from colormipsearch_tpu.cli.main import main
+    assert main([str(a) for a in argv]) == 0
+
+
+@pytest.fixture()
+def env(tmp_path):
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb
+
+    lib = tmp_path / "lib"
+    grad = tmp_path / "grad"
+    zgap = tmp_path / "zgap"
+    for d in (lib, grad, zgap):
+        d.mkdir()
+    shutil.copy(MASK_TIF, lib / Path(MASK_TIF).name)
+    shutil.copy(TARGET_TIF, lib / Path(TARGET_TIF).name)
+    t_rgb = read_image(TARGET_TIF).as_rgb()
+    rng = np.random.default_rng(1)
+    g = rng.integers(0, 300, t_rgb.shape[:2]).astype(np.uint16)
+    stem = Path(TARGET_TIF).stem
+    Image.fromarray(g, mode="I;16").save(grad / f"{stem}_gradient.png")
+    Image.fromarray(dilate_rgb(mask_rgb(t_rgb, 20), 20)).save(
+        zgap / f"{stem}_20pxRGB.png")
+
+    cfg = tmp_path / "store.properties"
+    cfg.write_text(f"Store.Type=sqlite\nStore.Path={tmp_path}/nb.sqlite\n")
+    return tmp_path, cfg
+
+
+def test_db_pipeline(env):
+    tmp, cfg = env
+    run_cli("createColorDepthSearchDataInput", "-i", tmp / "lib",
+            "-l", "dblib", "--gradients-location", tmp / "grad",
+            "--zgap-location", tmp / "zgap",
+            "--mips-storage", "DB", "--config", cfg)
+
+    # neurons landed in the store
+    from colormipsearch_tpu.persist import Config, DaosProvider
+    from colormipsearch_tpu.persist.requests import NeuronSelector
+
+    daos = DaosProvider(Config(str(cfg)))
+    neurons = daos.neuron_metadata_dao.find_neurons(
+        NeuronSelector(libraries=["dblib"]))
+    assert len(neurons) == 2
+    daos.store.close()
+
+    mask_stem = Path(MASK_TIF).stem
+    run_cli("colorDepthSearch",
+            "-m", "dblib", "-i", "dblib",
+            "--mips-storage", "DB", "--results-storage", "DB",
+            "--config", cfg,
+            "--masks-published-names", mask_stem,
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask")
+
+    daos = DaosProvider(Config(str(cfg)))
+    out = daos.cd_matches_dao.find_matches_by_mask(NeuronSelector())
+    by_target = {m.matched_image.mip_id: m for m in out}
+    cross = by_target[Path(TARGET_TIF).stem]
+    assert cross.matching_pixels == 87
+    self_match = by_target[mask_stem]
+    assert self_match.matching_pixels == self_match.matching_pixels
+    daos.store.close()
+
+    # idempotent re-run upserts instead of duplicating
+    run_cli("colorDepthSearch",
+            "-m", "dblib", "-i", "dblib",
+            "--mips-storage", "DB", "--results-storage", "DB",
+            "--config", cfg,
+            "--masks-published-names", mask_stem,
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask")
+    daos = DaosProvider(Config(str(cfg)))
+    assert len(daos.cd_matches_dao.find_matches_by_mask(
+        NeuronSelector())) == len(out)
+    daos.store.close()
+
+    run_cli("gradientScores", "--matches", "dblib",
+            "--results-storage", "DB", "--config", cfg,
+            "--maskThreshold", 20, "--mirrorMask")
+
+    daos = DaosProvider(Config(str(cfg)))
+    scored = daos.cd_matches_dao.find_matches_by_mask(NeuronSelector())
+    cross = [m for m in scored
+             if m.matched_image.mip_id == Path(TARGET_TIF).stem][0]
+    assert cross.gradient_area_gap is not None
+    assert cross.gradient_area_gap >= 0
+    assert cross.normalized_score is not None
+    daos.store.close()
