@@ -1,0 +1,371 @@
+"""Administrative / migration subcommands.
+
+  * legacyImport (importV2CDMatches) — cmd/ImportV2CDMatchesCmd.java +
+    cmd/v2dataimport/: v2 per-mask result files -> v3 match entities
+  * validateDBData — cmd/ValidateNBDBDataCmd.java (offline checks)
+  * copyToMipsStore — cmd/CopyToMIPsStore.java (local file store layout)
+  * convertPPPResults — cmd_v2/ConvertPPPResultsCmd.java
+  * copyPPPMatches — cmd_v2/CopyPPPMatchesCmd.java
+  * copyMIPSegmentation — cmd_v2/CopyColorDepthMIPVariantsCmd.java
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+from pathlib import Path
+
+from colormipsearch_tpu.dataio import v2_io
+from colormipsearch_tpu.dataio.json_io import (
+    JSONMatchesWriter,
+    read_neurons_json,
+    write_neurons_json,
+)
+from colormipsearch_tpu.io import mips as mips_io
+from colormipsearch_tpu.io import ppp as ppp_io
+from colormipsearch_tpu.model import (
+    CDMatch,
+    ComputeFileType,
+    EMNeuron,
+    FileData,
+    LMNeuron,
+)
+
+LOG = logging.getLogger(__name__)
+
+
+# -------------------------------------------------------------------------
+# legacyImport: v2 results -> v3 entities
+# -------------------------------------------------------------------------
+
+
+def configure_legacy_import(sp):
+    sp.add_argument("--resultsDir", "-rd", nargs="*", default=[])
+    sp.add_argument("--resultsFile", "-rf", nargs="*", default=[])
+    sp.add_argument("--mask-library", default=None)
+    sp.add_argument("--target-library", default=None)
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--tag", default="legacy-import")
+    sp.add_argument("-od", "--outputDir", default=None)
+    sp.add_argument("--results-storage", dest="resultsStorage",
+                    choices=["FS", "DB"], default="FS")
+    sp.add_argument("--config", dest="configFile", default=None)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def _v2_mip_to_neuron(mip: v2_io.MIPMetadata, library_override=None,
+                      alignment_space=None):
+    lib = library_override or mip.libraryName or ""
+    cls = EMNeuron if ("flyem" in lib.lower() or "_em_" in lib.lower()
+                       or "hemibrain" in lib.lower()) else LMNeuron
+    n = cls(mip_id=mip.id, library_name=lib,
+            published_name=mip.publishedName,
+            alignment_space=mip.alignmentSpace or alignment_space)
+    if isinstance(n, LMNeuron):
+        n.slide_code = mip.slideCode
+        n.objective = mip.objective
+        n.gender = mip.gender
+        n.anatomical_area = mip.anatomicalArea
+        n.mounting_protocol = mip.mountingProtocol
+        if mip.channel is not None:
+            try:
+                n.channel = int(mip.channel)
+            except (TypeError, ValueError):
+                pass
+    else:
+        n.neuron_type = mip.neuronType
+        n.neuron_instance = mip.neuronInstance
+    fd = mip.file_data()
+    if fd.file_name:
+        n.set_compute_file(ComputeFileType.InputColorDepthImage, fd)
+    return n
+
+
+def cmd_legacy_import(args) -> int:
+    files = list(args.resultsFile or [])
+    for d in args.resultsDir or []:
+        files.extend(sorted(str(p) for p in Path(d).glob("*.json")))
+    matches: list[CDMatch] = []
+    neurons: dict[str, object] = {}
+
+    def neuron_for(mip: v2_io.MIPMetadata, lib_override):
+        key = (mip.id, mip.imageName)
+        if key not in neurons:
+            neurons[key] = _v2_mip_to_neuron(
+                mip, lib_override, args.alignment_space)
+        return neurons[key]
+
+    for f in files:
+        g = v2_io.read_cds_matches(f)
+        for r in g.results:
+            mask = neuron_for(r.source, args.mask_library)
+            target = neuron_for(r.target, args.target_library)
+            matches.append(CDMatch(
+                mask_image=mask, matched_image=target,
+                mirrored=r.mirrored,
+                matching_pixels=r.matchingPixels,
+                matching_pixels_ratio=r.matchingRatio,
+                gradient_area_gap=r.gradientAreaGap,
+                high_expression_area=r.highExpressionArea,
+                normalized_score=r.normalizedGapScore
+                if r.normalizedGapScore is not None
+                else float(r.matchingPixels),
+                tags={args.tag} if args.tag else set(),
+            ))
+    LOG.info("imported %d v2 matches from %d files", len(matches),
+             len(files))
+
+    if args.resultsStorage == "DB":
+        from colormipsearch_tpu.persist import Config, DaosProvider
+
+        daos = DaosProvider(Config(args.configFile))
+        for n in neurons.values():
+            daos.neuron_metadata_dao.create_or_update(n)
+        for m in matches:
+            m.mask_image_ref_id = m.mask_image.entity_id
+            m.matched_image_ref_id = m.matched_image.entity_id
+        daos.cd_matches_dao.create_or_update_all(matches)
+        return 0
+    out = Path(args.outputDir or ".")
+    JSONMatchesWriter(per_masks_dir=out,
+                      pretty=not args.noPrettyPrint).write(matches)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# validateDBData
+# -------------------------------------------------------------------------
+
+
+def configure_validate(sp):
+    sp.add_argument("-i", "--input", nargs="*", default=[],
+                    help="neuron JSON files to validate (FS mode)")
+    sp.add_argument("--config", dest="configFile", default=None)
+    sp.add_argument("--results-storage", dest="resultsStorage",
+                    choices=["FS", "DB"], default="FS")
+    sp.add_argument("--check-files", action="store_true", default=True)
+    sp.add_argument("--apply-error-tags", action="store_true")
+    sp.add_argument("--error-tag", default="validationError")
+
+
+def cmd_validate(args) -> int:
+    """Consistency checks over neuron metadata: missing/unreadable compute
+    files, duplicate mip ids (ValidateNBDBDataCmd, offline subset)."""
+    if args.resultsStorage == "DB":
+        from colormipsearch_tpu.persist import Config, DaosProvider
+        from colormipsearch_tpu.persist.requests import NeuronSelector
+
+        daos = DaosProvider(Config(args.configFile))
+        neurons = daos.neuron_metadata_dao.find_neurons(NeuronSelector())
+        sources = {"DB": neurons}
+    else:
+        sources = {src: read_neurons_json(src) for src in args.input}
+
+    total_errors = 0
+    for src, neurons in sources.items():
+        seen_mips: dict = {}
+        n_missing = 0
+        for n in neurons:
+            errors = []
+            key = (n.mip_id, n.compute_file(
+                ComputeFileType.InputColorDepthImage))
+            if key in seen_mips:
+                errors.append(f"duplicate mipId {n.mip_id}")
+            seen_mips[key] = n
+            if args.check_files:
+                for ftype, fd in n.compute_files.items():
+                    if not mips_io.exists(fd):
+                        errors.append(
+                            f"missing {ftype.value}: {fd.name}")
+                        n_missing += 1
+            if errors:
+                total_errors += 1
+                if args.apply_error_tags:
+                    n.validation_errors = set(errors)
+                    n.tags.add(args.error_tag)
+                LOG.warning("%s %s: %s", src, n.mip_id, "; ".join(errors))
+        LOG.info("%s: %d neurons, %d with errors (%d missing files)",
+                 src, len(neurons), total_errors, n_missing)
+        if args.apply_error_tags and args.resultsStorage != "DB":
+            write_neurons_json(neurons, src)
+    print(json.dumps({"neuronsChecked": sum(len(v) for v in
+                                            sources.values()),
+                      "neuronsWithErrors": total_errors}))
+    return 0
+
+
+# -------------------------------------------------------------------------
+# copyToMipsStore
+# -------------------------------------------------------------------------
+
+
+def configure_copy_to_store(sp):
+    sp.add_argument("-i", "--input", nargs="+", required=True,
+                    help="neuron JSON files")
+    sp.add_argument("--store-dir", required=True)
+    sp.add_argument("--file-types", nargs="*",
+                    default=["InputColorDepthImage", "GradientImage",
+                             "ZGapImage"])
+    sp.add_argument("--update-metadata", action="store_true", default=True)
+    sp.add_argument("--dry-run", action="store_true")
+
+
+def cmd_copy_to_store(args) -> int:
+    """Copy compute files into a store layout
+    `<store>/<alignmentSpace>/<library>/<variant>/...` and update the
+    neurons' computeFiles to the new locations (CopyToMIPsStore)."""
+    store = Path(args.store_dir)
+    ftypes = [ComputeFileType.from_name(t) for t in args.file_types]
+    subdir = {ComputeFileType.InputColorDepthImage: "cdm",
+              ComputeFileType.SourceColorDepthImage: "",
+              ComputeFileType.GradientImage: "grad",
+              ComputeFileType.ZGapImage: "zgap"}
+    n_copied = 0
+    for src in args.input:
+        neurons = read_neurons_json(src)
+        for n in neurons:
+            base = store / (n.alignment_space or "UNKNOWN") / \
+                (n.library_name or "UNKNOWN")
+            for ftype in ftypes:
+                fd = n.compute_file(ftype)
+                if fd is None:
+                    continue
+                dst_dir = base / subdir.get(ftype, ftype.value.lower())
+                dst = dst_dir / os.path.basename(fd.name)
+                if args.dry_run:
+                    LOG.info("would copy %s -> %s", fd.name, dst)
+                    continue
+                dst_dir.mkdir(parents=True, exist_ok=True)
+                try:
+                    data = mips_io.read_bytes(fd)
+                except (OSError, FileNotFoundError):
+                    LOG.warning("cannot read %s", fd.name)
+                    continue
+                dst.write_bytes(data)
+                n.set_compute_file(ftype, FileData(str(dst)))
+                n_copied += 1
+        if args.update_metadata and not args.dry_run:
+            write_neurons_json(neurons, src)
+    LOG.info("copied %d files into %s", n_copied, store)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# convertPPPResults / copyPPPMatches (v2)
+# -------------------------------------------------------------------------
+
+
+def configure_convert_ppp(sp):
+    sp.add_argument("--results-dir", "-rd", nargs="+", required=True)
+    sp.add_argument("--em-library", default=None)
+    sp.add_argument("--lm-library", default=None)
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
+                    action="store_true")
+
+
+def cmd_convert_ppp(args) -> int:
+    """Raw PPP results -> per-EM v2-style pppresults JSON
+    (ConvertPPPResultsCmd)."""
+    files = ppp_io.find_ppp_result_files(args.results_dir)
+    out_dir = Path(args.outputDir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for f in files:
+        matches = ppp_io.read_raw_ppp_matches(f, include_skeletons=True)
+        if not matches:
+            continue
+        em_name = matches[0].source_em_name
+        em = ppp_io.em_neuron_from_ppp_name(em_name,
+                                            library=args.em_library)
+        results = []
+        for m in sorted(matches,
+                        key=lambda m: m.rank if m.rank is not None else 1e9):
+            lm = ppp_io.lm_neuron_from_ppp_name(m.source_lm_name,
+                                                library=args.lm_library)
+            results.append({
+                "sourceEmName": m.source_em_name,
+                "sourceLmName": m.source_lm_name,
+                "neuronName": em.published_name,
+                "neuronType": em.neuron_type,
+                "lmPublishedName": lm.published_name,
+                "lmSlideCode": lm.slide_code,
+                "lmObjective": lm.objective,
+                "coverageScore": m.coverage_score,
+                "aggregateCoverage": m.aggregate_coverage,
+                "mirrored": m.mirrored,
+                "rank": m.rank,
+                "skeletonMatches": [s.to_json()
+                                    for s in m.skeleton_matches],
+            })
+        doc = {"maskPublishedName": em.published_name, "results": results}
+        with open(out_dir / f"{em.published_name}.json", "w") as fh:
+            json.dump(doc, fh, indent=None if args.noPrettyPrint else 2)
+        n += 1
+    LOG.info("converted %d PPP result files", n)
+    return 0
+
+
+def configure_copy_ppp(sp):
+    sp.add_argument("--inputDir", "-i", required=True)
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--best-matches-only", action="store_true")
+    sp.add_argument("--top", type=int, default=-1)
+
+
+def cmd_copy_ppp(args) -> int:
+    """Copy/trim PPP match files (CopyPPPMatchesCmd)."""
+    out = Path(args.outputDir)
+    out.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for f in sorted(Path(args.inputDir).glob("*.json")):
+        with open(f) as fh:
+            doc = json.load(fh)
+        if args.top > 0 and isinstance(doc.get("results"), list):
+            doc["results"] = doc["results"][:args.top]
+        with open(out / f.name, "w") as fh:
+            json.dump(doc, fh, indent=2)
+        n += 1
+    LOG.info("copied %d PPP files", n)
+    return 0
+
+
+# -------------------------------------------------------------------------
+# copyMIPSegmentation (variant copy)
+# -------------------------------------------------------------------------
+
+
+def configure_copy_segmentation(sp):
+    sp.add_argument("-i", "--input", required=True,
+                    help="v2 MIP list JSON")
+    sp.add_argument("--source-dirs", nargs="+", required=True,
+                    help="where the variant images live")
+    sp.add_argument("--variant-suffix", default="")
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--dry-run", action="store_true")
+
+
+def cmd_copy_segmentation(args) -> int:
+    """Copy variant/segmentation images matching the MIP list into one
+    directory (CopyColorDepthMIPVariantsCmd)."""
+    mips = v2_io.read_mips_json(args.input)
+    out = Path(args.outputDir)
+    n = 0
+    for m in mips:
+        fd = m.file_data()
+        v = mips_io.find_variant(fd, args.source_dirs, args.variant_suffix)
+        if v is None:
+            continue
+        if args.dry_run:
+            LOG.info("would copy %s", v.name)
+            n += 1
+            continue
+        out.mkdir(parents=True, exist_ok=True)
+        data = mips_io.read_bytes(v)
+        (out / os.path.basename(v.name)).write_bytes(data)
+        n += 1
+    LOG.info("copied %d variant images to %s", n, out)
+    return 0

@@ -11,7 +11,12 @@ import argparse
 import logging
 import sys
 
-from colormipsearch_tpu.cli import commands, commands_export, commands_v2
+from colormipsearch_tpu.cli import (
+    commands,
+    commands_admin,
+    commands_export,
+    commands_v2,
+)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -53,6 +58,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="import raw PatchPerPix cov_scores results")
     add("tag", commands_export.cmd_tag, commands_export.configure_tag,
         help="bulk-tag neuron metadata")
+    add("legacyImport", commands_admin.cmd_legacy_import,
+        commands_admin.configure_legacy_import,
+        aliases=["importV2CDMatches"],
+        help="import v2 result files as v3 match entities")
+    add("validateDBData", commands_admin.cmd_validate,
+        commands_admin.configure_validate,
+        help="consistency checks over neuron metadata")
+    add("copyToMipsStore", commands_admin.cmd_copy_to_store,
+        commands_admin.configure_copy_to_store,
+        help="copy MIP variants into a file-store layout")
 
     # ---- v2 commands (cmd_v2/Main.java:26-52) ----
     add("searchFromJSON", commands.cmd_search_from_json,
@@ -83,6 +98,15 @@ def build_parser() -> argparse.ArgumentParser:
     add("mergeMips", commands_v2.cmd_merge_mips,
         commands_v2.configure_merge_mips,
         help="merge MIP list files, deduping")
+    add("convertPPPResults", commands_admin.cmd_convert_ppp,
+        commands_admin.configure_convert_ppp,
+        help="raw PPP results to per-EM v2 JSON")
+    add("copyPPPMatches", commands_admin.cmd_copy_ppp,
+        commands_admin.configure_copy_ppp,
+        help="copy/trim PPP match files")
+    add("copyMIPSegmentation", commands_admin.cmd_copy_segmentation,
+        commands_admin.configure_copy_segmentation,
+        help="copy MIP variant/segmentation images")
     return p
 
 
@@ -112,6 +136,10 @@ def main(argv=None) -> int:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(levelname).1s %(name)s %(message)s")
     _enable_compilation_cache()
+    if args.cacheSize > 0:
+        from colormipsearch_tpu.io.cache import initialize_cache
+
+        initialize_cache(args.cacheSize)
     return args.func(args) or 0
 
 

@@ -79,16 +79,18 @@ class GradScoreEngine:
         from colormipsearch_tpu.oracle.shape import (
             clear_region, dilate_rgb, mask_rgb as mask_fn)
 
+        from colormipsearch_tpu.io import cache as mips_cache
+
         loaded = []
         for m in group:
             target = m.matched_image
-            t_mip = mips_io.load_compute_file(
+            t_mip = mips_cache.load_mip(
                 target, ComputeFileType.InputColorDepthImage)
             if not t_mip.has_image or \
                     t_mip.image.pixels.shape[:2] != mask_shape:
                 m.gradient_area_gap = -1
                 continue
-            g_mip = mips_io.load_compute_file(
+            g_mip = mips_cache.load_mip(
                 target, ComputeFileType.GradientImage)
             if not g_mip.has_image:
                 # shape scoring requires the gradient variant
@@ -102,7 +104,7 @@ class GradScoreEngine:
             if grad.shape != mask_shape:
                 m.gradient_area_gap = -1
                 continue
-            z_mip = mips_io.load_compute_file(
+            z_mip = mips_cache.load_mip(
                 target, ComputeFileType.ZGapImage)
             t_rgb = t_mip.image.as_rgb()
             if z_mip.has_image and \
