@@ -103,17 +103,69 @@ def load_target_shards(targets: Sequence[Neuron], *,
                        ComputeFileType.InputColorDepthImage,
                        tile_size: int = 4096) -> list[TargetShard]:
     """Decode target CDMs and pack them into device planes, grouped by
-    image shape and tiled to bound single-allocation size."""
-    by_shape: dict[tuple[int, int], tuple[list[Neuron], list[np.ndarray]]] = {}
+    image shape and tiled to bound single-allocation size.
+
+    Same-shape RGB TIFF batches go through the native multithreaded
+    decoder (io/native_decoder.py); everything else decodes via PIL.
+    """
+    try:
+        from colormipsearch_tpu.io import native_decoder
+        native_ok = native_decoder.available()
+    except ImportError:
+        native_ok = False
+
+    by_shape: dict[tuple[int, int], tuple[list[Neuron], list]] = {}
+    pending: dict[tuple[int, int], tuple[list[Neuron], list[bytes]]] = {}
     skipped = 0
     for n in targets:
-        mip = mips_io.load_compute_file(n, file_type)
+        fd = n.compute_file(file_type)
+        if fd is None:
+            skipped += 1
+            continue
+        blob = None
+        if native_ok:
+            try:
+                blob = mips_io.read_bytes(fd)
+            except (OSError, FileNotFoundError):
+                skipped += 1
+                continue
+            info = native_decoder.tiff_info(blob)
+            if info is not None and info[2] == 3 and info[3] == 8:
+                w, h = info[0], info[1]
+                pending.setdefault((h, w), ([], []))[0].append(n)
+                pending[(h, w)][1].append(blob)
+                continue
+        mip = mips_io.load_compute_file(n, file_type) if blob is None \
+            else mips_io.NeuronMIP(n, fd, _decode_or_none(blob))
         if not mip.has_image:
             skipped += 1
             continue
         rgb = mip.image.as_rgb()
         by_shape.setdefault(rgb.shape[:2], ([], []))[0].append(n)
         by_shape[rgb.shape[:2]][1].append(rgb)
+
+    # batch-decode the native-eligible groups
+    for (h, w), (neurons, blobs) in pending.items():
+        from colormipsearch_tpu.io import native_decoder
+        res = native_decoder.decode_tiff_batch(
+            blobs, width=w, height=h, channels=3)
+        if res is None:
+            for n, b in zip(neurons, blobs):
+                img = _decode_or_none(b)
+                if img is None:
+                    skipped += 1
+                    continue
+                by_shape.setdefault((h, w), ([], []))[0].append(n)
+                by_shape[(h, w)][1].append(img.as_rgb())
+            continue
+        arena, ok = res
+        dst = by_shape.setdefault((h, w), ([], []))
+        for i, n in enumerate(neurons):
+            if not ok[i]:
+                skipped += 1
+                continue
+            dst[0].append(n)
+            dst[1].append(arena[i])
     if skipped:
         LOG.warning("skipped %d targets with missing/corrupt images", skipped)
 
@@ -125,6 +177,14 @@ def load_target_shards(targets: Sequence[Neuron], *,
             shards.append(TargetShard(neurons[i:i + tile_size], shape,
                                       planes, stack))
     return shards
+
+
+def _decode_or_none(blob: bytes):
+    from colormipsearch_tpu.io.image import read_image
+    try:
+        return read_image(blob)
+    except (OSError, ValueError):
+        return None
 
 
 class CDSearchEngine:

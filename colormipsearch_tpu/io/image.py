@@ -76,12 +76,48 @@ def _from_pil(img: Image.Image) -> ImageData:
     return ImageData(ImageType.RGB, np.asarray(img.convert("RGB"), dtype=np.uint8))
 
 
+def _try_native_tiff(data: bytes) -> ImageData | None:
+    """Decode a TIFF with the native C++ decoder when possible."""
+    if len(data) < 4 or data[:2] not in (b"II", b"MM"):
+        return None
+    try:
+        from colormipsearch_tpu.io import native_decoder
+    except ImportError:
+        return None
+    arr = native_decoder.decode_tiff(data)
+    if arr is None:
+        return None
+    if arr.ndim == 3 and arr.shape[-1] == 3:
+        return ImageData(ImageType.RGB, np.ascontiguousarray(arr))
+    if arr.ndim == 3 and arr.shape[-1] == 1:
+        arr = arr[..., 0]
+    if arr.ndim == 2:
+        if arr.dtype == np.uint16:
+            return ImageData(ImageType.GRAY16, arr)
+        return ImageData(ImageType.GRAY8, arr)
+    return None
+
+
 def read_image(path_or_bytes) -> ImageData:
-    """Decode an image from a path, byte string, or file-like object."""
+    """Decode an image from a path, byte string, or file-like object.
+
+    TIFFs go through the native C++ decoder (native/cdm_decoder.cpp)
+    when it is available; everything else (and any native failure)
+    falls back to PIL.
+    """
     if isinstance(path_or_bytes, (bytes, bytearray)):
-        img = Image.open(_io.BytesIO(path_or_bytes))
-    elif isinstance(path_or_bytes, (str, os.PathLike)):
-        img = Image.open(path_or_bytes)
+        data = bytes(path_or_bytes)
+    elif isinstance(path_or_bytes, (str, os.PathLike)) and \
+            str(path_or_bytes).lower().endswith((".tif", ".tiff")):
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    else:
+        data = None
+    if data is not None:
+        native = _try_native_tiff(data)
+        if native is not None:
+            return native
+        img = Image.open(_io.BytesIO(data))
     else:
         img = Image.open(path_or_bytes)
     with img:

@@ -1,0 +1,176 @@
+"""ctypes binding for the native TIFF decoder (native/cdm_decoder.cpp).
+
+The library is built on demand with g++ into the user cache dir; when the
+toolchain or build is unavailable every entry point reports unavailable
+and callers fall back to the PIL path (io/image.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+LOG = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "cdm_decoder.cpp")
+
+_lock = threading.Lock()
+_lib = None
+_lib_failed = False
+
+
+def _build_lib() -> str | None:
+    cache = os.environ.get(
+        "COLORMIPSEARCH_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "colormipsearch_tpu"))
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, "libcdmdecoder.so")
+    if os.path.exists(so) and os.path.getmtime(so) >= \
+            os.path.getmtime(_SRC):
+        return so
+    tmp = so + f".tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
+           "-o", tmp, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
+        return so
+    except (subprocess.SubprocessError, OSError) as e:
+        LOG.warning("native decoder build failed: %s", e)
+        return None
+
+
+def get_lib():
+    """The loaded library, or None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        repo_so = os.path.join(os.path.dirname(_SRC), "libcdmdecoder.so")
+        so = repo_so if os.path.exists(repo_so) else _build_lib()
+        if so is None:
+            _lib_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:
+            LOG.warning("cannot load native decoder: %s", e)
+            _lib_failed = True
+            return None
+        lib.cdm_tiff_info.restype = ctypes.c_int
+        lib.cdm_tiff_info.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_uint32)]
+        lib.cdm_tiff_decode.restype = ctypes.c_int
+        lib.cdm_tiff_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_uint32, ctypes.c_uint32]
+        lib.cdm_packbits_uncompress.restype = ctypes.c_longlong
+        lib.cdm_packbits_uncompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_longlong]
+        lib.cdm_tiff_decode_batch.restype = None
+        lib.cdm_tiff_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def tiff_info(data: bytes):
+    """(width, height, channels, bits) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_uint32()
+    h = ctypes.c_uint32()
+    c = ctypes.c_uint32()
+    b = ctypes.c_uint32()
+    if lib.cdm_tiff_info(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                         ctypes.byref(c), ctypes.byref(b)) != 0:
+        return None
+    return w.value, h.value, c.value, b.value
+
+
+def decode_tiff(data: bytes, y0: int = 0, y1: int = 0):
+    """Decode a TIFF held in memory -> numpy array, or None on failure.
+
+    y0/y1 select a row range (y1=0 means the full height) — the native
+    twin of the reference's partial PackBits range read
+    (ImageArrayUtils.readImageArrayRange:130).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    info = tiff_info(data)
+    if info is None:
+        return None
+    w, h, c, bits = info
+    if y1 == 0:
+        y1 = h
+    rows = y1 - y0
+    dtype = np.uint16 if bits == 16 else np.uint8
+    out = np.empty(rows * w * c, dtype)
+    rc = lib.cdm_tiff_decode(data, len(data),
+                             out.ctypes.data_as(ctypes.c_void_p),
+                             out.nbytes, y0, y1)
+    if rc != 0:
+        return None
+    if c == 1:
+        return out.reshape(rows, w)
+    return out.reshape(rows, w, c)
+
+
+def packbits_uncompress(data: bytes, out: np.ndarray, offset=0, start=0,
+                        end=0) -> int:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    return int(lib.cdm_packbits_uncompress(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+        offset, start, end))
+
+
+def decode_tiff_batch(blobs: list[bytes], *, width: int, height: int,
+                      channels: int, n_threads: int = 0):
+    """Decode equal-shaped TIFF blobs into one uint8 arena in parallel.
+
+    Returns (arena [N, H, W, C] uint8, ok mask [N] bool); per-image
+    failures are flagged, not raised.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(blobs)
+    stride = height * width * channels
+    arena = np.empty((n, height, width, channels), np.uint8)
+    bufs = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    results = (ctypes.c_int * n)()
+    if n_threads <= 0:
+        n_threads = min(32, os.cpu_count() or 1)
+    lib.cdm_tiff_decode_batch(
+        bufs, lens, n, arena.ctypes.data_as(ctypes.c_void_p), stride,
+        0, 0, n_threads, results)
+    ok = np.array([results[i] == 0 for i in range(n)], bool)
+    return arena, ok

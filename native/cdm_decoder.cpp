@@ -1,0 +1,369 @@
+// Native TIFF decoder for color depth MIPs.
+//
+// C++ replacement of the reference's decode layer
+// (imageprocessing/LocalTiffDecoder.java — an ImageJ TiffDecoder fork
+// exposing IFD strip metadata — and ImageArrayUtils.packBitsUncompress
+// :225-254 with its partial-range semantics): baseline TIFF parsing
+// (both endiannesses), uncompressed / PackBits / LZW strips, gray8,
+// gray16 and RGB8 chunky images, full-image and row-range decodes, and a
+// multithreaded batch API that decodes many in-memory files into one
+// preallocated arena for direct upload to the device.
+//
+// Exposed as a plain C ABI for ctypes.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Reader {
+    const uint8_t* p;
+    size_t n;
+    bool little;
+
+    uint16_t u16(size_t off) const {
+        if (off + 2 > n) return 0;
+        return little ? (uint16_t)(p[off] | p[off + 1] << 8)
+                      : (uint16_t)(p[off] << 8 | p[off + 1]);
+    }
+    uint32_t u32(size_t off) const {
+        if (off + 4 > n) return 0;
+        return little
+            ? (uint32_t)p[off] | (uint32_t)p[off + 1] << 8 |
+              (uint32_t)p[off + 2] << 16 | (uint32_t)p[off + 3] << 24
+            : (uint32_t)p[off] << 24 | (uint32_t)p[off + 1] << 16 |
+              (uint32_t)p[off + 2] << 8 | (uint32_t)p[off + 3];
+    }
+};
+
+struct TiffInfo {
+    uint32_t width = 0, height = 0;
+    uint16_t bits = 8, samples = 1, compression = 1, photometric = 1;
+    uint16_t predictor = 1, planar = 1;
+    uint32_t rows_per_strip = 0;
+    std::vector<uint64_t> strip_offsets, strip_lengths;
+    bool ok = false;
+};
+
+uint64_t read_entry_value(const Reader& r, size_t entry, uint16_t type,
+                          uint32_t index) {
+    // inline or offset array value
+    uint32_t count = r.u32(entry + 4);
+    size_t value_off = entry + 8;
+    size_t elem = (type == 3) ? 2 : 4;  // SHORT or LONG
+    size_t total = (size_t)count * elem;
+    size_t base = (total <= 4) ? value_off : r.u32(value_off);
+    size_t off = base + (size_t)index * elem;
+    return (type == 3) ? r.u16(off) : r.u32(off);
+}
+
+TiffInfo parse_tiff(const Reader& r) {
+    TiffInfo t;
+    if (r.n < 8) return t;
+    size_t ifd = r.u32(4);
+    if (ifd == 0 || ifd + 2 > r.n) return t;
+    uint16_t nent = r.u16(ifd);
+    for (uint16_t i = 0; i < nent; i++) {
+        size_t e = ifd + 2 + (size_t)i * 12;
+        uint16_t tag = r.u16(e), type = r.u16(e + 2);
+        uint32_t count = r.u32(e + 4);
+        switch (tag) {
+            case 256: t.width = (uint32_t)read_entry_value(r, e, type, 0); break;
+            case 257: t.height = (uint32_t)read_entry_value(r, e, type, 0); break;
+            case 258: t.bits = (uint16_t)read_entry_value(r, e, type, 0); break;
+            case 259: t.compression = (uint16_t)read_entry_value(r, e, type, 0); break;
+            case 262: t.photometric = (uint16_t)read_entry_value(r, e, type, 0); break;
+            case 273:
+                t.strip_offsets.resize(count);
+                for (uint32_t k = 0; k < count; k++)
+                    t.strip_offsets[k] = read_entry_value(r, e, type, k);
+                break;
+            case 277: t.samples = (uint16_t)read_entry_value(r, e, type, 0); break;
+            case 278: t.rows_per_strip = (uint32_t)read_entry_value(r, e, type, 0); break;
+            case 279:
+                t.strip_lengths.resize(count);
+                for (uint32_t k = 0; k < count; k++)
+                    t.strip_lengths[k] = read_entry_value(r, e, type, k);
+                break;
+            case 284: t.planar = (uint16_t)read_entry_value(r, e, type, 0); break;
+            case 317: t.predictor = (uint16_t)read_entry_value(r, e, type, 0); break;
+            default: break;
+        }
+    }
+    if (t.rows_per_strip == 0) t.rows_per_strip = t.height;
+    t.ok = t.width > 0 && t.height > 0 && !t.strip_offsets.empty() &&
+           t.planar == 1 &&
+           (t.compression == 1 || t.compression == 5 ||
+            t.compression == 32773) &&
+           (t.bits == 8 || t.bits == 16);
+    return t;
+}
+
+// PackBits with the reference's partial-range semantics
+// (ImageArrayUtils.packBitsUncompress:225-254): decode into output from
+// `offset`, only materializing bytes in [start, end); returns new offset.
+int64_t packbits_uncompress(const uint8_t* in, size_t in_len, uint8_t* out,
+                            size_t out_len, int64_t offset, int64_t start,
+                            int64_t end) {
+    if (end == 0) end = INT64_MAX;
+    size_t index = 0;
+    int64_t pos = offset;
+    while (pos < end && pos < (int64_t)out_len && index < in_len) {
+        int8_t nv = (int8_t)in[index++];
+        if (nv >= 0) {
+            int len = nv + 1;
+            if (index + len > in_len) len = (int)(in_len - index);
+            for (int i = 0; i < len; i++) {
+                if (pos >= start && pos < (int64_t)out_len)
+                    out[pos] = in[index];
+                index++;
+                pos++;
+            }
+        } else if (nv != -128) {
+            int len = -nv + 1;
+            if (index >= in_len) break;
+            uint8_t b = in[index++];
+            for (int i = 0; i < len; i++) {
+                if (pos >= start && pos < (int64_t)out_len) out[pos] = b;
+                pos++;
+            }
+        }
+    }
+    return pos;
+}
+
+// Classic TIFF LZW (MSB-first codes, ClearCode 256, EOI 257).
+bool lzw_uncompress(const uint8_t* in, size_t in_len, uint8_t* out,
+                    size_t out_cap, size_t* out_len) {
+    struct Entry { int prev; uint8_t byte; uint16_t len; };
+    std::vector<Entry> table(4096);
+    auto reset = [&](int& next, int& width) {
+        next = 258;
+        width = 9;
+    };
+    for (int i = 0; i < 256; i++) table[i] = {-1, (uint8_t)i, 1};
+    int next_code, code_width;
+    reset(next_code, code_width);
+    size_t bitpos = 0;
+    size_t pos = 0;
+    int prev = -1;
+    std::vector<uint8_t> scratch(4096);
+
+    auto emit = [&](int code) -> bool {
+        int len = table[code].len;
+        if (pos + len > out_cap) return false;
+        int c = code;
+        for (int i = len - 1; i >= 0; i--) {
+            scratch[i] = table[c].byte;
+            c = table[c].prev;
+        }
+        std::memcpy(out + pos, scratch.data(), len);
+        pos += len;
+        return true;
+    };
+
+    while (bitpos + code_width <= in_len * 8) {
+        uint32_t code = 0;
+        for (int b = 0; b < code_width; b++) {
+            size_t byte = (bitpos + b) >> 3;
+            int bit = 7 - ((bitpos + b) & 7);
+            code = (code << 1) | ((in[byte] >> bit) & 1);
+        }
+        bitpos += code_width;
+        if (code == 256) {  // clear
+            reset(next_code, code_width);
+            prev = -1;
+            continue;
+        }
+        if (code == 257) break;  // EOI
+        if (prev < 0) {
+            if (code > 255) return false;
+            if (!emit((int)code)) return false;
+            prev = (int)code;
+            continue;
+        }
+        if ((int)code < next_code) {
+            if (!emit((int)code)) return false;
+            if (next_code < 4096) {
+                int c = (int)code;
+                while (table[c].prev >= 0) c = table[c].prev;
+                table[next_code] = {prev, table[c].byte,
+                                    (uint16_t)(table[prev].len + 1)};
+                next_code++;
+            }
+        } else if ((int)code == next_code) {
+            int c = prev;
+            while (table[c].prev >= 0) c = table[c].prev;
+            table[next_code] = {prev, table[c].byte,
+                                (uint16_t)(table[prev].len + 1)};
+            next_code++;
+            if (!emit((int)code)) return false;
+        } else {
+            return false;
+        }
+        prev = (int)code;
+        // TIFF switches width one code EARLY (when next_code+1 hits limit)
+        if (next_code + 1 >= (1 << code_width) && code_width < 12)
+            code_width++;
+    }
+    *out_len = pos;
+    return true;
+}
+
+void apply_predictor(uint8_t* row, uint32_t width, int samples, int bits) {
+    if (bits == 8) {
+        for (uint32_t x = 1; x < width; x++)
+            for (int s = 0; s < samples; s++)
+                row[x * samples + s] =
+                    (uint8_t)(row[x * samples + s] +
+                              row[(x - 1) * samples + s]);
+    } else {
+        uint16_t* r16 = (uint16_t*)row;
+        for (uint32_t x = 1; x < width; x++)
+            for (int s = 0; s < samples; s++)
+                r16[x * samples + s] =
+                    (uint16_t)(r16[x * samples + s] +
+                               r16[(x - 1) * samples + s]);
+    }
+}
+
+// Decode rows [y0, y1) of the image into out (row-major, tight).
+int decode_rows(const Reader& r, const TiffInfo& t, uint8_t* out,
+                size_t out_cap, uint32_t y0, uint32_t y1) {
+    size_t bpp = (size_t)t.samples * (t.bits / 8);
+    size_t row_bytes = (size_t)t.width * bpp;
+    if (out_cap < row_bytes * (y1 - y0)) return -2;
+    std::vector<uint8_t> strip_buf;
+    for (size_t si = 0; si < t.strip_offsets.size(); si++) {
+        uint32_t sy0 = (uint32_t)(si * t.rows_per_strip);
+        uint32_t sy1 = std::min<uint32_t>(sy0 + t.rows_per_strip, t.height);
+        if (sy1 <= y0 || sy0 >= y1) continue;
+        size_t soff = t.strip_offsets[si];
+        size_t slen = si < t.strip_lengths.size() ? t.strip_lengths[si]
+                                                  : r.n - soff;
+        if (soff + slen > r.n) slen = r.n > soff ? r.n - soff : 0;
+        size_t want = row_bytes * (sy1 - sy0);
+        strip_buf.resize(want);
+        const uint8_t* data;
+        if (t.compression == 1) {
+            if (slen < want) return -3;
+            data = r.p + soff;
+        } else if (t.compression == 32773) {
+            packbits_uncompress(r.p + soff, slen, strip_buf.data(), want,
+                                0, 0, (int64_t)want);
+            data = strip_buf.data();
+        } else {  // LZW
+            size_t got = 0;
+            if (!lzw_uncompress(r.p + soff, slen, strip_buf.data(), want,
+                                &got))
+                return -4;
+            data = strip_buf.data();
+        }
+        if (t.compression != 1 && t.predictor == 2) {
+            for (uint32_t y = 0; y < sy1 - sy0; y++)
+                apply_predictor(strip_buf.data() + (size_t)y * row_bytes,
+                                t.width, t.samples, t.bits);
+        }
+        uint32_t cy0 = std::max(sy0, y0), cy1 = std::min(sy1, y1);
+        std::memcpy(out + (size_t)(cy0 - y0) * row_bytes,
+                    data + (size_t)(cy0 - sy0) * row_bytes,
+                    (size_t)(cy1 - cy0) * row_bytes);
+    }
+    // gray16 byte order + inverted-gray handling
+    if (t.bits == 16 && !r.little) {
+        uint8_t* p = out;
+        size_t nvals = row_bytes * (y1 - y0) / 2;
+        for (size_t i = 0; i < nvals; i++) {
+            std::swap(p[2 * i], p[2 * i + 1]);
+        }
+    }
+    if (t.photometric == 0 && t.bits == 8) {  // WhiteIsZero
+        size_t nb = row_bytes * (y1 - y0);
+        for (size_t i = 0; i < nb; i++) out[i] = (uint8_t)(255 - out[i]);
+    }
+    return 0;
+}
+
+bool is_tiff(const uint8_t* p, size_t n, bool* little) {
+    if (n < 8) return false;
+    if (p[0] == 'I' && p[1] == 'I' && p[2] == 42 && p[3] == 0) {
+        *little = true;
+        return true;
+    }
+    if (p[0] == 'M' && p[1] == 'M' && p[2] == 0 && p[3] == 42) {
+        *little = false;
+        return true;
+    }
+    return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Query dims: returns 0 on success and fills width/height/channels/bits.
+int cdm_tiff_info(const uint8_t* buf, size_t len, uint32_t* width,
+                  uint32_t* height, uint32_t* channels, uint32_t* bits) {
+    bool little;
+    if (!is_tiff(buf, len, &little)) return -1;
+    Reader r{buf, len, little};
+    TiffInfo t = parse_tiff(r);
+    if (!t.ok) return -1;
+    *width = t.width;
+    *height = t.height;
+    *channels = t.samples;
+    *bits = t.bits;
+    return 0;
+}
+
+// Decode rows [y0, y1) (y1 == 0 means the whole image).
+int cdm_tiff_decode(const uint8_t* buf, size_t len, uint8_t* out,
+                    size_t out_cap, uint32_t y0, uint32_t y1) {
+    bool little;
+    if (!is_tiff(buf, len, &little)) return -1;
+    Reader r{buf, len, little};
+    TiffInfo t = parse_tiff(r);
+    if (!t.ok) return -1;
+    if (y1 == 0) y1 = t.height;
+    if (y0 >= y1 || y1 > t.height) return -2;
+    return decode_rows(r, t, out, out_cap, y0, y1);
+}
+
+// Reference-compatible PackBits partial decode
+// (ImageArrayUtils.packBitsUncompress).
+long long cdm_packbits_uncompress(const uint8_t* in, size_t in_len,
+                                  uint8_t* out, size_t out_len,
+                                  long long offset, long long start,
+                                  long long end) {
+    return packbits_uncompress(in, in_len, out, out_len, offset, start,
+                               end);
+}
+
+// Batch decode: n in-memory TIFF files into one arena with a fixed
+// per-image stride; all images must match (width, height, channels).
+// results[i] = 0 on success. Uses up to n_threads workers.
+void cdm_tiff_decode_batch(const uint8_t** bufs, const size_t* lens,
+                           int n, uint8_t* arena, size_t stride,
+                           uint32_t y0, uint32_t y1, int n_threads,
+                           int* results) {
+    std::atomic<int> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n) break;
+            results[i] = cdm_tiff_decode(bufs[i], lens[i],
+                                         arena + (size_t)i * stride,
+                                         stride, y0, y1);
+        }
+    };
+    int nt = std::max(1, std::min(n_threads, n));
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"
