@@ -152,6 +152,45 @@ def _bucket(q: int, minimum: int = 512) -> int:
     return n
 
 
+@functools.lru_cache(maxsize=1)
+def _adj_rule_tables():
+    """Per-query-class adjacency rule tables.
+
+    Every dominance class has at most TWO adjacent classes it can match
+    (e.g. BG pairs with BR and GB), so instead of sweeping all 10 rows of
+    _ADJ_TABLE per pair, each query pixel carries its <= 2 candidate
+    rules; the kernel evaluates exactly those.  Arrays are indexed
+    [class 0..6, rule slot 0..1]:
+      tc       target class (0 = slot disabled)
+      qms, qmp, qless   query-side ratio precondition (exact ints)
+      tms, tmp, tless   target-side ratio precondition
+      sign, offs        gap = sign * (q_r + t_r) + offs   (offs = -/+ 2c)
+    """
+    import numpy as _np
+
+    shape = (7, 2)
+    tc = _np.zeros(shape, _np.int32)
+    qms = _np.zeros(shape, _np.int32)
+    qmp = _np.zeros(shape, _np.int32)
+    qless = _np.zeros(shape, bool)
+    tms = _np.zeros(shape, _np.int32)
+    tmp_ = _np.zeros(shape, _np.int32)
+    tless = _np.zeros(shape, bool)
+    sign = _np.zeros(shape, _np.float32)
+    offs = _np.zeros(shape, _np.float32)
+    slot = [0] * 7
+    for qc, t, (a, b, ql), (c_, d, tl), plus, const in _ADJ_TABLE:
+        k = slot[qc]
+        slot[qc] += 1
+        tc[qc, k] = t
+        qms[qc, k], qmp[qc, k], qless[qc, k] = a, b, ql
+        tms[qc, k], tmp_[qc, k], tless[qc, k] = c_, d, tl
+        sign[qc, k] = 1.0 if plus else -1.0
+        offs[qc, k] = _np.float32(-2.0 * const) if plus \
+            else _np.float32(2.0 * const)
+    return tc, qms, qmp, qless, tms, tmp_, tless, sign, offs
+
+
 def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
                                    q_cls: jax.Array, q_s: jax.Array,
                                    q_p: jax.Array, *, target_threshold: int,
@@ -174,12 +213,33 @@ def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
     ztol_f32 = jnp.float32(a / b)
     band = jnp.float32(ADJ_BAND)
 
-    # query-side precomputation (variant independent)
+    # query-side precomputation (variant independent): hue ratio + the
+    # per-pixel <=2 candidate adjacency rules (see _adj_rule_tables)
     q_r = q_s.astype(jnp.float32) / jnp.maximum(q_p, 1).astype(jnp.float32)
-    q_pre = []
-    for qc, _, (ms, mp, less), _, _, _ in _ADJ_TABLE:
-        cond = (ms * q_s < mp * q_p) if less else (ms * q_s > mp * q_p)
-        q_pre.append((q_cls == qc) & cond)
+    tc_t, qms_t, qmp_t, qless_t, tms_t, tmp_t, tless_t, sign_t, offs_t = \
+        (jnp.asarray(t) for t in _adj_rule_tables())
+
+    rule_tc = []       # [Q] target class per rule slot (0 = disabled)
+    rule_pre = []      # [Q] query-side precondition satisfied
+    rule_tms = []
+    rule_tmp = []
+    rule_tless = []
+    rule_sign = []
+    rule_offs = []
+    for k in (0, 1):
+        qms = qms_t[q_cls, k]
+        qmp = qmp_t[q_cls, k]
+        qless = qless_t[q_cls, k]
+        lhs = qms * q_s - qmp * q_p
+        pre = jnp.where(qless, lhs < 0, lhs > 0)
+        tc_k = tc_t[q_cls, k]
+        rule_tc.append(jnp.where(pre, tc_k, 0))  # fold pre into tc
+        rule_pre.append(pre)
+        rule_tms.append(tms_t[q_cls, k])
+        rule_tmp.append(tmp_t[q_cls, k])
+        rule_tless.append(tless_t[q_cls, k])
+        rule_sign.append(sign_t[q_cls, k])
+        rule_offs.append(offs_t[q_cls, k])
 
     def per_variant(_, pos_v):
         gathered = jnp.take(t_planes, jnp.maximum(pos_v, 0), axis=0)  # [Q,T]
@@ -198,20 +258,24 @@ def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
             m_same = same & (lhs <= rhs)
             f_same = same & (lhs == rhs)
         else:
-            t_r32 = t_s.astype(jnp.float32) / jnp.maximum(t_p, 1).astype(jnp.float32)
+            t_r32 = t_s.astype(jnp.float32) / \
+                jnp.maximum(t_p, 1).astype(jnp.float32)
             gap = jnp.abs(t_r32 - q_r[:, None])
             m_same = same & (gap <= ztol_f32)
             f_same = same & (jnp.abs(gap - ztol_f32) < band)
 
-        t_r = t_s.astype(jnp.float32) / jnp.maximum(t_p, 1).astype(jnp.float32)
+        t_r = t_s.astype(jnp.float32) / \
+            jnp.maximum(t_p, 1).astype(jnp.float32)
+        ssum = q_r[:, None] + t_r
         m_adj = jnp.zeros_like(same)
         f_adj = jnp.zeros_like(same)
-        for row, (_, tc, _, (ms, mp, less), plus, c) in enumerate(_ADJ_TABLE):
-            pre_t = (ms * t_s < mp * t_p) if less else (ms * t_s > mp * t_p)
-            sel = q_pre[row][:, None] & (t_cls == tc) & pre_t
-            two_c = jnp.float32(2.0 * c)
-            ssum = q_r[:, None] + t_r
-            gap = (ssum - two_c) if plus else (two_c - ssum)
+        for k in (0, 1):
+            # target-side precondition (exact ints; 0 excluded by design:
+            # all table preconditions are strict inequalities)
+            t_lhs = rule_tms[k][:, None] * t_s - rule_tmp[k][:, None] * t_p
+            pre_t = jnp.where(rule_tless[k][:, None], t_lhs < 0, t_lhs > 0)
+            sel = (t_cls == rule_tc[k][:, None]) & (t_cls > 0) & pre_t
+            gap = rule_sign[k][:, None] * ssum + rule_offs[k][:, None]
             m_adj |= sel & (gap <= ztol_f32)
             f_adj |= sel & (jnp.abs(gap - ztol_f32) < band)
 

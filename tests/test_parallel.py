@@ -1,0 +1,103 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from colormipsearch_tpu.ops import common, pixel_match
+from colormipsearch_tpu.parallel import (
+    create_mesh,
+    make_sharded_search_step,
+    shard_target_planes,
+)
+from colormipsearch_tpu.parallel.mesh import make_sharded_batch_step
+
+
+@pytest.fixture(scope="module")
+def workload():
+    rng = np.random.default_rng(5)
+    h, w, t = 48, 64, 16
+    targets = np.zeros((t, h, w, 3), np.uint8)
+    for i in range(t):
+        n = 300
+        targets[i, rng.integers(0, h, n), rng.integers(0, w, n)] = \
+            rng.integers(0, 256, (n, 3))
+    query = np.zeros((h, w, 3), np.uint8)
+    query[rng.integers(0, h, 200), rng.integers(0, w, 200)] = \
+        rng.integers(30, 256, (200, 3))
+    plan = pixel_match.build_query_plan(
+        query, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0)
+    planes = common.pack_target_planes(jnp.asarray(targets))
+    return plan, planes
+
+
+def _single_device(plan, planes):
+    s, f = pixel_match.score_query_against_planes(
+        planes, jnp.asarray(plan.positions), jnp.asarray(plan.q_cls),
+        jnp.asarray(plan.q_s), jnp.asarray(plan.q_p),
+        target_threshold=20, ztol_num=1, ztol_den=100)
+    best, mirrored, flags = pixel_match.reduce_variants_device(
+        jnp.asarray(s), jnp.asarray(f), plan.n_straight)
+    return np.asarray(best), np.asarray(mirrored), np.asarray(flags)
+
+
+def test_sharded_step_matches_single_device(workload):
+    plan, planes = workload
+    assert len(jax.devices()) == 8
+    mesh = create_mesh(8)
+    sharded = shard_target_planes(mesh, planes)
+    step = make_sharded_search_step(
+        mesh, target_threshold=20, ztol_num=1, ztol_den=100,
+        n_straight=plan.n_straight, top_k=3)
+    best, mirrored, flags, gmax, topk_s, topk_i = step(
+        sharded, jnp.asarray(plan.positions), jnp.asarray(plan.q_cls),
+        jnp.asarray(plan.q_s), jnp.asarray(plan.q_p))
+
+    ref_best, ref_mirrored, ref_flags = _single_device(plan, planes)
+    np.testing.assert_array_equal(np.asarray(best), ref_best)
+    np.testing.assert_array_equal(np.asarray(mirrored), ref_mirrored)
+    np.testing.assert_array_equal(np.asarray(flags), ref_flags)
+    assert int(gmax) == int(ref_best.max())
+
+    # the merged per-shard top-k contains the true global top-3
+    topk_s = np.asarray(topk_s)
+    topk_i = np.asarray(topk_i)
+    true_top = np.sort(ref_best)[::-1][:3]
+    merged = np.sort(topk_s)[::-1][:3]
+    np.testing.assert_array_equal(merged, true_top)
+    # indices map back to the right scores
+    for s, i in zip(topk_s, topk_i):
+        assert ref_best[i] == s
+
+
+def test_sharded_batch_step(workload):
+    plan, planes = workload
+    mesh = create_mesh(8)
+    sharded = shard_target_planes(mesh, planes)
+    step = make_sharded_batch_step(
+        mesh, target_threshold=20, ztol_num=1, ztol_den=100,
+        n_straight=plan.n_straight)
+    B = 3
+    best, mirrored, flags, gmax = step(
+        sharded,
+        jnp.asarray(np.stack([plan.positions] * B)),
+        jnp.asarray(np.stack([plan.q_cls] * B)),
+        jnp.asarray(np.stack([plan.q_s] * B)),
+        jnp.asarray(np.stack([plan.q_p] * B)))
+    ref_best, _, _ = _single_device(plan, planes)
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(best)[b], ref_best)
+    np.testing.assert_array_equal(np.asarray(gmax),
+                                  [ref_best.max()] * B)
+
+
+def test_graft_entry_roundtrip():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    best = np.asarray(out[0])
+    assert best.shape[0] == 16
+    g.dryrun_multichip(8)
