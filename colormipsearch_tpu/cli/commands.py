@@ -433,12 +433,26 @@ def cmd_create_data_input(args) -> int:
 # -------------------------------------------------------------------------
 
 
+def _add_v2_variant_args(sp):
+    """v2 variant lookup + fused shape scoring flags
+    (cmd_v2/AbstractColorDepthMatchArgs.java:42-63)."""
+    sp.add_argument("--with-grad-scores", dest="withGradScores",
+                    action="store_true",
+                    help="also compute negative/shape scores in the same "
+                         "pass when gradient images are available")
+    sp.add_argument("--gradientPath", "-gp", nargs="*", default=[])
+    sp.add_argument("--gradientSuffix", default="_gradient")
+    sp.add_argument("--zgapPath", "-zgp", nargs="*", default=[])
+    sp.add_argument("--zgapSuffix", default="_20pxRGB")
+
+
 def configure_search_from_json(sp):
     sp.add_argument("-m", "--masks", nargs="+", required=True,
                     help="v2 MIP-list JSON file(s), location[:offset[:length]]")
     sp.add_argument("-i", "--images", "--targets", dest="targets", nargs="+",
                     required=True)
     _add_cds_params(sp)
+    _add_v2_variant_args(sp)
     _add_output_args(sp)
 
 
@@ -448,6 +462,7 @@ def configure_search_local_files(sp):
     sp.add_argument("-i", "-t", "--targets", dest="targets", nargs="+",
                     required=True, help="target images location")
     _add_cds_params(sp)
+    _add_v2_variant_args(sp)
     _add_output_args(sp)
 
 
@@ -481,16 +496,45 @@ def _run_v2_search(args, masks, targets, mip_by_key) -> int:
     params = _cds_params(args)
     engine = CDSearchEngine(params)
     matches = engine.find_all_matches(masks, targets)
+
+    # fused pixel + shape pass (v2 PixelMatchWithNegativeScore
+    # ColorDepthSearchAlgorithm:53-63): when requested and gradient
+    # variants can be located, the matches found by the pixel pass get
+    # their negative scores in the same run
+    if getattr(args, "withGradScores", False) and args.gradientPath:
+        from colormipsearch_tpu.engine.gradscore import GradScoreEngine
+
+        for m in matches:
+            t_fd = m.matched_image.compute_file(
+                ComputeFileType.InputColorDepthImage)
+            if t_fd is None:
+                continue
+            g = mips_io.find_variant(t_fd, args.gradientPath,
+                                     args.gradientSuffix)
+            if g is not None:
+                m.matched_image.set_compute_file(
+                    ComputeFileType.GradientImage, g)
+            z = mips_io.find_variant(t_fd, args.zgapPath, args.zgapSuffix)
+            if z is not None:
+                m.matched_image.set_compute_file(
+                    ComputeFileType.ZGapImage, z)
+        GradScoreEngine(params).score_matches(matches)
+
     rows = []
     for m in matches:
         src = mip_by_key.get(id(m.mask_image)) or _neuron_to_mip(m.mask_image)
         tgt = mip_by_key.get(id(m.matched_image)) \
             or _neuron_to_mip(m.matched_image)
-        rows.append(v2_io.V2Match(
+        row = v2_io.V2Match(
             source=src, target=tgt,
             matchingPixels=m.matching_pixels or 0,
             matchingRatio=m.matching_pixels_ratio or 0.0,
-            mirrored=m.mirrored))
+            mirrored=m.mirrored)
+        if m.gradient_area_gap is not None and m.gradient_area_gap >= 0:
+            row.gradientAreaGap = m.gradient_area_gap
+            row.highExpressionArea = m.high_expression_area
+            row.normalizedGapScore = m.normalized_score
+        rows.append(row)
     per_mask, _ = _out_dirs(args)
     if per_mask is None:
         per_mask = Path(".")

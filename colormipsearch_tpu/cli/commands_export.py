@@ -81,6 +81,7 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
             by_published.setdefault(name, []).append(m)
 
     n = 0
+    n_invalid = 0
     for name, matches in by_published.items():
         best: dict[tuple, object] = {}
         for m in matches:
@@ -89,16 +90,44 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
             if cur is None or (m.normalized_score or 0) > \
                     (cur.normalized_score or 0):
                 best[key] = m
-        selected = sorted(best.values(),
-                          key=lambda m: -(m.normalized_score or 0))
+        # required-attribute validation, mirroring the reference's
+        # validating serializer (cmd/dataexport ValidatingSerializer):
+        # published name + library are mandatory on every exported image
+        selected = []
+        for m in sorted(best.values(),
+                        key=lambda m: -(m.normalized_score or 0)):
+            errs = _validate_for_export(m)
+            if errs:
+                n_invalid += 1
+                LOG.warning("skipping invalid match %s->%s: %s",
+                            m.mask_image.mip_id, m.matched_image.mip_id,
+                            "; ".join(errs))
+                continue
+            selected.append(m)
+        if not selected:
+            continue
         input_meta = dto.neuron_metadata(selected[0].mask_image)
         doc = dto.result_matches_json(
             input_meta, [dto.cd_match_to_dto(m) for m in selected])
         with open(out_dir / f"{name}.json", "w") as f:
             json.dump(doc, f, indent=2 if pretty else None)
         n += 1
-    LOG.info("exported %d publish files to %s", n, out_dir)
+    LOG.info("exported %d publish files to %s (%d invalid matches "
+             "skipped)", n, out_dir, n_invalid)
     return 0
+
+
+def _validate_for_export(m) -> list[str]:
+    errs = []
+    for side, neuron in (("mask", m.mask_image), ("target",
+                                                  m.matched_image)):
+        if not neuron.published_name:
+            errs.append(f"{side} has no published name")
+        if not neuron.library_name:
+            errs.append(f"{side} has no library")
+    if m.matching_pixels is None:
+        errs.append("no matching pixels score")
+    return errs
 
 
 def _export_mips(args, out_dir: Path, pretty: bool) -> int:

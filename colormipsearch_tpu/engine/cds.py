@@ -201,9 +201,12 @@ class CDSearchEngine:
                          session_ref_id: int | None = None) -> list[CDMatch]:
         """Score masks x targets; returns entities for found matches only
         (LocalColorMIPSearchProcessor filters isMatchFound :110)."""
+        from colormipsearch_tpu.utils.metrics import GLOBAL, stage_timer
+
         t0 = time.time()
         p = self.params
-        shards = load_target_shards(targets)
+        with stage_timer("cds.packTargets"):
+            shards = load_target_shards(targets)
         n_targets = sum(s.count for s in shards)
         LOG.info("packed %d targets into %d shards in %.1fs",
                  n_targets, len(shards), time.time() - t0)
@@ -232,17 +235,23 @@ class CDSearchEngine:
             groups.setdefault(key, []).append((mask, mask_rgb, region, plan))
 
         matches: list[CDMatch] = []
-        for shard in shards:
-            for (shape, _), entries in groups.items():
-                if shape != shard.shape:
-                    # the reference requires target size == query size
-                    continue
-                for i in range(0, len(entries), self.MASK_BATCH):
-                    batch = entries[i:i + self.MASK_BATCH]
-                    matches.extend(self._score_batch(
-                        batch, shard, tags, session_ref_id))
-        LOG.info("found %d matches for %d masks x %d targets in %.1fs",
-                 len(matches), len(masks), n_targets, time.time() - t0)
+        with stage_timer("cds.scoreAllPairs"):
+            for shard in shards:
+                for (shape, _), entries in groups.items():
+                    if shape != shard.shape:
+                        # the reference requires target size == query size
+                        continue
+                    for i in range(0, len(entries), self.MASK_BATCH):
+                        batch = entries[i:i + self.MASK_BATCH]
+                        matches.extend(self._score_batch(
+                            batch, shard, tags, session_ref_id))
+                        GLOBAL.add("pairsScored",
+                                   len(batch) * shard.count)
+        GLOBAL.add("matchesFound", len(matches))
+        LOG.info("found %d matches for %d masks x %d targets in %.1fs "
+                 "(%.0f pairs/s)",
+                 len(matches), len(masks), n_targets, time.time() - t0,
+                 GLOBAL.get("pairsScored") / max(time.time() - t0, 1e-9))
         return matches
 
     def _score_batch(self, batch, shard: TargetShard, tags: set,
