@@ -82,19 +82,25 @@ def bench_tpu(mask_rgb, targets, region):
             planes, pos, q_cls, q_s, q_p,
             target_threshold=20, ztol_num=plan.ztol_num,
             ztol_den=plan.ztol_den)
-        return jax.block_until_ready((s, f))
+        return s, f
 
     t0 = time.perf_counter()
-    run_once()  # compile
+    np.asarray(run_once()[0])  # compile + full materialization
     print(f"# compiled in {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
+    # Timing covers dispatch AND completion: the device executes calls
+    # in order, so materializing the LAST result on the host bounds the
+    # whole batch (block_until_ready alone can be a no-op on tunneled
+    # backends, which would inflate the rate).
     t0 = time.perf_counter()
+    out = None
     for _ in range(N_MASK_REPEATS):
         out = run_once()
+    final = np.asarray(out[0])
     dt = time.perf_counter() - t0
     pairs = N_MASK_REPEATS * targets.shape[0]
     # sanity: scoring is live (self-similar targets must score > 0)
-    assert int(np.asarray(out[0]).max()) > 0
+    assert int(final.max()) > 0
     return pairs / dt, plan
 
 
