@@ -377,9 +377,19 @@ def _update_normalized_scores(matches: list[CDMatch]) -> None:
 
 
 def configure_create_data_input(sp):
-    sp.add_argument("-i", "--input", required=True,
+    sp.add_argument("-i", "--input", required=False, default=None,
                     help="image library location (dir or zip), "
                          "location[:offset[:length]]")
+    sp.add_argument("--jacs-url", dest="jacsURL", default=None,
+                    help="JACS config server URL (or file:// dir of page "
+                         "dumps) to ingest a library from instead of "
+                         "local files")
+    sp.add_argument("--authorization", default=None,
+                    help="bearer token for the JACS server")
+    sp.add_argument("--libraries-variants", dest="librariesVariants",
+                    nargs="*", default=[],
+                    help="variantType:location[:suffix] mappings for "
+                         "JACS ingest (e.g. GradientImage:/grad:_gradient)")
     sp.add_argument("-l", "--library", default=None,
                     help="library name recorded on the neurons")
     sp.add_argument("--alignment-space", "-as", default=None)
@@ -395,6 +405,10 @@ def configure_create_data_input(sp):
 
 
 def cmd_create_data_input(args) -> int:
+    if args.jacsURL:
+        return _create_data_input_from_jacs(args)
+    if not args.input:
+        raise SystemExit("either -i/--input or --jacs-url is required")
     arg = ListArg.parse(args.input)
     files = arg.apply(mips_io.list_image_files(arg.location))
     lib = args.library or os.path.basename(arg.location.rstrip("/"))
@@ -414,6 +428,10 @@ def cmd_create_data_input(args) -> int:
                                      args.zgap_suffix)
             if z is not None:
                 n.set_compute_file(ComputeFileType.ZGapImage, z)
+    return _write_data_input(args, neurons, lib)
+
+
+def _write_data_input(args, neurons, lib) -> int:
     if args.mipsStorage == "DB":
         from colormipsearch_tpu.dataio.db_io import DBCDMIPsWriter
 
@@ -426,6 +444,31 @@ def cmd_create_data_input(args) -> int:
     write_neurons_json(neurons, out_path, pretty=not args.noPrettyPrint)
     LOG.info("wrote %d neurons to %s", len(neurons), out_path)
     return 0
+
+
+def _create_data_input_from_jacs(args) -> int:
+    """JACS-backed ingest (CreateCDSDataInputCmd online mode)."""
+    from colormipsearch_tpu.io.jacs import JacsClient, load_library_neurons
+
+    if not args.library:
+        raise SystemExit("--library is required with --jacs-url")
+    variant_locations: dict = {}
+    variant_suffixes: dict = {}
+    for spec in args.librariesVariants:
+        parts = spec.split(":")
+        if len(parts) < 2:
+            continue
+        vtype, location = parts[0], parts[1]
+        variant_locations.setdefault(vtype, []).append(location)
+        if len(parts) > 2:
+            variant_suffixes[vtype] = parts[2]
+    client = JacsClient(args.jacsURL, auth_token=args.authorization)
+    neurons = load_library_neurons(
+        client, library=args.library,
+        alignment_space=args.alignment_space,
+        variant_locations=variant_locations or None,
+        variant_suffixes=variant_suffixes or None)
+    return _write_data_input(args, neurons, args.library)
 
 
 # -------------------------------------------------------------------------

@@ -140,7 +140,18 @@ def main(argv=None) -> int:
         from colormipsearch_tpu.io.cache import initialize_cache
 
         initialize_cache(args.cacheSize)
-    return args.func(args) or 0
+    try:
+        return args.func(args) or 0
+    except (FileNotFoundError, NotADirectoryError) as e:
+        print(f"{args.command}: file not found: {e}", file=sys.stderr)
+        if args.verbose:
+            raise
+        return 2
+    except ValueError as e:
+        print(f"{args.command}: {e}", file=sys.stderr)
+        if args.verbose:
+            raise
+        return 2
 
 
 if __name__ == "__main__":

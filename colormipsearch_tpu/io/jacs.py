@@ -1,0 +1,157 @@
+"""JACS REST ingestion client.
+
+Minimal twin of the reference's Jersey clients (cmd/jacsdata/
+JacsDataGetter.java, HttpHelper.java): page through a config server's
+`/data/colorDepthMIPsWithSamples` endpoint and map the returned
+ColorDepthMIP records to neuron entities, the online mode of
+createColorDepthSearchDataInput (cmd/CreateCDSDataInputCmd.java:56-679).
+
+This environment has no egress, so the transport is pluggable:
+`http(s)://` via urllib (with bearer auth), or `file://` pointing at a
+directory of page JSON dumps — which is also how the client is tested.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import urllib.parse
+import urllib.request
+from typing import Iterator, Optional
+
+from colormipsearch_tpu.model import (
+    ComputeFileType,
+    EMNeuron,
+    LMNeuron,
+    Neuron,
+)
+
+LOG = logging.getLogger(__name__)
+
+DEFAULT_PAGE_SIZE = 10000
+
+
+class JacsClient:
+    def __init__(self, base_url: str, *, auth_token: str | None = None,
+                 page_size: int = DEFAULT_PAGE_SIZE):
+        self.base_url = base_url.rstrip("/")
+        self.auth_token = auth_token
+        self.page_size = page_size
+
+    def _get(self, path: str, params: dict) -> list:
+        if self.base_url.startswith("file://"):
+            # offline mode: directory with <endpoint>_<offset>.json dumps
+            root = self.base_url[len("file://"):]
+            name = path.strip("/").replace("/", "_")
+            page_file = os.path.join(
+                root, f"{name}_{params.get('offset', 0)}.json")
+            if not os.path.exists(page_file):
+                return []
+            with open(page_file) as f:
+                return json.load(f)
+        url = f"{self.base_url}{path}?" + urllib.parse.urlencode(params)
+        req = urllib.request.Request(url)
+        if self.auth_token:
+            req.add_header("Authorization", f"Bearer {self.auth_token}")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.load(resp)
+
+    def color_depth_mips_with_samples(self, *, library: str,
+                                      alignment_space: str | None = None
+                                      ) -> Iterator[dict]:
+        """Page through the library's MIPs
+        (JacsDataGetter paging over /data/colorDepthMIPsWithSamples)."""
+        offset = 0
+        while True:
+            params = {"libraryName": library, "offset": offset,
+                      "length": self.page_size}
+            if alignment_space:
+                params["alignmentSpace"] = alignment_space
+            page = self._get("/data/colorDepthMIPsWithSamples", params)
+            if not page:
+                return
+            yield from page
+            if len(page) < self.page_size:
+                return
+            offset += len(page)
+
+
+def _is_em_library(library: str) -> bool:
+    """MIPsHandlingUtils.isEmLibrary:116."""
+    lib = (library or "").lower()
+    return "flyem" in lib or "_em_" in lib or "manc" in lib
+
+
+def mip_record_to_neuron(rec: dict, library: str) -> Optional[Neuron]:
+    """Map a JACS ColorDepthMIP record (cmd/jacsdata/ColorDepthMIP.java)
+    to a neuron entity with computeFiles."""
+    filepath = rec.get("filepath")
+    if not filepath:
+        return None
+    if _is_em_library(library):
+        n: Neuron = EMNeuron(
+            neuron_type=(rec.get("emBody") or {}).get("neuronType"),
+            neuron_instance=(rec.get("emBody") or {}).get("neuronInstance"),
+        )
+        body = rec.get("bodyId") or (rec.get("emBody") or {}).get("name")
+        n.published_name = str(body) if body is not None else None
+        n.source_ref_id = rec.get("emBodyRef") or \
+            ((rec.get("emBody") or {}).get("_id"))
+    else:
+        sample = rec.get("sample") or {}
+        n = LMNeuron(
+            slide_code=sample.get("slideCode") or rec.get("slideCode"),
+            gender=sample.get("gender"),
+            objective=rec.get("objective"),
+            anatomical_area=rec.get("anatomicalArea"),
+            mounting_protocol=sample.get("mountingProtocol"),
+            sample_ref=rec.get("sampleRef"),
+            sample_name=sample.get("name"),
+            internal_line_name=sample.get("line"),
+        )
+        n.published_name = sample.get("publishingName") or \
+            sample.get("line")
+        ch = rec.get("channelNumber")
+        if ch is not None:
+            try:
+                n.channel = int(ch)
+            except (TypeError, ValueError):
+                pass
+        n.source_ref_id = rec.get("sampleRef")
+    n.mip_id = rec.get("id") or rec.get("_id")
+    n.library_name = library
+    n.alignment_space = rec.get("alignmentSpace")
+    n.set_compute_file(ComputeFileType.SourceColorDepthImage, filepath)
+    n.set_compute_file(ComputeFileType.InputColorDepthImage, filepath)
+    return n
+
+
+def load_library_neurons(client: JacsClient, *, library: str,
+                         alignment_space: str | None = None,
+                         variant_locations: dict | None = None,
+                         variant_suffixes: dict | None = None
+                         ) -> list[Neuron]:
+    """Fetch a library and attach variant compute files by convention
+    (--librariesVariants semantics of CreateCDSDataInputCmd:116-118)."""
+    from colormipsearch_tpu.io import mips as mips_io
+
+    out = []
+    for rec in client.color_depth_mips_with_samples(
+            library=library, alignment_space=alignment_space):
+        n = mip_record_to_neuron(rec, library)
+        if n is None:
+            continue
+        if variant_locations:
+            base_fd = n.compute_file(ComputeFileType.InputColorDepthImage)
+            for ftype_name, locations in variant_locations.items():
+                ftype = ComputeFileType.from_name(ftype_name)
+                if ftype is None:
+                    continue
+                suffix = (variant_suffixes or {}).get(ftype_name, "")
+                fd = mips_io.find_variant(base_fd, locations, suffix)
+                if fd is not None:
+                    n.set_compute_file(ftype, fd)
+        out.append(n)
+    LOG.info("loaded %d neurons from JACS library %s", len(out), library)
+    return out
