@@ -137,13 +137,22 @@ class JSONMatchesReader:
     def read_matches(path, *, by_target: bool = False) -> list[CDMatch]:
         """Expand one grouped file; by_target inverts mask/matched so the
         returned matches always have mask == the file's inputImage side
-        (MatchEntitiesGrouping.expandResultsByMask/Target)."""
+        (MatchEntitiesGrouping.expandResultsByMask/Target).
+
+        Flat JSON arrays of matches with embedded maskImage (the shape
+        the reference's tests serialize directly) are accepted too.
+        """
         with open(path) as f:
             doc = json.load(f)
-        input_image = neuron_from_json(doc["inputImage"]) \
-            if doc.get("inputImage") else None
+        if isinstance(doc, list):
+            rows = doc
+            input_image = None
+        else:
+            rows = doc.get("results", ())
+            input_image = neuron_from_json(doc["inputImage"]) \
+                if doc.get("inputImage") else None
         out = []
-        for rd in doc.get("results", ()):
+        for rd in rows:
             m = CDMatch.from_json(rd, mask_image=input_image)
             if by_target:
                 m = dataclasses.replace(

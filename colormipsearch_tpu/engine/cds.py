@@ -187,6 +187,39 @@ def _decode_or_none(blob: bytes):
         return None
 
 
+def iter_target_shards(targets: Sequence[Neuron], *,
+                       file_type: ComputeFileType =
+                       ComputeFileType.InputColorDepthImage,
+                       tile_size: int = 4096,
+                       prefetch: bool = True):
+    """Stream target shards tile by tile with background prefetch.
+
+    For libraries that exceed host/device memory (the production MCFO
+    library is ~360 GB raw — SURVEY §7 'Memory budget'), targets are
+    decoded and packed one `tile_size` tile at a time; while the device
+    scores tile i, a worker thread decodes tile i+1 (the double-buffering
+    the reference gets from its Spark executors holding shards resident).
+    """
+    import concurrent.futures
+
+    chunks = [list(targets[i:i + tile_size])
+              for i in range(0, len(targets), tile_size)]
+    if not prefetch or len(chunks) <= 1:
+        for chunk in chunks:
+            yield from load_target_shards(chunk, file_type=file_type,
+                                          tile_size=tile_size)
+        return
+    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(load_target_shards, chunks[0],
+                          file_type=file_type, tile_size=tile_size)
+        for nxt in chunks[1:]:
+            shards = fut.result()
+            fut = pool.submit(load_target_shards, nxt,
+                              file_type=file_type, tile_size=tile_size)
+            yield from shards
+        yield from fut.result()
+
+
 class CDSearchEngine:
     """All-pairs masked CDS scoring (pixel-match pass)."""
 
@@ -205,11 +238,6 @@ class CDSearchEngine:
 
         t0 = time.time()
         p = self.params
-        with stage_timer("cds.packTargets"):
-            shards = load_target_shards(targets)
-        n_targets = sum(s.count for s in shards)
-        LOG.info("packed %d targets into %d shards in %.1fs",
-                 n_targets, len(shards), time.time() - t0)
         tags = set(tags)
 
         # precompute all query plans, grouped by (shape, padded Q) so a
@@ -235,8 +263,12 @@ class CDSearchEngine:
             groups.setdefault(key, []).append((mask, mask_rgb, region, plan))
 
         matches: list[CDMatch] = []
+        n_targets = 0
         with stage_timer("cds.scoreAllPairs"):
-            for shard in shards:
+            # targets stream in device-sized tiles, decode of the next
+            # tile overlapping the scoring of the current one
+            for shard in iter_target_shards(list(targets)):
+                n_targets += shard.count
                 for (shape, _), entries in groups.items():
                     if shape != shard.shape:
                         # the reference requires target size == query size

@@ -1,0 +1,63 @@
+"""Round-trip the reference's own persisted-match fixture through our
+grouping + writers (mirrors persist dataio/fs/JSONReadWriteTest)."""
+
+import json
+from pathlib import Path
+
+FIXTURE = ("/root/reference/colormipsearch-persist/src/test/resources/"
+           "cdsmatches/testcdsmatches.json")
+
+
+def test_reference_matches_roundtrip(tmp_path):
+    from colormipsearch_tpu.dataio.json_io import (
+        JSONMatchesReader,
+        JSONMatchesWriter,
+    )
+    from colormipsearch_tpu.model import EMNeuron, LMNeuron
+
+    matches = JSONMatchesReader.read_matches(FIXTURE)
+    assert len(matches) >= 2
+    for m in matches:
+        assert isinstance(m.mask_image, EMNeuron)
+        assert isinstance(m.matched_image, LMNeuron)
+        assert m.matching_pixels > 0
+        assert m.mask_image.compute_files, "computeFiles must survive"
+
+    # group per mask + per target, write, read back, expand
+    out = tmp_path / "rt"
+    writer = JSONMatchesWriter(per_masks_dir=out / "masks",
+                               per_targets_dir=out / "targets")
+    writer.write(matches)
+    mask_files = sorted((out / "masks").glob("*.json"))
+    assert {f.stem for f in mask_files} == \
+        {m.mask_image.mip_id for m in matches}
+
+    back = []
+    for f in mask_files:
+        back.append(JSONMatchesReader.read_matches(f))
+    flat = [m for grp in back for m in grp]
+    assert len(flat) == len(matches)
+    # pairs may repeat (different compute-file variants of the same MIPs)
+    # so compare as multisets
+    def multiset(ms):
+        return sorted((m.mask_image.mip_id, m.matched_image.mip_id,
+                       m.matching_pixels) for m in ms)
+    assert multiset(flat) == multiset(matches)
+
+    # per-target files invert mask/image
+    tgt_files = sorted((out / "targets").glob("*.json"))
+    assert {f.stem for f in tgt_files} == \
+        {m.matched_image.mip_id for m in matches}
+    tdoc = json.loads(tgt_files[0].read_text())
+    assert tdoc["inputImage"]["class"].endswith("LMNeuronEntity")
+    assert tdoc["results"][0]["image"]["class"].endswith("EMNeuronEntity")
+
+    # field preservation spot checks against the raw fixture
+    raw = json.loads(Path(FIXTURE).read_text())
+    raw0 = raw[0]
+    m0 = matches[0]
+    assert m0.mask_image.mip_id == raw0["maskImage"]["mipId"]
+    assert m0.matching_pixels == raw0["matchingPixels"]
+    assert m0.matched_image.extra.get("sampleRef") == \
+        raw0["image"].get("sampleRef") or \
+        m0.matched_image.sample_ref == raw0["image"].get("sampleRef")
