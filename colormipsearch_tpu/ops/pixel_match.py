@@ -284,6 +284,15 @@ def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
         return None, (match.sum(axis=0, dtype=jnp.int32),
                       flag.sum(axis=0, dtype=jnp.int32))
 
+    n_variants = pos.shape[0]
+    if n_variants <= 32:
+        # unrolled: the variants are independent, so emitting them as
+        # separate gathers+predicates lets XLA overlap HBM gathers with
+        # VPU work (lax.scan would serialize the iterations)
+        outs = [per_variant(None, pos[v])[1] for v in range(n_variants)]
+        scores = jnp.stack([o[0] for o in outs])
+        flags = jnp.stack([o[1] for o in outs])
+        return scores, flags
     _, (scores, flags) = jax.lax.scan(per_variant, None, pos)
     return scores, flags
 
