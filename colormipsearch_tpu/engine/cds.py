@@ -174,9 +174,23 @@ def load_target_shards(targets: Sequence[Neuron], *,
         for i in range(0, len(neurons), tile_size):
             stack = np.stack(rgbs[i:i + tile_size])
             planes = common.pack_target_planes(jnp.asarray(stack))
+            # pad the target axis to power-of-two buckets so kernel
+            # shapes (and their compilations) are reused across shards;
+            # zero columns have t_max == 0 and can never score
+            t = stack.shape[0]
+            t_pad = _target_bucket(t)
+            if t_pad != t:
+                planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
             shards.append(TargetShard(neurons[i:i + tile_size], shape,
                                       planes, stack))
     return shards
+
+
+def _target_bucket(t: int, minimum: int = 32) -> int:
+    n = minimum
+    while n < t:
+        n *= 2
+    return n
 
 
 def _decode_or_none(blob: bytes):
@@ -299,9 +313,10 @@ class CDSearchEngine:
             target_threshold=p.data_threshold,
             ztol_num=plans[0].ztol_num, ztol_den=plans[0].ztol_den,
             n_straight=plans[0].n_straight)
-        best = np.asarray(best)
-        mirrored = np.asarray(mirrored)
-        pair_flags = np.asarray(pair_flags)
+        # drop the zero-padded target columns (see _target_bucket)
+        best = np.asarray(best)[:, :shard.count]
+        mirrored = np.asarray(mirrored)[:, :shard.count]
+        pair_flags = np.asarray(pair_flags)[:, :shard.count]
 
         out: list[CDMatch] = []
         for b, (mask, mask_rgb, region, plan) in enumerate(batch):
