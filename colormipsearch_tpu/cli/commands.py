@@ -11,7 +11,6 @@ Each command mirrors its reference counterpart's flags and file formats:
 
 from __future__ import annotations
 
-import json
 import logging
 import os
 import re

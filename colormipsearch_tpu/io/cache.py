@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import collections
 import threading
-from typing import Optional
-
 from colormipsearch_tpu.io import mips as mips_io
 from colormipsearch_tpu.model import ComputeFileType, Neuron
 

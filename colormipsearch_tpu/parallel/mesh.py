@@ -15,12 +15,9 @@ per-shard top-k for the merged ranking.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
