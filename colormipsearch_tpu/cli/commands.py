@@ -128,6 +128,13 @@ def configure_color_depth_search(sp):
     sp.add_argument("--targets-tags", nargs="*", default=None)
     sp.add_argument("--masks-published-names", nargs="*", default=None)
     sp.add_argument("--targets-published-names", nargs="*", default=None)
+    sp.add_argument("--masks-datasets", nargs="*", default=None)
+    sp.add_argument("--targets-datasets", nargs="*", default=None)
+    sp.add_argument("--masks-terms", nargs="*", default=None,
+                    help="neuron annotations (terms) required on masks")
+    sp.add_argument("--targets-terms", nargs="*", default=None)
+    sp.add_argument("--excluded-masks-terms", nargs="*", default=None)
+    sp.add_argument("--excluded-targets-terms", nargs="*", default=None)
     sp.add_argument("--alignment-space", "-as", default=None)
     sp.add_argument("--processing-tag", dest="processingTag", default="")
     sp.add_argument("--mips-storage", dest="mipsStorage",
@@ -140,7 +147,9 @@ def configure_color_depth_search(sp):
     _add_output_args(sp)
 
 
-def _read_neuron_sources(specs, index, length, tags, names) -> list[Neuron]:
+def _read_neuron_sources(specs, index, length, tags, names,
+                         datasets=None, terms=None,
+                         excluded_terms=None) -> list[Neuron]:
     out: list[Neuron] = []
     for spec in specs:
         arg = ListArg.parse(spec)
@@ -154,6 +163,13 @@ def _read_neuron_sources(specs, index, length, tags, names) -> list[Neuron]:
         out = [n for n in out if n.tags & set(tags)]
     if names:
         out = [n for n in out if n.published_name in set(names)]
+    if datasets:
+        out = [n for n in out if n.dataset_labels & set(datasets)]
+    if terms:
+        out = [n for n in out if set(n.neuron_terms or ()) & set(terms)]
+    if excluded_terms:
+        out = [n for n in out
+               if not set(n.neuron_terms or ()) & set(excluded_terms)]
     return out
 
 
@@ -162,18 +178,26 @@ def cmd_color_depth_search(args) -> int:
     if args.mipsStorage == "DB" or args.resultsStorage == "DB":
         daos = _daos(args)
     if args.mipsStorage == "DB":
-        from colormipsearch_tpu.dataio.db_io import DBCDMIPsReader
+        from colormipsearch_tpu.persist.requests import (
+            NeuronSelector,
+            PagedRequest,
+        )
 
-        reader = DBCDMIPsReader(daos)
-
-        def read_db(specs, index, length, tags, names):
+        def read_db(specs, index, length, tags, names, datasets, terms,
+                    excluded_terms):
             out = []
             for spec in specs:
                 arg = ListArg.parse(spec)
-                out.extend(reader.read_mips(
-                    [arg.location], alignment_space=args.alignment_space,
-                    tags=tags or (), names=names or (),
-                    offset=arg.offset, size=arg.length))
+                sel = NeuronSelector(
+                    alignment_space=args.alignment_space,
+                    libraries=[arg.location],
+                    tags=list(tags or ()), names=list(names or ()),
+                    datasets=list(datasets or ()),
+                    annotations=list(terms or ()),
+                    excluded_annotations=list(excluded_terms or ()))
+                page = PagedRequest(offset=arg.offset,
+                                    size=max(arg.length, 0))
+                out.extend(daos.neuron_metadata_dao.find_neurons(sel, page))
             if index > 0:
                 out = out[index:]
             if length > 0:
@@ -181,18 +205,25 @@ def cmd_color_depth_search(args) -> int:
             return out
 
         masks = read_db(args.masks, args.masks_index, args.masks_length,
-                        args.masks_tags, args.masks_published_names)
+                        args.masks_tags, args.masks_published_names,
+                        args.masks_datasets, args.masks_terms,
+                        args.excluded_masks_terms)
         targets = read_db(args.targets, args.targets_index,
                           args.targets_length, args.targets_tags,
-                          args.targets_published_names)
+                          args.targets_published_names,
+                          args.targets_datasets, args.targets_terms,
+                          args.excluded_targets_terms)
     else:
-        masks = _read_neuron_sources(args.masks, args.masks_index,
-                                     args.masks_length, args.masks_tags,
-                                     args.masks_published_names)
-        targets = _read_neuron_sources(args.targets, args.targets_index,
-                                       args.targets_length,
-                                       args.targets_tags,
-                                       args.targets_published_names)
+        masks = _read_neuron_sources(
+            args.masks, args.masks_index, args.masks_length,
+            args.masks_tags, args.masks_published_names,
+            args.masks_datasets, args.masks_terms,
+            args.excluded_masks_terms)
+        targets = _read_neuron_sources(
+            args.targets, args.targets_index, args.targets_length,
+            args.targets_tags, args.targets_published_names,
+            args.targets_datasets, args.targets_terms,
+            args.excluded_targets_terms)
     LOG.info("colorDepthSearch: %d masks x %d targets", len(masks), len(targets))
     params = _cds_params(args)
     engine = CDSearchEngine(params)

@@ -93,15 +93,29 @@ class JSONMatchesWriter:
             self.per_masks_dir)
 
     def _write_grouped(self, groups, out_dir: Path) -> int:
-        for key_neuron, ms in groups:
+        """One file per group, written concurrently like the reference's
+        parallel stream (ItemsWriterToJSONFile.writeGroupedItemsList)."""
+        import concurrent.futures
+
+        def write_one(item):
+            key_neuron, ms = item
             name = self.grouping(key_neuron)
             if not name:
-                continue
+                return
             doc = {
                 "inputImage": key_neuron.to_json(),
                 "results": [self._match_json(m) for m in ms],
             }
             _dump(doc, out_dir / f"{name}.json", self.pretty)
+
+        groups = list(groups)
+        if len(groups) > 4:
+            with concurrent.futures.ThreadPoolExecutor(
+                    max_workers=min(16, len(groups))) as pool:
+                list(pool.map(write_one, groups))
+        else:
+            for g in groups:
+                write_one(g)
         return len(groups)
 
     @staticmethod
