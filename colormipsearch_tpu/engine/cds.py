@@ -92,6 +92,7 @@ class TargetShard:
     shape: tuple[int, int]           # (H, W)
     planes: jax.Array                # uint32 [P, T]
     host_rgb: np.ndarray             # uint8 [T, H, W, 3] for oracle rescore
+    device_planes: jax.Array | None = None  # mesh-sharded copy (lazy)
 
     @property
     def count(self) -> int:
@@ -235,10 +236,36 @@ def iter_target_shards(targets: Sequence[Neuron], *,
 
 
 class CDSearchEngine:
-    """All-pairs masked CDS scoring (pixel-match pass)."""
+    """All-pairs masked CDS scoring (pixel-match pass).
 
-    def __init__(self, params: CDSParams):
+    On a multi-device platform the target shards are automatically
+    distributed over a 1-D device mesh and scored with the shard_map
+    step (parallel/mesh.py); on one device the plain batched kernel
+    runs.  Both paths produce identical scores (tests/test_parallel.py).
+    """
+
+    def __init__(self, params: CDSParams, *, use_mesh: bool | None = None):
         self.params = params
+        if use_mesh is None:
+            use_mesh = len(jax.devices()) > 1
+        self._mesh = None
+        self._sharded_steps: dict = {}
+        if use_mesh and len(jax.devices()) > 1:
+            from colormipsearch_tpu.parallel import create_mesh
+
+            self._mesh = create_mesh()
+            LOG.info("scoring over a %d-device mesh",
+                     len(self._mesh.devices.ravel()))
+
+    def _sharded_step(self, n_straight: int, ztol):
+        from colormipsearch_tpu.parallel.mesh import make_sharded_batch_step
+
+        key = (n_straight, ztol)
+        if key not in self._sharded_steps:
+            self._sharded_steps[key] = make_sharded_batch_step(
+                self._mesh, target_threshold=self.params.data_threshold,
+                ztol_num=ztol[0], ztol_den=ztol[1], n_straight=n_straight)
+        return self._sharded_steps[key]
 
     MASK_BATCH = 8  # query plans scored per device dispatch
 
@@ -304,15 +331,31 @@ class CDSearchEngine:
                      session_ref_id) -> list[CDMatch]:
         p = self.params
         plans = [e[3] for e in batch]
-        best, mirrored, pair_flags = pixel_match.score_query_batch(
-            shard.planes,
-            jnp.asarray(np.stack([pl.positions for pl in plans])),
-            jnp.asarray(np.stack([pl.q_cls for pl in plans])),
-            jnp.asarray(np.stack([pl.q_s for pl in plans])),
-            jnp.asarray(np.stack([pl.q_p for pl in plans])),
-            target_threshold=p.data_threshold,
-            ztol_num=plans[0].ztol_num, ztol_den=plans[0].ztol_den,
-            n_straight=plans[0].n_straight)
+        args = (jnp.asarray(np.stack([pl.positions for pl in plans])),
+                jnp.asarray(np.stack([pl.q_cls for pl in plans])),
+                jnp.asarray(np.stack([pl.q_s for pl in plans])),
+                jnp.asarray(np.stack([pl.q_p for pl in plans])))
+        n_dev = (len(self._mesh.devices.ravel())
+                 if self._mesh is not None else 1)
+        if self._mesh is not None and shard.planes.shape[1] % n_dev == 0:
+            from colormipsearch_tpu.parallel import shard_target_planes
+
+            planes = shard.device_planes
+            if planes is None or getattr(shard, "_mesh", None) \
+                    is not self._mesh:
+                planes = shard_target_planes(self._mesh, shard.planes)
+                shard.device_planes = planes
+                shard._mesh = self._mesh
+            step = self._sharded_step(
+                plans[0].n_straight,
+                (plans[0].ztol_num, plans[0].ztol_den))
+            best, mirrored, pair_flags, _gmax = step(planes, *args)
+        else:
+            best, mirrored, pair_flags = pixel_match.score_query_batch(
+                shard.planes, *args,
+                target_threshold=p.data_threshold,
+                ztol_num=plans[0].ztol_num, ztol_den=plans[0].ztol_den,
+                n_straight=plans[0].n_straight)
         # drop the zero-padded target columns (see _target_bucket)
         best = np.asarray(best)[:, :shard.count]
         mirrored = np.asarray(mirrored)[:, :shard.count]
