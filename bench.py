@@ -30,9 +30,11 @@ MASK_TIF = f"{FIX}/1752016801-LPLC2-RT_18U.tif"
 TARGET_TIF = (f"{FIX}/GMR_31G04_AE_01-20190813_66_F3-40x-Brain-"
               "JRC2018_Unisex_20x_HR-2704505419467849826-CH2-07_CDM.tif")
 
-N_TARGETS = 512         # larger T amortizes per-row gather cost (1024 is unstable over the dev tunnel)
-N_MASK_REPEATS = 8
-MASK_BATCH = 8          # query plans per dispatch (the engine's batching)
+import os as _os
+
+N_TARGETS = int(_os.environ.get("CDS_BENCH_TARGETS", 512))
+N_MASK_REPEATS = int(_os.environ.get("CDS_BENCH_REPEATS", 8))
+MASK_BATCH = int(_os.environ.get("CDS_BENCH_MASK_BATCH", 8))
 BASELINE_ORACLE_TARGETS = 24
 REFERENCE_NODE_THREADS = 39  # submitCDSJob.sh:13-18 (2*20 cores - 1)
 
@@ -73,7 +75,9 @@ def build_device_planes(target_rgb: np.ndarray):
     h, w = target_rgb.shape[:2]
     rng = np.random.default_rng(0)
     shifts = rng.integers(0, [h, w], (N_TARGETS, 2)).astype(np.int32)
+    shifts[0] = 0  # one unshifted target guarantees a nonzero top score
     flips = (np.arange(N_TARGETS) % 2).astype(bool)
+    flips[0] = False
 
     base = jnp.asarray(target_rgb)
 

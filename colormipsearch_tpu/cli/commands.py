@@ -517,6 +517,9 @@ def _add_v2_variant_args(sp):
     sp.add_argument("--gradientSuffix", default="_gradient")
     sp.add_argument("--zgapPath", "-zgp", nargs="*", default=[])
     sp.add_argument("--zgapSuffix", default="_20pxRGB")
+    sp.add_argument("--perLibrarySubdir", default=None,
+                    help="also write results grouped per matched target "
+                         "(cmd_v2 AbstractColorDepthMatchArgs:88-92)")
 
 
 def configure_search_from_json(sp):
@@ -611,13 +614,19 @@ def _run_v2_search(args, masks, targets, mip_by_key) -> int:
     per_mask, _ = _out_dirs(args)
     if per_mask is None:
         per_mask = Path(".")
-    groups = v2_io.group_matches_by_source(rows)
-    for g in groups:
-        name = g.maskId or g.maskPublishedName or "results"
-        name = re.sub(r"[^A-Za-z0-9._-]", "_", name)
-        v2_io.write_cds_matches(g, per_mask / f"{name}.json",
-                                pretty=not args.noPrettyPrint)
-    LOG.info("wrote %d v2 result files to %s", len(groups), per_mask)
+
+    def write_groups(groups, out_dir):
+        for g in groups:
+            name = g.maskId or g.maskPublishedName or "results"
+            name = re.sub(r"[^A-Za-z0-9._-]", "_", name)
+            v2_io.write_cds_matches(g, out_dir / f"{name}.json",
+                                    pretty=not args.noPrettyPrint)
+        LOG.info("wrote %d v2 result files to %s", len(groups), out_dir)
+
+    write_groups(v2_io.group_matches_by_source(rows), per_mask)
+    if getattr(args, "perLibrarySubdir", None) and args.outputDir:
+        write_groups(v2_io.group_matches_by_target(rows),
+                     Path(args.outputDir) / args.perLibrarySubdir)
     return 0
 
 

@@ -255,6 +255,14 @@ def write_cds_matches(matches: CDSMatches, path, *, pretty=True) -> None:
         json.dump(matches.to_json(), f, indent=2 if pretty else None)
 
 
+def group_matches_by_target(rows: Sequence[V2Match]) -> list[CDSMatches]:
+    """Group per matched target (the v2 per-library files), inverting the
+    source/target roles in each row."""
+    inverted = [dataclasses.replace(r, source=r.target, target=r.source)
+                for r in rows]
+    return group_matches_by_source(inverted)
+
+
 def group_matches_by_source(rows: Sequence[V2Match]) -> list[CDSMatches]:
     """Group flat rows into per-mask CDSMatches
     (ColorMIPSearchResultUtils grouping)."""
