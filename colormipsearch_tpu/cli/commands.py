@@ -428,6 +428,12 @@ def configure_create_data_input(sp):
     sp.add_argument("--gradient-suffix", default="_gradient")
     sp.add_argument("--zgap-location", nargs="*", default=[])
     sp.add_argument("--zgap-suffix", default="_20pxRGB")
+    sp.add_argument("--segmented-mips", nargs="*", default=[],
+                    help="segmented/searchable image locations; each "
+                         "matching image becomes a searchable neuron "
+                         "entry (MIPsHandlingUtils.lookupSearchable...)")
+    sp.add_argument("--segmentation-channel-base", type=int, default=1)
+    sp.add_argument("--match-neuron-state", action="store_true")
     sp.add_argument("--output-filename", default=None)
     sp.add_argument("--mips-storage", dest="mipsStorage",
                     choices=["FS", "DB"], default="FS")
@@ -446,6 +452,33 @@ def cmd_create_data_input(args) -> int:
     neurons = mips_io.neurons_from_image_files(
         files, library_name=lib, alignment_space=args.alignment_space,
         neuron_cls=cls)
+    if args.segmented_mips:
+        # expand each source MIP into one searchable neuron per matching
+        # segmented image (CreateCDSDataInputCmd --segmented-mips)
+        import dataclasses as _dc
+
+        from colormipsearch_tpu.io import naming
+
+        index = naming.index_segmented_images(args.segmented_mips)
+        expanded = []
+        for n in neurons:
+            src = n.compute_file(ComputeFileType.InputColorDepthImage)
+            n.set_compute_file(
+                ComputeFileType.SourceColorDepthImage, src)
+            found = naming.lookup_searchable_images(
+                n, index, channel_base=args.segmentation_channel_base,
+                match_neuron_state=args.match_neuron_state)
+            if not found:
+                expanded.append(n)
+                continue
+            for fd2 in found:
+                dup = _dc.replace(
+                    n, compute_files=dict(n.compute_files),
+                    tags=set(n.tags))
+                dup.set_compute_file(
+                    ComputeFileType.InputColorDepthImage, fd2)
+                expanded.append(dup)
+        neurons = expanded
     for n in neurons:
         fd = n.compute_file(ComputeFileType.InputColorDepthImage)
         if args.gradients_location:
