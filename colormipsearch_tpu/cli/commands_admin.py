@@ -153,6 +153,7 @@ def configure_validate(sp):
 def cmd_validate(args) -> int:
     """Consistency checks over neuron metadata: missing/unreadable compute
     files, duplicate mip ids (ValidateNBDBDataCmd, offline subset)."""
+    dangling = 0
     if args.resultsStorage == "DB":
         from colormipsearch_tpu.persist import Config, DaosProvider
         from colormipsearch_tpu.persist.requests import NeuronSelector
@@ -160,6 +161,15 @@ def cmd_validate(args) -> int:
         daos = DaosProvider(Config(args.configFile))
         neurons = daos.neuron_metadata_dao.find_neurons(NeuronSelector())
         sources = {"DB": neurons}
+        # match integrity: every cdMatch must reference existing neurons
+        known = {str(n.entity_id) for n in neurons}
+        for doc in daos.cd_matches_dao._col.find({}):
+            for side in ("maskImageRefId", "matchedImageRefId"):
+                ref = doc.get(side)
+                if ref is not None and ref not in known:
+                    dangling += 1
+                    LOG.warning("match %s has dangling %s %s",
+                                doc.get("_id"), side, ref)
     else:
         sources = {src: read_neurons_json(src) for src in args.input}
 
@@ -192,7 +202,8 @@ def cmd_validate(args) -> int:
             write_neurons_json(neurons, src)
     print(json.dumps({"neuronsChecked": sum(len(v) for v in
                                             sources.values()),
-                      "neuronsWithErrors": total_errors}))
+                      "neuronsWithErrors": total_errors,
+                      "danglingMatchRefs": dangling}))
     return 0
 
 

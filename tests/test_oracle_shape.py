@@ -21,6 +21,7 @@ def test_normalized_score_goldens():
     assert abs(normalized_score(636, 0, 1644, 679, 1107088) - 46833.58) < 0.1
     assert abs(normalized_score(636, 0, 1644, 679, 1114361) - 46833.58) < 0.1
     assert abs(normalized_score(795, 0, 93, 875, 1606182) - 45428.57) < 0.1
+    assert abs(normalized_score(795, 0, 93, 875, 1606182) - 45428.57) < 0.1
 
 
 def test_normalized_score_degenerate():
