@@ -135,6 +135,10 @@ def configure_color_depth_search(sp):
     sp.add_argument("--targets-terms", nargs="*", default=None)
     sp.add_argument("--excluded-masks-terms", nargs="*", default=None)
     sp.add_argument("--excluded-targets-terms", nargs="*", default=None)
+    sp.add_argument("--excluded-mips", nargs="*", default=None,
+                    help="mip ids (or @files listing them) to skip — the "
+                         "resume mechanism of partial re-runs "
+                         "(README.md:208-232)")
     sp.add_argument("--alignment-space", "-as", default=None)
     sp.add_argument("--processing-tag", dest="processingTag", default="")
     sp.add_argument("--mips-storage", dest="mipsStorage",
@@ -145,6 +149,29 @@ def configure_color_depth_search(sp):
                     action="store_true")
     _add_cds_params(sp)
     _add_output_args(sp)
+
+
+def _load_excluded_mips(specs) -> set:
+    """Excluded mip ids, given inline or as @file lists (one id per line
+    or a JSON array of ids/neurons)."""
+    import json as _json
+
+    out: set = set()
+    for spec in specs or ():
+        if spec.startswith("@"):
+            with open(spec[1:]) as f:
+                text = f.read().strip()
+            if text.startswith("["):
+                for item in _json.loads(text):
+                    out.add(item if isinstance(item, str)
+                            else item.get("mipId") or item.get("id"))
+            else:
+                out.update(line.strip() for line in text.splitlines()
+                           if line.strip())
+        else:
+            out.add(spec)
+    out.discard(None)
+    return out
 
 
 def _read_neuron_sources(specs, index, length, tags, names,
@@ -224,6 +251,10 @@ def cmd_color_depth_search(args) -> int:
             args.targets_tags, args.targets_published_names,
             args.targets_datasets, args.targets_terms,
             args.excluded_targets_terms)
+    excluded = _load_excluded_mips(args.excluded_mips)
+    if excluded:
+        masks = [m for m in masks if m.mip_id not in excluded]
+        targets = [t for t in targets if t.mip_id not in excluded]
     LOG.info("colorDepthSearch: %d masks x %d targets", len(masks), len(targets))
     params = _cds_params(args)
     engine = CDSearchEngine(params)
