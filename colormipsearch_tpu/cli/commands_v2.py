@@ -132,7 +132,7 @@ def cmd_gradient_score_v2(args) -> int:
             try:
                 t_rgb = mips_io.load_image(t_fd).as_rgb()
                 grad_img = mips_io.load_image(grad_fd).pixels
-            except (OSError, FileNotFoundError):
+            except (OSError, FileNotFoundError, ValueError):
                 continue
             if grad_img.ndim == 3:
                 grad_img = grad_img.astype(np.int32).max(axis=-1)
