@@ -281,12 +281,17 @@ class CDSearchEngine:
         p = self.params
         tags = set(tags)
 
+        import concurrent.futures
+
         # precompute all query plans, grouped by (shape, padded Q) so a
-        # whole group goes through one batched dispatch
+        # whole group goes through one batched dispatch; mask decodes run
+        # on a thread pool (native decode + PIL release the GIL)
         groups: dict[tuple, list] = {}
-        for mask in masks:
-            mask_mip = mips_io.load_compute_file(
-                mask, ComputeFileType.InputColorDepthImage)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            mask_mips = list(pool.map(
+                lambda m: mips_io.load_compute_file(
+                    m, ComputeFileType.InputColorDepthImage), masks))
+        for mask, mask_mip in zip(masks, mask_mips):
             if not mask_mip.has_image:
                 LOG.warning("mask %s has no loadable image", mask.mip_id)
                 continue
