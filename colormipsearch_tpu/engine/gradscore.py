@@ -56,7 +56,7 @@ class GradScoreEngine:
                 continue
             mask_rgb = mask_mip.image.as_rgb()
             h, w = mask_rgb.shape[:2]
-            region = self.params.excluded_region(h, w)
+            region = self.params.shape_excluded_region(h, w)
             loaded = self._load_group_targets(group, (h, w), region)
             if self.use_device:
                 n_ok = self._score_group_device(
