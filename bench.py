@@ -90,7 +90,15 @@ def build_device_planes(target_rgb: np.ndarray):
         stack = jax.vmap(one)(sh, fl)
         return common.pack_target_planes(stack)
 
-    planes = make_planes(base, jnp.asarray(shifts), jnp.asarray(flips))
+    # chunked so the uint8 [chunk, H, W, 3] intermediate stays small —
+    # large transient allocations destabilize the dev tunnel
+    chunk = 64
+    parts = []
+    for i in range(0, N_TARGETS, chunk):
+        p = make_planes(base, jnp.asarray(shifts[i:i + chunk]),
+                        jnp.asarray(flips[i:i + chunk]))
+        parts.append(jax.block_until_ready(p))
+    planes = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     return jax.block_until_ready(planes)
 
 
