@@ -62,9 +62,38 @@ def cmd_export_data(args) -> int:
     if args.exported_result_type in ("EM_MIPS", "LM_MIPS"):
         return _export_mips(args, out_dir, pretty)
     if args.exported_result_type == "EM_PPP_MATCHES":
-        LOG.error("PPP export requires imported pppMatches; use "
-                  "importPPPResults output as --matches")
+        return _export_ppp_matches(args, out_dir, pretty)
     return _export_cd_matches(args, out_dir, pretty)
+
+
+def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
+    """Per-EM PPP publish files (cmd/dataexport/EMPPPMatchesExporter):
+    reads importPPPResults output (grouped per EM) and maps to the
+    PPPMatchedTarget dto shape."""
+    from colormipsearch_tpu.model.entities import PPPMatch
+
+    n = 0
+    for f in JSONMatchesReader.list_matches_locations(args.matches):
+        with open(f) as fh:
+            doc = json.load(fh)
+        from colormipsearch_tpu.model import neuron_from_json
+
+        em = neuron_from_json(doc["inputImage"]) \
+            if doc.get("inputImage") else None
+        if em is None:
+            continue
+        results = []
+        for rd in doc.get("results", ()):
+            m = PPPMatch.from_json(rd)
+            m.mask_image = em
+            results.append(dto.ppp_match_to_dto(m))
+        publish = dto.result_matches_json(dto.neuron_metadata(em), results)
+        name = em.published_name or em.mip_id or Path(f).stem
+        with open(out_dir / f"{name}.json", "w") as fh:
+            json.dump(publish, fh, indent=2 if pretty else None)
+        n += 1
+    LOG.info("exported %d PPP publish files to %s", n, out_dir)
+    return 0
 
 
 def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:

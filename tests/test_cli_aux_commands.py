@@ -143,3 +143,19 @@ def test_tag_command(tmp_path):
     tags = {n.mip_id: n.tags for n in back}
     assert tags["a"] == {"v1"}
     assert tags["b"] == set()
+
+
+def test_export_ppp_matches(tmp_path):
+    imported = tmp_path / "ppp"
+    run_cli("importPPPResults", "-rd", PPP_FIXTURES,
+            "--em-library", "hemibrain", "--lm-library", "mcfo",
+            "-od", imported)
+    out = tmp_path / "publish"
+    run_cli("exportData", "--exported-result-type", "EM_PPP_MATCHES",
+            "--matches", imported, "-od", out)
+    doc = json.loads((out / "1599747200.json").read_text())
+    assert doc["inputImage"]["type"] == "EMImage"
+    res = doc["results"]
+    assert res and res[0]["type"] == "PPPMatch"
+    assert "pppmRank" in res[0]
+    assert res[0]["image"]["type"] == "LMImage"
