@@ -46,6 +46,10 @@ def configure_export_data(sp):
     sp.add_argument("--mips", nargs="*", default=[],
                     help="neuron JSON files (for *_MIPS exports)")
     sp.add_argument("--relative-url-index", type=int, default=1)
+    sp.add_argument("--published-urls", dest="publishedURLs", default=None,
+                    help="JSON file {mipId: {FileType: url}} merged into "
+                         "exported neuron files (the offline stand-in for "
+                         "the publishedURLs collection / JACS enrichment)")
     sp.add_argument("-od", "--outputDir", required=True)
     sp.add_argument("--subdir", default=None)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
@@ -58,6 +62,10 @@ def cmd_export_data(args) -> int:
         out_dir = out_dir / args.subdir
     out_dir.mkdir(parents=True, exist_ok=True)
     pretty = not args.noPrettyPrint
+    args._url_map = {}
+    if getattr(args, "publishedURLs", None):
+        with open(args.publishedURLs) as f:
+            args._url_map = json.load(f)
 
     if args.exported_result_type in ("EM_MIPS", "LM_MIPS"):
         return _export_mips(args, out_dir, pretty)
@@ -136,14 +144,31 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
         if not selected:
             continue
         input_meta = dto.neuron_metadata(selected[0].mask_image)
-        doc = dto.result_matches_json(
-            input_meta, [dto.cd_match_to_dto(m) for m in selected])
+        _apply_urls(input_meta, selected[0].mask_image, args._url_map)
+        rows = []
+        for m in selected:
+            row = dto.cd_match_to_dto(m)
+            _apply_urls(row.target, m.matched_image, args._url_map)
+            rows.append(row)
+        doc = dto.result_matches_json(input_meta, rows)
         with open(out_dir / f"{name}.json", "w") as f:
             json.dump(doc, f, indent=2 if pretty else None)
         n += 1
     LOG.info("exported %d publish files to %s (%d invalid matches "
              "skipped)", n, out_dir, n_invalid)
     return 0
+
+
+def _apply_urls(meta, neuron, url_map: dict) -> None:
+    """Merge published URLs for a neuron's mip into its files map
+    (the CachedDataHelper / publishedURLs enrichment of the reference's
+    exporters, from an offline map)."""
+    if not url_map or neuron is None:
+        return
+    urls = url_map.get(neuron.mip_id) or \
+        url_map.get(neuron.published_name or "")
+    if urls:
+        meta.files = {**urls, **meta.files}
 
 
 def _validate_for_export(m) -> list[str]:

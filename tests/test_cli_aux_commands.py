@@ -159,3 +159,28 @@ def test_export_ppp_matches(tmp_path):
     assert res and res[0]["type"] == "PPPMatch"
     assert "pppmRank" in res[0]
     assert res[0]["image"]["type"] == "LMImage"
+
+
+def test_export_with_published_urls(tmp_path):
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+
+    em = EMNeuron(mip_id="em1", published_name="777",
+                  library_name="FlyEM", alignment_space="AS")
+    lm = LMNeuron(mip_id="lm1", published_name="lineQ",
+                  library_name="MCFO", slide_code="sc")
+    m = CDMatch(mask_image=em, matched_image=lm, matching_pixels=10,
+                matching_pixels_ratio=0.1, normalized_score=5.0)
+    matches_dir = tmp_path / "m"
+    JSONMatchesWriter(per_masks_dir=matches_dir).write([m])
+    urls = tmp_path / "urls.json"
+    urls.write_text(json.dumps({
+        "em1": {"CDM": "https://s3/em.png",
+                "CDMThumbnail": "https://s3/em.jpg"},
+        "lm1": {"CDM": "https://s3/lm.png"}}))
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--matches", matches_dir, "--published-urls", urls, "-od", out)
+    doc = json.loads((out / "777.json").read_text())
+    assert doc["inputImage"]["files"]["CDM"] == "https://s3/em.png"
+    assert doc["results"][0]["image"]["files"]["CDM"] == "https://s3/lm.png"
