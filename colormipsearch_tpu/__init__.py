@@ -16,12 +16,19 @@ __version__ = "0.1.0"
 from colormipsearch_tpu.engine.cds import CDSParams
 
 
-def color_depth_search(masks, targets, params=None, **kwargs):
+def color_depth_search(masks, targets, params=None, *, neg_query=None,
+                       neg_query_threshold=None, mirror_neg_query=False,
+                       **kwargs):
     """All-pairs pixel-match search; returns CDMatch entities.
 
     Args:
       masks/targets: Neuron entities (see model/) or image file paths.
       params: CDSParams (defaults to production-like values).
+      neg_query: optional negative-query image (path or uint8 RGB array)
+        whose matches are subtracted from every mask's score
+        (PixelMatchColorDepthSearchAlgorithm.java:195-217).
+      neg_query_threshold / mirror_neg_query: negative-query variant of
+        the mask threshold / mirror flags.
       kwargs: forwarded to CDSearchEngine.find_all_matches.
     """
     from colormipsearch_tpu.engine.cds import CDSearchEngine
@@ -38,7 +45,18 @@ def color_depth_search(masks, targets, params=None, **kwargs):
             out.extend(mips_io.neurons_from_image_files(fds))
         return out
 
-    engine = CDSearchEngine(params or CDSParams())
+    neg_rgb = None
+    if neg_query is not None:
+        import numpy as _np
+        if isinstance(neg_query, _np.ndarray):
+            neg_rgb = neg_query
+        else:
+            from colormipsearch_tpu.io.image import read_image
+            neg_rgb = read_image(str(neg_query)).as_rgb()
+
+    engine = CDSearchEngine(params or CDSParams(), neg_query_rgb=neg_rgb,
+                            neg_query_threshold=neg_query_threshold,
+                            mirror_neg_query=mirror_neg_query)
     return engine.find_all_matches(to_neurons(masks), to_neurons(targets),
                                    **kwargs)
 

@@ -259,8 +259,18 @@ class CDSearchEngine:
     runs.  Both paths produce identical scores (tests/test_parallel.py).
     """
 
-    def __init__(self, params: CDSParams, *, use_mesh: bool | None = None):
+    def __init__(self, params: CDSParams, *, use_mesh: bool | None = None,
+                 neg_query_rgb: np.ndarray | None = None,
+                 neg_query_threshold: int | None = None,
+                 mirror_neg_query: bool = False):
         self.params = params
+        # optional negative query applied to every mask
+        # (PixelMatchColorDepthSearchAlgorithm:29-57 negQueryImage)
+        self.neg_query_rgb = neg_query_rgb
+        self.neg_query_threshold = (params.mask_threshold
+                                    if neg_query_threshold is None
+                                    else neg_query_threshold)
+        self.mirror_neg_query = mirror_neg_query
         if use_mesh is None:
             use_mesh = len(jax.devices()) > 1
         self._mesh = None
@@ -320,8 +330,19 @@ class CDSearchEngine:
                 excluded_region=region)
             if plan.query_size == 0:
                 continue
-            key = ((h, w), plan.positions.shape[1])
-            groups.setdefault(key, []).append((mask, mask_rgb, region, plan))
+            neg_plan = None
+            if self.neg_query_rgb is not None:
+                neg_plan = pixel_match.build_neg_query_plan(
+                    mask_rgb, p.mask_threshold,
+                    self.neg_query_rgb, self.neg_query_threshold,
+                    mirror_neg_query=self.mirror_neg_query,
+                    xy_shift=p.xy_shift,
+                    pix_color_fluctuation=p.pix_color_fluctuation,
+                    excluded_region=region)
+            key = ((h, w), plan.positions.shape[1],
+                   None if neg_plan is None else neg_plan.positions.shape[1])
+            groups.setdefault(key, []).append(
+                (mask, mask_rgb, region, plan, neg_plan))
 
         matches: list[CDMatch] = []
         n_targets = 0
@@ -330,7 +351,7 @@ class CDSearchEngine:
             # tile overlapping the scoring of the current one
             for shard in iter_target_shards(list(targets)):
                 n_targets += shard.count
-                for (shape, _), entries in groups.items():
+                for (shape, *_), entries in groups.items():
                     if shape != shard.shape:
                         # the reference requires target size == query size
                         continue
@@ -376,39 +397,80 @@ class CDSearchEngine:
                 target_threshold=p.data_threshold,
                 ztol_num=plans[0].ztol_num, ztol_den=plans[0].ztol_den,
                 n_straight=plans[0].n_straight)
+        # optional negative-query pass: same batched kernel over the
+        # per-mask neg plans; the overall max (straight vs mirrored)
+        # is the negative score to subtract
+        neg_plans = [e[4] for e in batch]
+        neg_best = neg_flags = None
+        if neg_plans[0] is not None:
+            # the group key pins the padded neg width, so a batch either
+            # has neg plans for every mask or for none
+            ref = neg_plans[0]
+            stacked = neg_plans
+            nb, _nm, nf = pixel_match.score_query_batch(
+                shard.planes,
+                jnp.asarray(np.stack([pl.positions for pl in stacked])),
+                jnp.asarray(np.stack([pl.q_cls for pl in stacked])),
+                jnp.asarray(np.stack([pl.q_s for pl in stacked])),
+                jnp.asarray(np.stack([pl.q_p for pl in stacked])),
+                target_threshold=p.data_threshold,
+                ztol_num=ref.ztol_num, ztol_den=ref.ztol_den,
+                n_straight=ref.n_straight)
+            neg_best = np.maximum(np.asarray(nb), 0)[:, :shard.count]
+            neg_flags = np.asarray(nf)[:, :shard.count]
+
         # drop the zero-padded target columns (see _target_bucket)
         best = np.asarray(best)[:, :shard.count]
         mirrored = np.asarray(mirrored)[:, :shard.count]
         pair_flags = np.asarray(pair_flags)[:, :shard.count]
 
         out: list[CDMatch] = []
-        for b, (mask, mask_rgb, region, plan) in enumerate(batch):
+        for b, (mask, mask_rgb, region, plan, neg_plan) in enumerate(batch):
+            flags_b = pair_flags[b]
+            if neg_flags is not None and neg_plans[b] is not None:
+                flags_b = flags_b + neg_flags[b]
             out.extend(self._emit_matches(
                 mask, mask_rgb, region, plan, shard,
-                best[b], mirrored[b], pair_flags[b], tags, session_ref_id))
+                best[b], mirrored[b], flags_b, tags, session_ref_id,
+                neg_plan=neg_plan,
+                neg_best=None if neg_plan is None or neg_best is None
+                else neg_best[b]))
         return out
 
     def _emit_matches(self, mask, mask_rgb, region, plan, shard,
                       best, mirrored, pair_flags, tags,
-                      session_ref_id) -> list[CDMatch]:
+                      session_ref_id, *, neg_plan=None,
+                      neg_best=None) -> list[CDMatch]:
         p = self.params
         oracle = None  # lazy: only when an ambiguous pair appears
         out: list[CDMatch] = []
         for t_idx in np.flatnonzero(best > 0):
             score = int(best[t_idx])
             is_mirrored = bool(mirrored[t_idx])
+            ratio = score / plan.query_size
+            if neg_best is not None:
+                # Java Math.round(double) == floor(x + 0.5)
+                neg = int(neg_best[t_idx])
+                score = int(np.floor(
+                    float(score)
+                    - float(neg) * plan.query_size / neg_plan.query_size
+                    + 0.5))
+                ratio -= neg / neg_plan.query_size
             if pair_flags[t_idx] > 0:
                 if oracle is None:
                     oracle = PixelMatchOracle(
                         mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
                         target_threshold=p.data_threshold,
                         z_tolerance=p.pix_color_fluctuation / 100,
-                        xy_shift=p.xy_shift, excluded_region=region)
+                        xy_shift=p.xy_shift, excluded_region=region,
+                        neg_query_rgb=self.neg_query_rgb,
+                        neg_query_threshold=self.neg_query_threshold,
+                        mirror_neg_query=self.mirror_neg_query)
                 res = oracle.score(shard.host_rgb[t_idx])
                 score, is_mirrored = res.matching_pixels, res.mirrored
-                if score == 0:
+                ratio = res.matching_pixels_ratio
+                if score <= 0:
                     continue
-            ratio = score / plan.query_size
             if not (score > 0 and ratio > p.pct_positive_pixels / 100):
                 continue
             target = shard.neurons[t_idx]

@@ -144,6 +144,67 @@ def build_query_plan(query_rgb: np.ndarray, query_threshold: int, *,
     return QueryPlan(pos, q_cls, q_s, q_p, q, n_straight, mirror, a, b)
 
 
+def build_neg_query_plan(query_rgb: np.ndarray, query_threshold: int,
+                         neg_query_rgb: np.ndarray, neg_query_threshold: int,
+                         *, mirror_neg_query: bool, xy_shift: int,
+                         pix_color_fluctuation,
+                         excluded_region: np.ndarray | None = None,
+                         pad_to: int | None = None) -> QueryPlan | None:
+    """Build the negative-query plan for device scoring.
+
+    Reference semantics (PixelMatchColorDepthSearchAlgorithm:36-57,195-217):
+    the negative pass reads SOURCE pixels from the negative image at the
+    POSITIVE query's positions, zipped with the shifted NEGATIVE query
+    position arrays as target lookups, truncated to the shorter length.
+    The returned plan's ``query_size`` is the TRUE negative-query
+    foreground size (the divisor of the score subtraction), which may
+    exceed the padded zip length.  Returns None when either side is empty.
+    """
+    h, w = query_rgb.shape[:2]
+    fg = (query_rgb > query_threshold).any(axis=-1)
+    neg_fg = (neg_query_rgb > neg_query_threshold).any(axis=-1)
+    if excluded_region is not None:
+        fg &= ~excluded_region
+        neg_fg &= ~excluded_region
+    positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
+    neg_positions = np.flatnonzero(neg_fg.reshape(-1)).astype(np.int64)
+    neg_query_size = int(neg_positions.size)
+    size = min(positions.size, neg_query_size)
+    if size == 0:
+        return None
+
+    ncls, ns, np_ = oracle_pixel.classify_rgb(neg_query_rgb.reshape(-1, 3))
+    src = positions[:size]
+    q_cls = ncls[src].astype(np.int32)
+    q_s = ns[src].astype(np.int32)
+    q_p = np_[src].astype(np.int32)
+
+    x = neg_positions % w
+    y = neg_positions // w
+    variants = []
+    for dx, dy in oracle_pixel.shift_offsets(xy_shift):
+        nx, ny = x + dx, y + dy
+        ok = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
+        variants.append(np.where(ok, ny * w + nx, -1)[:size])
+    n_straight = len(variants)
+    if mirror_neg_query:
+        for v in list(variants):
+            vx = v % w
+            variants.append(np.where(v < 0, -1, v + (w - 1) - 2 * vx))
+    pos = np.stack(variants).astype(np.int32)
+
+    q_pad = pad_to if pad_to is not None else _bucket(size)
+    if q_pad > size:
+        pos = np.pad(pos, ((0, 0), (0, q_pad - size)), constant_values=-1)
+        q_cls = np.pad(q_cls, (0, q_pad - size))
+        q_s = np.pad(q_s, (0, q_pad - size))
+        q_p = np.pad(q_p, (0, q_pad - size))
+
+    a, b = common.ztol_fraction(pix_color_fluctuation)
+    return QueryPlan(pos, q_cls, q_s, q_p, neg_query_size, n_straight,
+                     mirror_neg_query, a, b)
+
+
 def _bucket(q: int, minimum: int = 512) -> int:
     """Pad query sizes to power-of-two buckets to bound recompilation."""
     n = minimum

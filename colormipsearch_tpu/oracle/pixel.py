@@ -141,9 +141,14 @@ def pixel_gap(c1, r1, c2, r2):
 def shift_offsets(xy_shift: int):
     """Enumerate the xy-shift variants of the reference.
 
-    For each even radius i in 2..xy_shift, all 9 combinations of
-    (dx, dy) in {-i, 0, i}^2 in the reference's loop order; radius 0 only
-    when xy_shift == 0 (reference generateShiftedMasks:113-130).
+    For the first even radius (2), all 9 combinations of (dx, dy) in
+    {-2, 0, 2}^2 in the reference's loop order; each further even radius
+    i <= xy_shift adds its 8 non-identity offsets.  Total
+    1 + (xy_shift/2)*8 — the variant-count the reference sizes its arrays
+    for (generateShiftedMasks:113-130; its literal loop would emit the
+    (0,0) identity once per radius, overflowing its own nshifts-sized
+    array for xy_shift > 2, so de-duplicating the identity is both the
+    intended semantics and one less gather pass per extra radius).
     """
     if xy_shift <= 0:
         return [(0, 0)]
@@ -151,6 +156,8 @@ def shift_offsets(xy_shift: int):
     for i in range(2, xy_shift + 1, 2):
         for dx in (-i, 0, i):
             for dy in (-i, 0, i):
+                if (dx, dy) == (0, 0) and i > 2:
+                    continue
                 out.append((dx, dy))
     return out
 
@@ -194,7 +201,9 @@ class PixelMatchOracle:
 
     def __init__(self, query_rgb: np.ndarray, query_threshold: int,
                  *, mirror: bool, target_threshold: int, z_tolerance: float,
-                 xy_shift: int, excluded_region: np.ndarray | None = None):
+                 xy_shift: int, excluded_region: np.ndarray | None = None,
+                 neg_query_rgb: np.ndarray | None = None,
+                 neg_query_threshold: int = 0, mirror_neg_query: bool = False):
         assert query_rgb.ndim == 3 and query_rgb.shape[-1] == 3
         h, w = query_rgb.shape[:2]
         self.height, self.width = h, w
@@ -231,7 +240,46 @@ class PixelMatchOracle:
         else:
             self.mirror_variants = None
 
-    def _score_variants(self, t_cls, t_ratio, t_fgmax, variants) -> np.ndarray:
+        # Negative-query state (PixelMatchColorDepthSearchAlgorithm:36-57,
+        # 195-217).  The neg pass zips the POSITIVE query positions (source
+        # pixels read from the negative image) with the shifted NEGATIVE
+        # query position arrays (target lookups), truncated to the shorter
+        # of the two (calculateScore's min-length loop :239).
+        self.neg_query_size = 0
+        if neg_query_rgb is not None:
+            assert neg_query_rgb.shape[:2] == (h, w)
+            neg_fg = (neg_query_rgb > neg_query_threshold).any(axis=-1)
+            if excluded_region is not None:
+                neg_fg &= ~excluded_region
+            neg_positions = np.flatnonzero(neg_fg.reshape(-1)).astype(np.int64)
+            self.neg_query_size = int(neg_positions.size)
+            size = min(self.query_size, self.neg_query_size)
+            ncls, ns, np_ = classify_rgb(neg_query_rgb.reshape(-1, 3))
+            nr = ratio_f64(ncls, ns, np_)
+            src = self.positions[:size]
+            self.neg_src_cls = ncls[src]
+            self.neg_src_ratio = nr[src]
+            nx = neg_positions % w
+            ny = neg_positions // w
+            shifted = []
+            for dx, dy in shift_offsets(xy_shift):
+                sx, sy = nx + dx, ny + dy
+                ok = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+                shifted.append(np.where(ok, sy * w + sx, -1)[:size])
+            self.neg_variants = np.stack(shifted) if shifted else \
+                np.zeros((1, 0), np.int64)
+            if mirror_neg_query:
+                vx = self.neg_variants % w
+                self.neg_mirror_variants = np.where(
+                    self.neg_variants < 0, -1,
+                    self.neg_variants + (w - 1) - 2 * vx)
+            else:
+                self.neg_mirror_variants = None
+
+    def _score_variants(self, t_cls, t_ratio, t_fgmax, variants,
+                        src_cls=None, src_ratio=None) -> np.ndarray:
+        if src_cls is None:
+            src_cls, src_ratio = self.q_cls, self.q_ratio
         scores = np.zeros(len(variants), dtype=np.int64)
         for i, pos in enumerate(variants):
             ok = pos >= 0
@@ -239,7 +287,7 @@ class PixelMatchOracle:
             sel = t_fgmax[tp] > self.target_threshold
             if not sel.any():
                 continue
-            gaps = pixel_gap(self.q_cls[ok][sel], self.q_ratio[ok][sel],
+            gaps = pixel_gap(src_cls[ok][sel], src_ratio[ok][sel],
                              t_cls[tp][sel], t_ratio[tp][sel])
             scores[i] = int(np.count_nonzero(gaps <= self.z_tolerance))
         return scores
@@ -264,9 +312,27 @@ class PixelMatchOracle:
             m = int(mirror_scores.max(initial=0))
             if m > best:
                 best, mirrored = m, True
+        ratio = best / self.query_size
+        if self.neg_query_size > 0:
+            # score subtraction: maxMatchingPixels -= round(negMax *
+            # querySize / negQuerySize); the mirrored flag is decided by
+            # the positive pass only (calculateMatchingScore:195-217)
+            neg_max = int(self._score_variants(
+                t_cls, t_ratio, t_fgmax, self.neg_variants,
+                self.neg_src_cls, self.neg_src_ratio).max(initial=0))
+            if self.neg_mirror_variants is not None:
+                neg_max = max(neg_max, int(self._score_variants(
+                    t_cls, t_ratio, t_fgmax, self.neg_mirror_variants,
+                    self.neg_src_cls, self.neg_src_ratio).max(initial=0)))
+            # Java Math.round(double) == floor(x + 0.5)
+            best = int(np.floor(
+                float(best)
+                - float(neg_max) * self.query_size / self.neg_query_size
+                + 0.5))
+            ratio -= neg_max / self.neg_query_size
         return PixelMatchResult(
             matching_pixels=best,
-            matching_pixels_ratio=best / self.query_size,
+            matching_pixels_ratio=ratio,
             mirrored=mirrored,
             per_variant=straight,
             per_variant_mirror=mirror_scores,
