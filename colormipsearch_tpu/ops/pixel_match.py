@@ -252,6 +252,69 @@ def _adj_rule_tables():
     return tc, qms, qmp, qless, tms, tmp_, tless, sign, offs
 
 
+def element_predicate(q_cls, q_s, q_p, t_cls, t_s, t_p, t_max, *,
+                      target_threshold: int, ztol_num: int, ztol_den: int):
+    """Elementwise match predicate on pixel summaries (broadcastable).
+
+    The single source of truth for the device decision: returns
+    (match, flag) bool arrays where `flag` marks ambiguity-band pixels
+    whose verdict must be re-checked by the float64 oracle.  Used by the
+    hot kernel below AND validated exhaustively over every achievable
+    ratio pair by the `-m slow` suite (tests/test_slow_exhaustive.py)
+    against the reference semantics of
+    cds/AbstractColorDepthSearchAlgorithm.calculatePixelGap:157-390.
+    """
+    a, b = ztol_num, ztol_den
+    use_int_same = b <= _MAX_INT_DENOM
+    ztol_f32 = jnp.float32(a / b)
+    band = jnp.float32(ADJ_BAND)
+
+    q_r = q_s.astype(jnp.float32) / jnp.maximum(q_p, 1).astype(jnp.float32)
+    tc_t, qms_t, qmp_t, qless_t, tms_t, tmp_t, tless_t, sign_t, offs_t = \
+        (jnp.asarray(t) for t in _adj_rule_tables())
+
+    valid = t_max > target_threshold
+
+    same = (q_cls == t_cls) & (q_cls > 0) & (q_s >= 1) & (t_s >= 1)
+    if use_int_same:
+        d = jnp.abs(q_s * t_p - t_s * q_p)
+        lhs = d * b
+        rhs = a * (q_p * t_p)
+        m_same = same & (lhs <= rhs)
+        f_same = same & (lhs == rhs)
+    else:
+        t_r32 = t_s.astype(jnp.float32) / \
+            jnp.maximum(t_p, 1).astype(jnp.float32)
+        gap = jnp.abs(t_r32 - q_r)
+        m_same = same & (gap <= ztol_f32)
+        f_same = same & (jnp.abs(gap - ztol_f32) < band)
+
+    t_r = t_s.astype(jnp.float32) / jnp.maximum(t_p, 1).astype(jnp.float32)
+    ssum = q_r + t_r
+    m_adj = jnp.zeros_like(same)
+    f_adj = jnp.zeros_like(same)
+    for k in (0, 1):
+        # query-side precondition (exact ints), folded into the rule's
+        # target class (0 = rule disabled for this query pixel)
+        qms = qms_t[q_cls, k]
+        qmp = qmp_t[q_cls, k]
+        q_lhs = qms * q_s - qmp * q_p
+        pre_q = jnp.where(qless_t[q_cls, k], q_lhs < 0, q_lhs > 0)
+        rule_tc = jnp.where(pre_q, tc_t[q_cls, k], 0)
+        # target-side precondition (exact ints; 0 excluded by design:
+        # all table preconditions are strict inequalities)
+        t_lhs = tms_t[q_cls, k] * t_s - tmp_t[q_cls, k] * t_p
+        pre_t = jnp.where(tless_t[q_cls, k], t_lhs < 0, t_lhs > 0)
+        sel = (t_cls == rule_tc) & (t_cls > 0) & pre_t
+        gap = sign_t[q_cls, k] * ssum + offs_t[q_cls, k]
+        m_adj |= sel & (gap <= ztol_f32)
+        f_adj |= sel & (jnp.abs(gap - ztol_f32) < band)
+
+    match = valid & (m_same | m_adj)
+    flag = valid & (f_same | f_adj)
+    return match, flag
+
+
 def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
                                    q_cls: jax.Array, q_s: jax.Array,
                                    q_p: jax.Array, *, target_threshold: int,
@@ -269,79 +332,18 @@ def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
       scores: int32 [V, T] matching-pixel counts per variant per target.
       flags:  int32 [V, T] count of ambiguity-band pixels (0 => exact).
     """
-    a, b = ztol_num, ztol_den
-    use_int_same = b <= _MAX_INT_DENOM
-    ztol_f32 = jnp.float32(a / b)
-    band = jnp.float32(ADJ_BAND)
-
-    # query-side precomputation (variant independent): hue ratio + the
-    # per-pixel <=2 candidate adjacency rules (see _adj_rule_tables)
-    q_r = q_s.astype(jnp.float32) / jnp.maximum(q_p, 1).astype(jnp.float32)
-    tc_t, qms_t, qmp_t, qless_t, tms_t, tmp_t, tless_t, sign_t, offs_t = \
-        (jnp.asarray(t) for t in _adj_rule_tables())
-
-    rule_tc = []       # [Q] target class per rule slot (0 = disabled)
-    rule_pre = []      # [Q] query-side precondition satisfied
-    rule_tms = []
-    rule_tmp = []
-    rule_tless = []
-    rule_sign = []
-    rule_offs = []
-    for k in (0, 1):
-        qms = qms_t[q_cls, k]
-        qmp = qmp_t[q_cls, k]
-        qless = qless_t[q_cls, k]
-        lhs = qms * q_s - qmp * q_p
-        pre = jnp.where(qless, lhs < 0, lhs > 0)
-        tc_k = tc_t[q_cls, k]
-        rule_tc.append(jnp.where(pre, tc_k, 0))  # fold pre into tc
-        rule_pre.append(pre)
-        rule_tms.append(tms_t[q_cls, k])
-        rule_tmp.append(tmp_t[q_cls, k])
-        rule_tless.append(tless_t[q_cls, k])
-        rule_sign.append(sign_t[q_cls, k])
-        rule_offs.append(offs_t[q_cls, k])
 
     def per_variant(_, pos_v):
         gathered = jnp.take(t_planes, jnp.maximum(pos_v, 0), axis=0)  # [Q,T]
         t_cls, t_s, t_p, t_max = common.unpack_summary(gathered)
-        valid = (pos_v >= 0)[:, None] & (t_max > target_threshold)
-
-        qc = q_cls[:, None]
-        qs = q_s[:, None]
-        qp = q_p[:, None]
-
-        same = (qc == t_cls) & (qc > 0) & (qs >= 1) & (t_s >= 1)
-        if use_int_same:
-            d = jnp.abs(qs * t_p - t_s * qp)
-            lhs = d * b
-            rhs = a * (qp * t_p)
-            m_same = same & (lhs <= rhs)
-            f_same = same & (lhs == rhs)
-        else:
-            t_r32 = t_s.astype(jnp.float32) / \
-                jnp.maximum(t_p, 1).astype(jnp.float32)
-            gap = jnp.abs(t_r32 - q_r[:, None])
-            m_same = same & (gap <= ztol_f32)
-            f_same = same & (jnp.abs(gap - ztol_f32) < band)
-
-        t_r = t_s.astype(jnp.float32) / \
-            jnp.maximum(t_p, 1).astype(jnp.float32)
-        ssum = q_r[:, None] + t_r
-        m_adj = jnp.zeros_like(same)
-        f_adj = jnp.zeros_like(same)
-        for k in (0, 1):
-            # target-side precondition (exact ints; 0 excluded by design:
-            # all table preconditions are strict inequalities)
-            t_lhs = rule_tms[k][:, None] * t_s - rule_tmp[k][:, None] * t_p
-            pre_t = jnp.where(rule_tless[k][:, None], t_lhs < 0, t_lhs > 0)
-            sel = (t_cls == rule_tc[k][:, None]) & (t_cls > 0) & pre_t
-            gap = rule_sign[k][:, None] * ssum + rule_offs[k][:, None]
-            m_adj |= sel & (gap <= ztol_f32)
-            f_adj |= sel & (jnp.abs(gap - ztol_f32) < band)
-
-        match = valid & (m_same | m_adj)
-        flag = valid & (f_same | f_adj)
+        match, flag = element_predicate(
+            q_cls[:, None], q_s[:, None], q_p[:, None],
+            t_cls, t_s, t_p, t_max,
+            target_threshold=target_threshold,
+            ztol_num=ztol_num, ztol_den=ztol_den)
+        ok = (pos_v >= 0)[:, None]
+        match &= ok
+        flag &= ok
         return None, (match.sum(axis=0, dtype=jnp.int32),
                       flag.sum(axis=0, dtype=jnp.int32))
 

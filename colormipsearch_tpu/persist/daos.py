@@ -92,6 +92,12 @@ class NeuronMetadataDao:
         doc = self._col.find_one({"_id": str(entity_id)})
         return self._from_doc(doc) if doc else None
 
+    def find_by_ids(self, entity_ids) -> dict:
+        """Batch primary-key read: {str(id): Neuron}."""
+        ids = [str(i) for i in entity_ids if i is not None]
+        docs = self._col.find({"_id": {"$in": ids}})
+        return {str(d["_id"]): self._from_doc(d) for d in docs}
+
     def find_neurons(self, selector: NeuronSelector,
                      page: PagedRequest | None = None) -> list[Neuron]:
         page = page or PagedRequest()
@@ -173,11 +179,23 @@ class CDMatchesDao:
         (AbstractNeuronMatchesMongoDao.findNeuronMatches:275-295)."""
         page = page or PagedRequest()
         filt = scores_filter.to_filter() if scores_filter else {}
+        if not mask_selector.is_empty():
+            # resolve the mask side first so the match read is an indexed
+            # maskImageRefId IN (...) instead of a collection scan
+            mask_refs = [str(n.entity_id)
+                         for n in self._neurons.find_neurons(mask_selector)]
+            filt = dict(filt)
+            filt["maskImageRefId"] = {"$in": mask_refs}
         docs = self._col.find(filt, sort=page.sort_spec())
+        # batch-join the referenced neurons (one indexed read per side)
+        mask_by_id = self._neurons.find_by_ids(
+            {doc.get("maskImageRefId") for doc in docs})
+        target_by_id = self._neurons.find_by_ids(
+            {doc.get("matchedImageRefId") for doc in docs})
         out = []
         for doc in docs:
-            mask = self._neurons.find_by_id(doc.get("maskImageRefId"))
-            target = self._neurons.find_by_id(doc.get("matchedImageRefId"))
+            mask = mask_by_id.get(doc.get("maskImageRefId"))
+            target = target_by_id.get(doc.get("matchedImageRefId"))
             if mask is None or target is None:
                 continue
             if not mask_selector.is_empty() and \
@@ -203,8 +221,10 @@ class CDMatchesDao:
         neurons = self._neurons.find_neurons(mask_selector)
         by_ref = {str(n.entity_id): n for n in neurons}
         out, seen = [], set()
-        for doc in self._col.find({}):
-            ref = doc.get("maskImageRefId")
+        refs = self._col.distinct("maskImageRefId",
+                                  {"maskImageRefId":
+                                   {"$in": list(by_ref)}})
+        for ref in refs:
             n = by_ref.get(ref)
             if n is not None and n.mip_id not in seen:
                 seen.add(n.mip_id)
@@ -243,9 +263,9 @@ class PPPMatchesDao:
 class DaosProvider:
     """Builds the store + DAO set from config (dao/DaosProvider.java)."""
 
-    def __init__(self, config: Config | None = None):
+    def __init__(self, config: Config | None = None, store=None):
         self.config = config or Config()
-        self.store = open_store(self.config)
+        self.store = store if store is not None else open_store(self.config)
         self.id_gen = TimebasedIdGenerator(
             self.config.get_int("TimebasedId.Context", 0))
         self.neuron_metadata_dao = NeuronMetadataDao(self.store, self.id_gen)

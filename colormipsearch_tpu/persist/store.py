@@ -18,6 +18,59 @@ import threading
 from typing import Any, Iterable, Optional
 
 
+# Document fields that are always scalar (never arrays), safe to push
+# down to SQL equality / IN on json_extract.  The hot ones are indexed
+# per collection (_INDEXED_FIELDS) the way the reference indexes its
+# match collections (AbstractNeuronMatchesMongoDao.java:56-62).
+_SCALAR_FIELDS = {
+    "maskImageRefId", "matchedImageRefId", "mipId", "libraryName",
+    "alignmentSpace", "class", "publishedName", "sessionRefId",
+    "sourceEmName", "sourceLmName", "sourceEmLibrary", "sourceLmLibrary",
+}
+
+_INDEXED_FIELDS = {
+    "cdMatches": ("maskImageRefId", "matchedImageRefId"),
+    "pppMatches": ("maskImageRefId", "matchedImageRefId", "sourceEmName"),
+    "neuronMetadata": ("mipId", "libraryName", "publishedName"),
+}
+
+
+def _sql_pushdown(filt: dict | None):
+    """Translate the top-level scalar equality / $in terms of a filter
+    into SQL WHERE fragments (the full filter is still re-checked in
+    Python, so the pushdown only needs to be an over-approximation)."""
+    where: list[str] = []
+    params: list = []
+    for key, cond in (filt or {}).items():
+        if key == "_id":
+            if isinstance(cond, str):
+                where.append("id = ?")
+                params.append(cond)
+            elif isinstance(cond, dict) and set(cond) == {"$in"}:
+                vals = [str(v) for v in cond["$in"]]
+                if not vals:
+                    where.append("1 = 0")
+                else:
+                    where.append(f"id IN ({','.join('?' * len(vals))})")
+                    params.extend(vals)
+        elif key in _SCALAR_FIELDS:
+            expr = f"json_extract(doc, '$.{key}')"
+            if isinstance(cond, (str, int, float)) \
+                    and not isinstance(cond, bool):
+                where.append(f"{expr} = ?")
+                params.append(cond)
+            elif isinstance(cond, dict) and set(cond) == {"$in"} and all(
+                    isinstance(v, (str, int, float))
+                    and not isinstance(v, bool) for v in cond["$in"]):
+                vals = list(cond["$in"])
+                if not vals:
+                    where.append("1 = 0")
+                else:
+                    where.append(f"{expr} IN ({','.join('?' * len(vals))})")
+                    params.extend(vals)
+    return where, params
+
+
 class Collection:
     """Minimal document collection (insert/upsert/find/update)."""
 
@@ -74,9 +127,14 @@ class Collection:
 
     def find(self, filt: dict | None = None, *, limit: int = 0,
              offset: int = 0, sort=None) -> list[dict]:
+        # scalar equality / $in terms run as indexed SQL; the full filter
+        # is then re-applied in Python for the residual operators
+        where, params = _sql_pushdown(filt)
+        sql = f"SELECT doc FROM {self.name}"
+        if where:
+            sql += " WHERE " + " AND ".join(where)
         with self._store.lock:
-            cur = self._store.conn.execute(
-                f"SELECT doc FROM {self.name}")
+            cur = self._store.conn.execute(sql, params)
             docs = [json.loads(r[0]) for r in cur.fetchall()]
         if filt:
             docs = [d for d in docs if _matches(d, filt)]
@@ -192,6 +250,10 @@ class SqliteStore:
                 self.conn.execute(
                     f"CREATE TABLE IF NOT EXISTS {name} "
                     "(id TEXT PRIMARY KEY, doc TEXT NOT NULL)")
+                for field in _INDEXED_FIELDS.get(name, ()):
+                    self.conn.execute(
+                        f"CREATE INDEX IF NOT EXISTS ix_{name}_{field} "
+                        f"ON {name} (json_extract(doc, '$.{field}'))")
                 self.conn.commit()
             self._collections[name] = Collection(self, name)
         return self._collections[name]
@@ -204,12 +266,14 @@ def open_store(config) -> SqliteStore:
     """Open the configured document store."""
     stype = config.get("Store.Type", "sqlite")
     if stype == "mongo":
+        from colormipsearch_tpu.persist.mongo_store import MongoStore
+
         try:
-            from colormipsearch_tpu.persist.mongo_store import MongoStore
-            return MongoStore(config)
+            import pymongo  # noqa: F401
         except ImportError as e:
             raise RuntimeError(
-                "Store.Type=mongo requires pymongo, which is not "
-                "installed; use the default sqlite backend") from e
+                "Store.Type=mongo requires the pymongo package, which is "
+                "not installed; use the default sqlite backend") from e
+        return MongoStore(config)
     path = config.get("Store.Path") or "nbdb.sqlite"
     return SqliteStore(path)

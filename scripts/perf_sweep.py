@@ -1,0 +1,207 @@
+"""Pixel-match kernel throughput sweep on the real TPU.
+
+Measures pairs/s and effective gather bandwidth for the production CDS
+workload (fixture mask, 18 shift/mirror variants) across target-shard
+widths T and mask-batch sizes B, plus a gather-only kernel to separate
+gather/HBM cost from VPU predicate cost.  Run:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/perf_sweep.py
+
+Prints one JSON line per configuration; pass --out FILE to also append
+them to a file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/colormipsearch_tpu/jax"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+FIX = ("/root/reference/colormipsearch-api/src/test/resources/"
+       "colormipsearch/api/cdsearch")
+MASK_TIF = f"{FIX}/1752016801-LPLC2-RT_18U.tif"
+TARGET_TIF = (f"{FIX}/GMR_31G04_AE_01-20190813_66_F3-40x-Brain-"
+              "JRC2018_Unisex_20x_HR-2704505419467849826-CH2-07_CDM.tif")
+
+
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def build_plan():
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.pixel import label_regions_mask
+    from colormipsearch_tpu.ops import pixel_match
+
+    mask_rgb = read_image(MASK_TIF).as_rgb()
+    target_rgb = read_image(TARGET_TIF).as_rgb()
+    h, w = mask_rgb.shape[:2]
+    region = label_regions_mask(w, h)
+    plan = pixel_match.build_query_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    return plan, target_rgb
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _write_chunk(planes, chunk, start):
+    return jax.lax.dynamic_update_slice(planes, chunk, (0, start))
+
+
+def build_planes(target_rgb: np.ndarray, n_targets: int):
+    """Pack n_targets device-synthesized rolled/flipped CDM variants into
+    a [P, n_targets] plane array without a 2x concat peak (donated
+    incremental writes)."""
+    from colormipsearch_tpu.ops import common
+
+    h, w = target_rgb.shape[:2]
+    rng = np.random.default_rng(0)
+    shifts = rng.integers(0, [h, w], (n_targets, 2)).astype(np.int32)
+    shifts[0] = 0
+    flips = (np.arange(n_targets) % 2).astype(bool)
+    flips[0] = False
+    base = jnp.asarray(target_rgb)
+
+    @jax.jit
+    def make_chunk(img, sh, fl):
+        def one(s, f):
+            r = jnp.roll(img, (s[0], s[1]), axis=(0, 1))
+            return jnp.where(f, r[:, ::-1], r)
+
+        return common.pack_target_planes(jax.vmap(one)(sh, fl))
+
+    chunk = 64
+    planes = jnp.zeros((h * w, n_targets), jnp.uint32)
+    for i in range(0, n_targets, chunk):
+        c = make_chunk(base, jnp.asarray(shifts[i:i + chunk]),
+                       jnp.asarray(flips[i:i + chunk]))
+        planes = _write_chunk(planes, c, jnp.int32(i))
+    return jax.block_until_ready(planes)
+
+
+def time_step(run_once, repeats):
+    """Honest timing: dispatch `repeats` steps, materialize the last."""
+    np.asarray(run_once()[0])  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(repeats):
+        out = run_once()
+    final = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    assert int(np.asarray(final).max()) >= 0
+    return dt
+
+
+def gather_only_step(planes, pos):
+    """Gather the same rows as the full kernel, reduce with a sum —
+    isolates gather/HBM cost from the predicate VPU cost."""
+
+    @jax.jit
+    def step(planes, pos):
+        def one(pos_b):
+            def per_variant(pos_v):
+                g = jnp.take(planes, jnp.maximum(pos_v, 0), axis=0)
+                return g.sum(axis=0, dtype=jnp.uint32)
+
+            outs = [per_variant(pos_b[v]) for v in range(pos_b.shape[0])]
+            return jnp.stack(outs).max(axis=0)
+
+        return (jax.lax.map(one, pos),)
+
+    return functools.partial(step, planes, pos)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--widths", default="512,1024,2048,4096")
+    ap.add_argument("--batches", default="8")
+    ap.add_argument("--extra-batches", default="16,32",
+                    help="mask batches tried at the widest width")
+    ap.add_argument("--repeats-pairs", type=float, default=4e6,
+                    help="aim for this many pairs per timing run")
+    ap.add_argument("--gather-only", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    plan, target_rgb = build_plan()
+    v, q = plan.positions.shape
+    log(f"plan: {plan.query_size} px, {v} variants, padded Q {q}")
+    log(f"devices: {jax.devices()}")
+
+    from colormipsearch_tpu.ops import pixel_match
+
+    results = []
+
+    def record(**kw):
+        results.append(kw)
+        line = json.dumps(kw)
+        print(line, flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+
+    widths = [int(x) for x in args.widths.split(",")]
+    batches = [int(x) for x in args.batches.split(",")]
+    extra_batches = [int(x) for x in args.extra_batches.split(",") if x]
+
+    for t_width in widths:
+        t0 = time.perf_counter()
+        planes = build_planes(target_rgb, t_width)
+        log(f"T={t_width}: packed planes "
+            f"({planes.nbytes / 1e9:.1f} GB) in "
+            f"{time.perf_counter() - t0:.1f}s")
+        batch_list = batches + (extra_batches if t_width == widths[-1]
+                                else [])
+        for b in batch_list:
+            pos = jax.device_put(np.stack([plan.positions] * b))
+            q_cls = jax.device_put(np.stack([plan.q_cls] * b))
+            q_s = jax.device_put(np.stack([plan.q_s] * b))
+            q_p = jax.device_put(np.stack([plan.q_p] * b))
+
+            def run_once():
+                return pixel_match.score_query_batch(
+                    planes, pos, q_cls, q_s, q_p,
+                    target_threshold=20, ztol_num=plan.ztol_num,
+                    ztol_den=plan.ztol_den, n_straight=plan.n_straight)
+
+            pairs_per_step = b * t_width
+            repeats = max(2, int(args.repeats_pairs / pairs_per_step))
+            dt = time_step(run_once, repeats)
+            rate = repeats * pairs_per_step / dt
+            gbs = repeats * b * v * q * t_width * 4 / dt / 1e9
+            record(kind="full", t_width=t_width, mask_batch=b,
+                   pairs_per_s=round(rate), gather_gb_per_s=round(gbs, 1),
+                   repeats=repeats, secs=round(dt, 2))
+
+            if args.gather_only:
+                dtg = time_step(gather_only_step(planes, pos), repeats)
+                record(kind="gather_only", t_width=t_width, mask_batch=b,
+                       pairs_per_s=round(repeats * pairs_per_step / dtg),
+                       gather_gb_per_s=round(
+                           repeats * b * v * q * t_width * 4 / dtg / 1e9, 1),
+                       repeats=repeats, secs=round(dtg, 2))
+        del planes
+
+    best = max((r for r in results if r["kind"] == "full"),
+               key=lambda r: r["pairs_per_s"])
+    log(f"best: {best}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
