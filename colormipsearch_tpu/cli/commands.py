@@ -147,6 +147,15 @@ def configure_color_depth_search(sp):
                          "library names in the metadata store")
     sp.add_argument("--update-matches", dest="updateMatches",
                     action="store_true")
+    sp.add_argument("--max-matches-per-mask", dest="maxMatchesPerMask",
+                    type=int, default=0,
+                    help="keep only the N best matches per mask (device "
+                         "top-k on a mesh; 0 = keep all, the reference "
+                         "behavior)")
+    sp.add_argument("--write-batch-size", dest="writeBatchSize",
+                    type=int, default=10000,
+                    help="flush results to storage every N matches "
+                         "instead of holding the full set in RAM")
     _add_cds_params(sp)
     _add_output_args(sp)
 
@@ -259,36 +268,68 @@ def cmd_color_depth_search(args) -> int:
     params = _cds_params(args)
     engine = CDSearchEngine(params)
     tags = [args.processingTag] if args.processingTag else []
-    matches = engine.find_all_matches(masks, targets, tags=tags)
+    cap = max(args.maxMatchesPerMask, 0)
+    batch_size = max(args.writeBatchSize, 1)
 
+    # streaming result writes: flush every --write-batch-size matches
+    # instead of holding the full match set in RAM (the reference writes
+    # in partitions too — ColorDepthSearchCmd.java:297-316); DB flushes
+    # are idempotent upserts, FS flushes merge into the grouped files
     if args.resultsStorage == "DB":
         from colormipsearch_tpu.dataio.db_io import DBNeuronMatchesWriter
 
-        # neurons need entity ids for the match ref keys
-        for m in matches:
-            for n in (m.mask_image, m.matched_image):
-                if n.entity_id is None:
-                    daos.neuron_metadata_dao.create_or_update(n)
-            m.mask_image_ref_id = m.mask_image.entity_id
-            m.matched_image_ref_id = m.matched_image.entity_id
-        n_written = DBNeuronMatchesWriter(daos).write(matches)
-        LOG.info("wrote %d matches to the DB store", n_written)
-        return 0
+        db_writer = DBNeuronMatchesWriter(daos)
 
-    per_mask, per_target = _out_dirs(args)
-    if per_mask is not None and args.outputDir:
-        write_cds_session(args.outputDir,
-                          [str(s) for s in args.masks],
-                          [str(s) for s in args.targets],
-                          params.as_map(), pretty=not args.noPrettyPrint)
-    writer = JSONMatchesWriter(
-        per_masks_dir=per_mask, per_targets_dir=per_target,
-        pretty=not args.noPrettyPrint,
-        # CDS results are ordered by matching pixels desc
-        # (ColorDepthSearchCmd.java:383)
-        ordering=lambda m: -(m.matching_pixels or 0))
-    n = writer.write(matches)
-    LOG.info("wrote %d grouped result files", n)
+        def flush(ms, first):
+            for m in ms:
+                for n in (m.mask_image, m.matched_image):
+                    if n.entity_id is None:
+                        daos.neuron_metadata_dao.create_or_update(n)
+                m.mask_image_ref_id = m.mask_image.entity_id
+                m.matched_image_ref_id = m.matched_image.entity_id
+            return db_writer.write(ms)
+    else:
+        per_mask, per_target = _out_dirs(args)
+        if per_mask is not None and args.outputDir:
+            write_cds_session(args.outputDir,
+                              [str(s) for s in args.masks],
+                              [str(s) for s in args.targets],
+                              params.as_map(),
+                              pretty=not args.noPrettyPrint)
+        writer = JSONMatchesWriter(
+            per_masks_dir=per_mask, per_targets_dir=per_target,
+            pretty=not args.noPrettyPrint,
+            # CDS results are ordered by matching pixels desc
+            # (ColorDepthSearchCmd.java:383)
+            ordering=lambda m: -(m.matching_pixels or 0))
+
+        def flush(ms, first):
+            return writer.write(ms, append=True)
+
+    total = 0
+    if cap > 0:
+        # the cap already bounds memory (masks x cap), and the global
+        # per-mask trim needs all tiles — collect then write once
+        matches = engine.find_all_matches(masks, targets, tags=tags,
+                                          max_matches_per_mask=cap)
+        flush(matches, True)
+        total = len(matches)
+    else:
+        pending: list = []
+        first_flush = True
+        for chunk in engine.find_all_matches_iter(masks, targets,
+                                                  tags=tags):
+            pending.extend(chunk)
+            if len(pending) >= batch_size:
+                flush(pending, first_flush)
+                total += len(pending)
+                first_flush = False
+                pending = []
+        if pending or first_flush:
+            flush(pending, first_flush)
+            total += len(pending)
+    dest = "DB store" if args.resultsStorage == "DB" else "grouped files"
+    LOG.info("wrote %d matches to %s", total, dest)
     return 0
 
 

@@ -71,17 +71,26 @@ class JSONMatchesWriter:
         self.ordering = ordering or (lambda m: (
             -(m.normalized_score if m.normalized_score is not None else 0.0),
             -(m.matching_pixels or 0)))
+        # files already written by THIS writer — append flushes merge
+        # into these but overwrite stale files from earlier runs
+        self._written: set = set()
 
-    def write(self, matches: Sequence[CDMatch]) -> int:
+    def write(self, matches: Sequence[CDMatch], *,
+              append: bool = False) -> int:
+        """Write grouped files; with `append`, merge into existing files
+        (the streaming flush path — each target tile's matches land in
+        the per-mip files as they are scored, bounding RAM the way the
+        reference's batched writes do, ColorDepthSearchCmd.java:297-316).
+        """
         n = 0
         if self.per_masks_dir is not None:
             n += self._write_grouped(
                 group_by_mask(matches, self.grouping, self.ordering),
-                self.per_masks_dir)
+                self.per_masks_dir, append=append)
         if self.per_targets_dir is not None:
             n += self._write_grouped(
                 group_by_target(matches, self.grouping, self.ordering),
-                self.per_targets_dir)
+                self.per_targets_dir, append=append)
         return n
 
     # update == rewrite of the per-mask files (JSON backend semantics)
@@ -92,7 +101,8 @@ class JSONMatchesWriter:
             group_by_mask(matches, self.grouping, self.ordering),
             self.per_masks_dir)
 
-    def _write_grouped(self, groups, out_dir: Path) -> int:
+    def _write_grouped(self, groups, out_dir: Path, *,
+                       append: bool = False) -> int:
         """One file per group, written concurrently like the reference's
         parallel stream (ItemsWriterToJSONFile.writeGroupedItemsList)."""
         import concurrent.futures
@@ -102,11 +112,19 @@ class JSONMatchesWriter:
             name = self.grouping(key_neuron)
             if not name:
                 return
+            path = out_dir / f"{name}.json"
+            if append and path in self._written:
+                # groups arrive already in file orientation (mask ==
+                # inputImage; group_by_target pre-inverts), so existing
+                # rows merge directly
+                prev = JSONMatchesReader.read_matches(path)
+                ms = sorted(prev + list(ms), key=self.ordering)
+            self._written.add(path)
             doc = {
                 "inputImage": key_neuron.to_json(),
                 "results": [self._match_json(m) for m in ms],
             }
-            _dump(doc, out_dir / f"{name}.json", self.pretty)
+            _dump(doc, path, self.pretty)
 
         groups = list(groups)
         if len(groups) > 4:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -90,14 +91,21 @@ def make_sharded_search_step(mesh: Mesh, *, target_threshold: int,
 
 
 def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
-                            ztol_num: int, ztol_den: int, n_straight: int):
+                            ztol_num: int, ztol_den: int, n_straight: int,
+                            top_k: int = 0):
     """Batched variant: scores a stack of B query plans in one step.
 
     All query arrays gain a leading batch axis (replicated); the result is
     best[B, T] / mirrored[B, T] / flags[B, T] with T sharded.  This is the
     full production step jitted over the mesh — masks stream through in
     batches while the target shards stay resident.
-    """
+
+    With `top_k > 0` the step instead returns only the merged per-shard
+    top-k candidates per mask — (scores[B, D*k], idx[B, D*k],
+    mirrored[B, D*k], flags[B, D*k], global_max[B]) — so the host pull
+    is D*k entries instead of the dense T-wide score matrix (the
+    collective replacement for the reference's driver-side collect +
+    selectTopRanked, ItemsHandling.java:82-111)."""
 
     def local_step(planes, pos, q_cls, q_s, q_p):
         def one(args):
@@ -112,13 +120,29 @@ def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
         best, mirrored, pair_flags = jax.lax.map(
             one, (pos, q_cls, q_s, q_p))
         global_max = jax.lax.pmax(best.max(axis=-1), TARGET_AXIS)
+        if top_k > 0:
+            k = min(top_k, best.shape[1])
+            top_scores, local_idx = jax.lax.top_k(best, k)       # [B, k]
+            take = jnp.take_along_axis
+            top_mirrored = take(mirrored, local_idx, axis=1)
+            top_flags = take(pair_flags, local_idx, axis=1)
+            shard = jax.lax.axis_index(TARGET_AXIS)
+            top_idx = local_idx + shard * best.shape[1]
+            gather = lambda x: jax.lax.all_gather(  # noqa: E731
+                x, TARGET_AXIS, axis=1, tiled=True)
+            return (gather(top_scores), gather(top_idx),
+                    gather(top_mirrored), gather(top_flags), global_max)
         return best, mirrored, pair_flags, global_max
 
+    if top_k > 0:
+        out_specs = (P(), P(), P(), P(), P(None))
+    else:
+        out_specs = (P(None, TARGET_AXIS), P(None, TARGET_AXIS),
+                     P(None, TARGET_AXIS), P(None))
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(None, TARGET_AXIS), P(None, None, None),
                   P(None, None), P(None, None), P(None, None)),
-        out_specs=(P(None, TARGET_AXIS), P(None, TARGET_AXIS),
-                   P(None, TARGET_AXIS), P(None)),
+        out_specs=out_specs,
         check_rep=False)
     return jax.jit(step)

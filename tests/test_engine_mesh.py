@@ -50,3 +50,105 @@ def test_mesh_engine_matches_single_device(tmp_path):
     res_single = single.find_all_matches(masks, targets)
     assert key(res_mesh) == key(res_single)
     assert res_mesh, "expected some matches"
+
+
+def test_topk_cap_matches_trimmed_dense(tmp_path):
+    """max_matches_per_mask (device top-k on the mesh, host trim off
+    mesh) must keep exactly the k best matches per mask."""
+    from colormipsearch_tpu.engine.cds import CDSParams, CDSearchEngine
+
+    rng = np.random.default_rng(5)
+    (tmp_path / "m").mkdir()
+    (tmp_path / "t").mkdir()
+    masks = _neurons(tmp_path / "m", rng, 2)
+    targets = _neurons(tmp_path / "t", rng, 16)
+
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=2.0, xy_shift=2,
+                       mirror_mask=True)
+    k = 3
+
+    for engine in (CDSearchEngine(params),               # mesh top-k
+                   CDSearchEngine(params, use_mesh=False)):  # host trim
+        dense = engine.find_all_matches(masks, targets)
+        capped = engine.find_all_matches(masks, targets,
+                                         max_matches_per_mask=k)
+        by_mask = {}
+        for m in dense:
+            by_mask.setdefault(m.mask_image.mip_id, []).append(m)
+        expected = set()
+        for mip, ms in by_mask.items():
+            ms.sort(key=lambda m: -m.matching_pixels)
+            cut = ms[:k]
+            # scores at the k-boundary may tie; compare score multisets
+            expected |= {(mip, m.matching_pixels) for m in cut}
+        got = {(m.mask_image.mip_id, m.matching_pixels) for m in capped}
+        assert got == expected
+        for mip in by_mask:
+            assert sum(m.mask_image.mip_id == mip for m in capped) \
+                == min(k, len(by_mask[mip]))
+
+
+def test_streaming_iter_equals_batch(tmp_path):
+    """find_all_matches_iter chunks concatenate to the full match set."""
+    from colormipsearch_tpu.engine.cds import CDSParams, CDSearchEngine
+
+    rng = np.random.default_rng(7)
+    (tmp_path / "m").mkdir()
+    (tmp_path / "t").mkdir()
+    masks = _neurons(tmp_path / "m", rng, 2)
+    targets = _neurons(tmp_path / "t", rng, 9)
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=2.0, xy_shift=0)
+    engine = CDSearchEngine(params, use_mesh=False)
+
+    streamed = []
+    for chunk in engine.find_all_matches_iter(masks, targets):
+        streamed.extend(chunk)
+    full = engine.find_all_matches(masks, targets)
+
+    def key(ms):
+        return sorted((m.mask_image.mip_id, m.matched_image.mip_id,
+                       m.matching_pixels) for m in ms)
+
+    assert key(streamed) == key(full) and full
+
+
+def test_cli_streaming_flushes_match_one_shot(tmp_path):
+    """colorDepthSearch with --write-batch-size 1 (many merge-append
+    flushes across target tiles) produces the same grouped files as a
+    single write."""
+    import json
+    from colormipsearch_tpu.cli.main import main
+    from colormipsearch_tpu.dataio.json_io import write_neurons_json
+
+    rng = np.random.default_rng(11)
+    (tmp_path / "m").mkdir()
+    (tmp_path / "t").mkdir()
+    masks = _neurons(tmp_path / "m", rng, 2)
+    targets = _neurons(tmp_path / "t", rng, 8)
+    write_neurons_json(masks, tmp_path / "masks.json")
+    write_neurons_json(targets, tmp_path / "targets.json")
+
+    def run(out, batch):
+        assert main([
+            "colorDepthSearch", "-m", str(tmp_path / "masks.json"),
+            "-i", str(tmp_path / "targets.json"),
+            "--maskThreshold", "20", "--dataThreshold", "20",
+            "--pixColorFluctuation", "2.0", "--xyShift", "2",
+            "--mirrorMask", "-od", str(out), "--perMaskSubdir", "masks",
+            # the default text-label regions would cover the whole
+            # 40x64 synthetic image (x<330, y<100)
+            "--no-name-labels", "--no-colormap-labels",
+            "--write-batch-size", str(batch)]) == 0
+        got = {}
+        for f in sorted((out / "masks").glob("*.json")):
+            doc = json.loads(f.read_text())
+            got[f.name] = sorted(
+                (r["image"]["mipId"], r["matchingPixels"], r["mirrored"])
+                for r in doc["results"])
+        return got
+
+    streamed = run(tmp_path / "out_stream", 1)
+    oneshot = run(tmp_path / "out_oneshot", 10 ** 9)
+    assert streamed == oneshot and streamed
