@@ -32,11 +32,19 @@ TARGET_TIF = (f"{FIX}/GMR_31G04_AE_01-20190813_66_F3-40x-Brain-"
 
 import os as _os
 
-N_TARGETS = int(_os.environ.get("CDS_BENCH_TARGETS", 512))
-N_MASK_REPEATS = int(_os.environ.get("CDS_BENCH_REPEATS", 8))
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/colormipsearch_tpu/jax"))
+
+# T=4096 x batch 8 measured best on TPU v5e (see BENCH notes /
+# scripts/perf_sweep.py); override via env for small-host smoke runs
+N_TARGETS = int(_os.environ.get("CDS_BENCH_TARGETS", 4096))
+N_MASK_REPEATS = int(_os.environ.get("CDS_BENCH_REPEATS", 24))
 MASK_BATCH = int(_os.environ.get("CDS_BENCH_MASK_BATCH", 8))
+SHAPE_TARGETS = int(_os.environ.get("CDS_BENCH_SHAPE_TARGETS", 256))
+SHAPE_REPEATS = int(_os.environ.get("CDS_BENCH_SHAPE_REPEATS", 10))
 BASELINE_ORACLE_TARGETS = 24
 REFERENCE_NODE_THREADS = 39  # submitCDSJob.sh:13-18 (2*20 cores - 1)
+HBM_PEAK_GB_S = 819  # TPU v5e HBM bandwidth (public spec)
 
 
 def build_workload():
@@ -64,9 +72,13 @@ def build_workload():
     return mask_rgb, target_rgb, host_sample, region
 
 
-def build_device_planes(target_rgb: np.ndarray):
-    """Pack N_TARGETS rolled/flipped variants of one CDM, synthesized on
-    the device (uploads a single image instead of the whole library)."""
+def build_device_planes(target_rgb: np.ndarray, n_targets: int):
+    """Pack n_targets rolled/flipped variants of one CDM, synthesized on
+    the device (uploads a single image instead of the whole library).
+    Chunks are written into a donated buffer so peak memory stays at one
+    plane array even for multi-GB target widths."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
@@ -74,9 +86,9 @@ def build_device_planes(target_rgb: np.ndarray):
 
     h, w = target_rgb.shape[:2]
     rng = np.random.default_rng(0)
-    shifts = rng.integers(0, [h, w], (N_TARGETS, 2)).astype(np.int32)
+    shifts = rng.integers(0, [h, w], (n_targets, 2)).astype(np.int32)
     shifts[0] = 0  # one unshifted target guarantees a nonzero top score
-    flips = (np.arange(N_TARGETS) % 2).astype(bool)
+    flips = (np.arange(n_targets) % 2).astype(bool)
     flips[0] = False
 
     base = jnp.asarray(target_rgb)
@@ -90,20 +102,24 @@ def build_device_planes(target_rgb: np.ndarray):
         stack = jax.vmap(one)(sh, fl)
         return common.pack_target_planes(stack)
 
-    # chunked so the uint8 [chunk, H, W, 3] intermediate stays small —
-    # large transient allocations destabilize the dev tunnel
+    @functools.partial(jax.jit, donate_argnums=0)
+    def write_chunk(planes, chunk, start):
+        return jax.lax.dynamic_update_slice(planes, chunk, (0, start))
+
     chunk = 64
-    parts = []
-    for i in range(0, N_TARGETS, chunk):
+    planes = jnp.zeros((h * w, n_targets), jnp.uint32)
+    for i in range(0, n_targets, chunk):
         p = make_planes(base, jnp.asarray(shifts[i:i + chunk]),
                         jnp.asarray(flips[i:i + chunk]))
-        parts.append(jax.block_until_ready(p))
-    planes = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+        planes = write_chunk(planes, p, jnp.int32(i))
     return jax.block_until_ready(planes)
 
 
 def bench_tpu(mask_rgb, target_rgb, region):
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     from colormipsearch_tpu.ops import pixel_match
 
@@ -111,8 +127,9 @@ def bench_tpu(mask_rgb, target_rgb, region):
         mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
         excluded_region=region)
     t0 = time.perf_counter()
-    planes = build_device_planes(target_rgb)
-    print(f"# packed {N_TARGETS} device-synthesized targets in "
+    planes = build_device_planes(target_rgb, N_TARGETS)
+    print(f"# packed {N_TARGETS} device-synthesized targets "
+          f"({planes.nbytes / 1e9:.1f} GB) in "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
     # the engine's production step: MASK_BATCH query plans per dispatch
     pos = jax.device_put(np.stack([plan.positions] * MASK_BATCH))
@@ -143,7 +160,56 @@ def bench_tpu(mask_rgb, target_rgb, region):
     pairs = N_MASK_REPEATS * MASK_BATCH * N_TARGETS
     # sanity: scoring is live (self-similar targets must score > 0)
     assert int(final.max()) > 0
-    return pairs / dt, plan
+    v, q = plan.positions.shape
+    gather_gb_s = (N_MASK_REPEATS * MASK_BATCH * v * q * N_TARGETS * 4
+                   / dt / 1e9)
+    return pairs / dt, gather_gb_s, plan
+
+
+def bench_shape_tpu(mask_rgb, target_rgb, region):
+    """Shape (gradient-area-gap) pass rate: one mask vs SHAPE_TARGETS
+    rolled targets with on-the-fly zgap synthesis equivalents, both
+    orientations (the production mirror config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from colormipsearch_tpu.ops import shape_score
+
+    h, w = target_rgb.shape[:2]
+    q_pack = shape_score.pack_query(mask_rgb, excluded_region=region,
+                                    negative_radius=20)
+
+    # synthesize packed target planes on device: realistic field sparsity
+    # without uploading SHAPE_TARGETS full images over the tunnel
+    p = h * w
+
+    @jax.jit
+    def make(key):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        grad = jax.random.randint(k1, (p, SHAPE_TARGETS), 0, 1 << 16)
+        sl = jax.random.randint(k2, (p, SHAPE_TARGETS), 0, 257)
+        znz = (jax.random.uniform(k3, (p, SHAPE_TARGETS)) < 0.06)
+        tfg = (jax.random.uniform(k4, (p, SHAPE_TARGETS)) < 0.06)
+        return (grad | (sl << 16) | (znz.astype(jnp.int32) << 25)
+                | (tfg.astype(jnp.int32) << 26)).astype(jnp.uint32)
+
+    t_pack = jax.block_until_ready(make(jax.random.PRNGKey(0)))
+    qj = jnp.asarray(q_pack)
+
+    def run_once():
+        # mirror config scores straight AND mirror planes per pair
+        a = shape_score.shape_score_pairs(t_pack, qj)
+        b = shape_score.shape_score_pairs(t_pack, qj)
+        return a, b
+
+    np.asarray(run_once()[0][0])  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(SHAPE_REPEATS):
+        out = run_once()
+    np.asarray(out[0][0])
+    dt = time.perf_counter() - t0
+    return SHAPE_REPEATS * SHAPE_TARGETS / dt
 
 
 def bench_oracle_baseline(mask_rgb, targets, region):
@@ -191,15 +257,23 @@ def bench_oracle_baseline(mask_rgb, targets, region):
 
 def main() -> int:
     mask_rgb, target_rgb, host_sample, region = build_workload()
-    tpu_rate, plan = bench_tpu(mask_rgb, target_rgb, region)
+    tpu_rate, gather_gb_s, plan = bench_tpu(mask_rgb, target_rgb, region)
+    shape_rate = bench_shape_tpu(mask_rgb, target_rgb, region)
     baseline_rate = bench_oracle_baseline(mask_rgb, host_sample, region)
     result = {
         "metric": "cds_pair_comparisons_per_sec_per_chip",
         "value": round(tpu_rate, 1),
         "unit": "mask-target pairs/s (prod params: thr 20/20, xyShift 2, "
                 f"mirror, {plan.query_size}-px query, "
-                f"{plan.n_variants} variants)",
+                f"{plan.n_variants} variants, T={N_TARGETS} shard)",
         "vs_baseline": round(tpu_rate / baseline_rate, 2),
+        "extra": {
+            "gather_gb_per_s": round(gather_gb_s, 1),
+            "pct_hbm_peak": round(100 * gather_gb_s / HBM_PEAK_GB_S, 1),
+            "shape_pairs_per_s": round(shape_rate, 1),
+            "shape_unit": "shape-rescored mask-target pairs/s (mirror "
+                          f"config, T={SHAPE_TARGETS})",
+        },
     }
     print(json.dumps(result))
     return 0

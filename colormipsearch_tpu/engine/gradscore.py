@@ -28,9 +28,43 @@ LOG = logging.getLogger(__name__)
 
 
 class GradScoreEngine:
-    def __init__(self, params: CDSParams, *, use_device: bool = True):
+    def __init__(self, params: CDSParams, *, use_device: bool = True,
+                 use_mesh: bool | None = None):
+        import jax
+
         self.params = params
         self.use_device = use_device
+        if use_mesh is None:
+            use_mesh = len(jax.devices()) > 1
+        self._mesh = None
+        self._shape_step = None
+        if use_device and use_mesh and len(jax.devices()) > 1:
+            from colormipsearch_tpu.parallel.mesh import (
+                create_mesh,
+                make_sharded_shape_step,
+            )
+
+            self._mesh = create_mesh()
+            self._shape_step = make_sharded_shape_step(self._mesh)
+            LOG.info("shape scoring over a %d-device mesh",
+                     len(self._mesh.devices.ravel()))
+
+    def _pairs_fn(self, n_targets: int):
+        """Mesh-sharded pairs step when it divides the batch, else the
+        single-device jit (score_shape_batch default)."""
+        if self._mesh is None:
+            return None
+        n_dev = len(self._mesh.devices.ravel())
+        if n_targets % n_dev != 0:
+            return None
+        from colormipsearch_tpu.parallel.mesh import shard_target_planes
+
+        step = self._shape_step
+
+        def fn(t_pack, q_pack):
+            return step(shard_target_planes(self._mesh, t_pack), q_pack)
+
+        return fn
 
     def score_matches(self, matches: Sequence[CDMatch], *,
                       roi_rgb: np.ndarray | None = None) -> list[CDMatch]:
@@ -148,9 +182,22 @@ class GradScoreEngine:
         z_stack = np.stack([z for _, _, _, z in loaded])
         t_pack, t_pack_m = shape_score.pack_targets(
             t_stack, g_stack, z_stack, mask_threshold=p.mask_threshold)
+        n_real = t_pack.shape[1]
+        if self._mesh is not None:
+            # pad T to the device count so the mesh path always applies
+            # (zero columns are neutral: no foreground, zero gaps)
+            import jax.numpy as jnp
+
+            n_dev = len(self._mesh.devices.ravel())
+            pad = (-n_real) % n_dev
+            if pad:
+                t_pack = jnp.pad(t_pack, ((0, 0), (0, pad)))
+                t_pack_m = jnp.pad(t_pack_m, ((0, 0), (0, pad)))
         gap, he, mirrored = shape_score.score_shape_batch(
             t_pack, t_pack_m, q_pack, mirror=p.mirror_mask,
-            q_pack_mirror=q_pack_m)
+            q_pack_mirror=q_pack_m,
+            pairs_fn=self._pairs_fn(t_pack.shape[1]))
+        gap, he = gap[:n_real], he[:n_real]
         for i, (m, _, _, _) in enumerate(loaded):
             m.gradient_area_gap = int(gap[i])
             m.high_expression_area = int(he[i])

@@ -252,6 +252,72 @@ def _adj_rule_tables():
     return tc, qms, qmp, qless, tms, tmp_, tless, sign, offs
 
 
+def query_side_rules(q_cls, q_s, q_p, *, ztol_num: int, ztol_den: int):
+    """Per-query-pixel precomputation for the elementwise predicate.
+
+    Folds the whole adjacent-class machinery of calculatePixelGap
+    (:260-388) into at most two one-sided bound tests per query pixel:
+    every adjacent-class branch is "target class == tc AND a one-sided
+    ratio condition" because the target-side precondition and the gap
+    threshold bound t_r from the SAME side —
+
+        plus rules  (gap = (q_r - c) + (t_r - c) <= ztol):
+            t_r <  pre_hi   and  t_r <= ztol + 2c - q_r
+        minus rules (gap = (c - q_r) + (c - t_r) <= ztol):
+            t_r >  pre_lo   and  t_r >= 2c - ztol - q_r
+
+    so the per-element test collapses to  sign * (t_s - B*t_p) <= 0,
+    with B and sign precomputed here per (query pixel, rule slot).
+    Boundary points (the strict-vs-non-strict distinction and all f32
+    rounding) fall inside the ambiguity band and are flagged for the
+    float64 oracle.
+
+    Returns (same_cls, a_qp, tc, bound, sign):
+      same_cls: int32 — q_cls where the same-class branch can fire
+                (ratio > 0 per :262), else -1
+      a_qp:     int32 — ztol_num * q_p (same-class rhs factor)
+      tc:       int32 [2, ...] — adjacency rule target class (0 = off)
+      bound:    f32  [2, ...] — ratio bound B
+      sign:     f32  [2, ...] — +1 for upper (t_r <= B), -1 for lower
+    """
+    a, b = ztol_num, ztol_den
+    ztol_f32 = jnp.float32(a / b)
+
+    q_r = q_s.astype(jnp.float32) / jnp.maximum(q_p, 1).astype(jnp.float32)
+    tc_t, qms_t, qmp_t, qless_t, tms_t, tmp_t, tless_t, sign_t, offs_t = \
+        (jnp.asarray(t) for t in _adj_rule_tables())
+
+    same_cls = jnp.where(q_s >= 1, q_cls, -1)
+    a_qp = a * q_p
+
+    tc = []
+    bound = []
+    sign = []
+    for k in (0, 1):
+        # query-side precondition (exact ints), folded into the rule's
+        # target class (0 = rule disabled for this query pixel)
+        qms = qms_t[q_cls, k]
+        qmp = qmp_t[q_cls, k]
+        q_lhs = qms * q_s - qmp * q_p
+        pre_q = jnp.where(qless_t[q_cls, k], q_lhs < 0, q_lhs > 0)
+        tc.append(jnp.where(pre_q, tc_t[q_cls, k], 0))
+        # plus rules (sign_t == +1, offs = -2c): upper bound
+        #   min(pre_hi, ztol + 2c - q_r)   with pre_hi = tmp/tms
+        # minus rules (sign_t == -1, offs = +2c): lower bound
+        #   max(pre_lo, 2c - ztol - q_r)
+        pre_ratio = tmp_t[q_cls, k].astype(jnp.float32) / \
+            jnp.maximum(tms_t[q_cls, k], 1).astype(jnp.float32)
+        plus = sign_t[q_cls, k] > 0
+        gap_bound = jnp.where(plus,
+                              ztol_f32 - offs_t[q_cls, k] - q_r,
+                              -ztol_f32 + offs_t[q_cls, k] - q_r)
+        bound.append(jnp.where(plus,
+                               jnp.minimum(pre_ratio, gap_bound),
+                               jnp.maximum(pre_ratio, gap_bound)))
+        sign.append(jnp.where(plus, jnp.float32(1), jnp.float32(-1)))
+    return same_cls, a_qp, jnp.stack(tc), jnp.stack(bound), jnp.stack(sign)
+
+
 def element_predicate(q_cls, q_s, q_p, t_cls, t_s, t_p, t_max, *,
                       target_threshold: int, ztol_num: int, ztol_den: int):
     """Elementwise match predicate on pixel summaries (broadcastable).
@@ -264,51 +330,57 @@ def element_predicate(q_cls, q_s, q_p, t_cls, t_s, t_p, t_max, *,
     against the reference semantics of
     cds/AbstractColorDepthSearchAlgorithm.calculatePixelGap:157-390.
     """
+    rules = query_side_rules(q_cls, q_s, q_p, ztol_num=ztol_num,
+                             ztol_den=ztol_den)
+    return predicate_from_rules(
+        rules, q_s, q_p, t_cls, t_s, t_p, t_max,
+        target_threshold=target_threshold, ztol_num=ztol_num,
+        ztol_den=ztol_den)
+
+
+def predicate_from_rules(rules, q_s, q_p, t_cls, t_s, t_p, t_max, *,
+                         target_threshold: int, ztol_num: int,
+                         ztol_den: int):
+    """The [elements]-shaped half of the predicate (see query_side_rules).
+
+    Kept deliberately lean — this runs per (query pixel x target x
+    variant) element in the hot kernel; everything foldable to the query
+    side lives in query_side_rules."""
     a, b = ztol_num, ztol_den
     use_int_same = b <= _MAX_INT_DENOM
-    ztol_f32 = jnp.float32(a / b)
     band = jnp.float32(ADJ_BAND)
-
-    q_r = q_s.astype(jnp.float32) / jnp.maximum(q_p, 1).astype(jnp.float32)
-    tc_t, qms_t, qmp_t, qless_t, tms_t, tmp_t, tless_t, sign_t, offs_t = \
-        (jnp.asarray(t) for t in _adj_rule_tables())
+    same_cls, a_qp, tc, bound, sign = rules
 
     valid = t_max > target_threshold
 
-    same = (q_cls == t_cls) & (q_cls > 0) & (q_s >= 1) & (t_s >= 1)
+    same = (same_cls == t_cls) & (t_s >= 1)
     if use_int_same:
         d = jnp.abs(q_s * t_p - t_s * q_p)
         lhs = d * b
-        rhs = a * (q_p * t_p)
+        rhs = a_qp * t_p
         m_same = same & (lhs <= rhs)
         f_same = same & (lhs == rhs)
     else:
+        q_r = q_s.astype(jnp.float32) / \
+            jnp.maximum(q_p, 1).astype(jnp.float32)
         t_r32 = t_s.astype(jnp.float32) / \
             jnp.maximum(t_p, 1).astype(jnp.float32)
+        ztol_f32 = jnp.float32(a / b)
         gap = jnp.abs(t_r32 - q_r)
         m_same = same & (gap <= ztol_f32)
         f_same = same & (jnp.abs(gap - ztol_f32) < band)
 
-    t_r = t_s.astype(jnp.float32) / jnp.maximum(t_p, 1).astype(jnp.float32)
-    ssum = q_r + t_r
+    ts_f = t_s.astype(jnp.float32)
+    tp_f = t_p.astype(jnp.float32)
+    bnd = band * tp_f
+    live = t_cls > 0
     m_adj = jnp.zeros_like(same)
     f_adj = jnp.zeros_like(same)
     for k in (0, 1):
-        # query-side precondition (exact ints), folded into the rule's
-        # target class (0 = rule disabled for this query pixel)
-        qms = qms_t[q_cls, k]
-        qmp = qmp_t[q_cls, k]
-        q_lhs = qms * q_s - qmp * q_p
-        pre_q = jnp.where(qless_t[q_cls, k], q_lhs < 0, q_lhs > 0)
-        rule_tc = jnp.where(pre_q, tc_t[q_cls, k], 0)
-        # target-side precondition (exact ints; 0 excluded by design:
-        # all table preconditions are strict inequalities)
-        t_lhs = tms_t[q_cls, k] * t_s - tmp_t[q_cls, k] * t_p
-        pre_t = jnp.where(tless_t[q_cls, k], t_lhs < 0, t_lhs > 0)
-        sel = (t_cls == rule_tc) & (t_cls > 0) & pre_t
-        gap = sign_t[q_cls, k] * ssum + offs_t[q_cls, k]
-        m_adj |= sel & (gap <= ztol_f32)
-        f_adj |= sel & (jnp.abs(gap - ztol_f32) < band)
+        g = ts_f - bound[k] * tp_f
+        sel = (t_cls == tc[k]) & live
+        m_adj |= sel & (sign[k] * g <= 0)
+        f_adj |= sel & (jnp.abs(g) < bnd)
 
     match = valid & (m_same | m_adj)
     flag = valid & (f_same | f_adj)
@@ -333,11 +405,20 @@ def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
       flags:  int32 [V, T] count of ambiguity-band pixels (0 => exact).
     """
 
+    # query-side precomputation hoisted out of the variant loop: the
+    # adjacency rules collapse to per-pixel one-sided bounds so the
+    # [Q, T] hot path needs no division and no two-sided rule sweeps
+    rules = query_side_rules(q_cls, q_s, q_p, ztol_num=ztol_num,
+                             ztol_den=ztol_den)
+    same_cls, a_qp, tc, bound, sign = rules
+    rules_b = (same_cls[:, None], a_qp[:, None], tc[:, :, None],
+               bound[:, :, None], sign[:, :, None])
+
     def per_variant(_, pos_v):
         gathered = jnp.take(t_planes, jnp.maximum(pos_v, 0), axis=0)  # [Q,T]
         t_cls, t_s, t_p, t_max = common.unpack_summary(gathered)
-        match, flag = element_predicate(
-            q_cls[:, None], q_s[:, None], q_p[:, None],
+        match, flag = predicate_from_rules(
+            rules_b, q_s[:, None], q_p[:, None],
             t_cls, t_s, t_p, t_max,
             target_threshold=target_threshold,
             ztol_num=ztol_num, ztol_den=ztol_den)

@@ -244,7 +244,7 @@ def combine_gap(gap_hi: np.ndarray, gap_lo: np.ndarray) -> np.ndarray:
 
 
 def score_shape_batch(t_pack, t_pack_mirror, q_pack, *, mirror: bool,
-                      q_pack_mirror=None):
+                      q_pack_mirror=None, pairs_fn=None):
     """Full shape scoring of one query vs T targets, both orientations.
 
     Returns (gradient_area_gap int64 [T], high_expression_area int64 [T],
@@ -256,16 +256,22 @@ def score_shape_batch(t_pack, t_pack_mirror, q_pack, *, mirror: bool,
     the (unmirrored) ROI after mirroring the query, which in the
     flip-the-target formulation becomes the query packed with a flipped
     ROI; without ROI both orientations share q_pack.
+
+    pairs_fn: override for the (t_pack, q_pack) -> (hi, lo, he) step —
+    the mesh-sharded step (parallel.mesh.make_sharded_shape_step) plugs
+    in here; defaults to the single-device jit.
     """
-    hi, lo, he = shape_score_pairs(t_pack, jnp.asarray(q_pack))
+    if pairs_fn is None:
+        pairs_fn = shape_score_pairs
+    hi, lo, he = pairs_fn(t_pack, jnp.asarray(q_pack))
     gap_s = combine_gap(np.asarray(hi), np.asarray(lo))
     he_s = np.asarray(he).astype(np.int64)
     if not mirror:
         return gap_s, he_s, np.zeros(gap_s.shape, bool)
     if q_pack_mirror is None:
         q_pack_mirror = q_pack
-    hi_m, lo_m, he_m = shape_score_pairs(t_pack_mirror,
-                                         jnp.asarray(q_pack_mirror))
+    hi_m, lo_m, he_m = pairs_fn(t_pack_mirror,
+                                jnp.asarray(q_pack_mirror))
     gap_m = combine_gap(np.asarray(hi_m), np.asarray(lo_m))
     he_m = np.asarray(he_m).astype(np.int64)
     neg_s = gap_s + he_s // 2

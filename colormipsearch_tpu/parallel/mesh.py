@@ -90,6 +90,28 @@ def make_sharded_search_step(mesh: Mesh, *, target_threshold: int,
     return jax.jit(step)
 
 
+def make_sharded_shape_step(mesh: Mesh):
+    """Multi-device shape (gradient-area-gap) pass: packed target planes
+    [P, T] sharded on T, the packed query plane replicated; every device
+    scores its target shard with the fused elementwise+reduce kernel
+    (ops/shape_score.py).  No cross-device reduction is needed — scores
+    are per (query, target) — so the outputs stay T-sharded and the
+    per-mask normalization max happens host-side over the gathered
+    values, mirroring CalculateGradientScoresCmd.updateNormalizedScores.
+    """
+    from colormipsearch_tpu.ops import shape_score
+
+    def local_step(t_pack, q_pack):
+        return shape_score.shape_score_pairs_raw(t_pack, q_pack)
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, TARGET_AXIS), P(None)),
+        out_specs=(P(TARGET_AXIS), P(TARGET_AXIS), P(TARGET_AXIS)),
+        check_rep=False)
+    return jax.jit(step)
+
+
 def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
                             ztol_num: int, ztol_den: int, n_straight: int,
                             top_k: int = 0):

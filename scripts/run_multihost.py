@@ -22,6 +22,93 @@ import argparse
 import sys
 
 
+def selftest(out_path: str) -> int:
+    """Distributed-mesh self-check: score a deterministic synthetic
+    workload through the shard_map step over ALL processes' devices and
+    verify it equals the single-device kernel, then dump the scores.
+
+    Run by tests/test_multiprocess.py with 2 CPU processes to prove the
+    DCN-spanning path (process-boundary collectives) end to end — the
+    reference has no distributed tests at all (SURVEY §4)."""
+    import json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from colormipsearch_tpu.ops import common, pixel_match
+    from colormipsearch_tpu.parallel.mesh import (
+        create_mesh,
+        make_sharded_batch_step,
+    )
+
+    rng = np.random.default_rng(0)
+    h, w, n_targets, n_masks = 40, 64, 8, 2
+    imgs = np.zeros((n_masks + n_targets, h, w, 3), np.uint8)
+    for img in imgs:
+        n = 400
+        img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+            rng.integers(0, 256, (n, 3))
+    masks, targets = imgs[:n_masks], imgs[n_masks:]
+
+    plans = [pixel_match.build_query_plan(
+        m, 20, mirror=True, xy_shift=2, pix_color_fluctuation=2.0)
+        for m in masks]
+    pos = np.stack([pl.positions for pl in plans])
+    q_cls = np.stack([pl.q_cls for pl in plans])
+    q_s = np.stack([pl.q_s for pl in plans])
+    q_p = np.stack([pl.q_p for pl in plans])
+
+    host_planes = np.asarray(common.pack_target_planes(jnp.asarray(targets)))
+
+    mesh = create_mesh()
+    n_dev = len(mesh.devices.ravel())
+    t_pad = ((n_targets + n_dev - 1) // n_dev) * n_dev
+    planes_padded = np.pad(host_planes,
+                           ((0, 0), (0, t_pad - n_targets)))
+    sharding = NamedSharding(mesh, P(None, "targets"))
+    # every process holds the full deterministic planes; each contributes
+    # its addressable shards to the global array
+    planes = jax.make_array_from_callback(
+        planes_padded.shape, sharding, lambda idx: planes_padded[idx])
+
+    step = make_sharded_batch_step(
+        mesh, target_threshold=20,
+        ztol_num=plans[0].ztol_num, ztol_den=plans[0].ztol_den,
+        n_straight=plans[0].n_straight)
+    best, mirrored, flags, gmax = step(planes, jnp.asarray(pos),
+                                       jnp.asarray(q_cls),
+                                       jnp.asarray(q_s), jnp.asarray(q_p))
+    # assemble the T-sharded global scores on every process host
+    best = np.asarray(multihost_utils.process_allgather(best, tiled=True))
+    best = best[:, :n_targets]
+    gmax = np.asarray(gmax)  # replicated (P()) => fully addressable
+
+    # single-device reference on the local full planes
+    ref_best, _, _ = jax.device_put(
+        pixel_match.score_query_batch(
+            jnp.asarray(host_planes), jnp.asarray(pos),
+            jnp.asarray(q_cls), jnp.asarray(q_s), jnp.asarray(q_p),
+            target_threshold=20, ztol_num=plans[0].ztol_num,
+            ztol_den=plans[0].ztol_den,
+            n_straight=plans[0].n_straight),
+        jax.local_devices()[0])
+    ref_best = np.asarray(ref_best)
+
+    ok = bool((best == ref_best).all())
+    with open(out_path, "w") as f:
+        json.dump({"process": jax.process_index(),
+                   "num_processes": jax.process_count(),
+                   "n_global_devices": len(jax.devices()),
+                   "ok": ok,
+                   "scores": best.tolist(),
+                   "global_max": np.asarray(gmax).reshape(-1).tolist()}, f)
+    print(f"[multihost] selftest ok={ok}", file=sys.stderr)
+    return 0 if ok else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--coordinator", default=None,
@@ -29,10 +116,22 @@ def main(argv=None) -> int:
                         "TPU runtime usually auto-discovers)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu for the "
+                        "multi-process CPU selftest)")
+    p.add_argument("--selftest", default=None, metavar="OUT_JSON",
+                   help="run the distributed scoring self-check and "
+                        "write results to OUT_JSON instead of running "
+                        "the CLI")
     p.add_argument("rest", nargs=argparse.REMAINDER)
     args = p.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        # must override AFTER the import: environments like the axon
+        # sitecustomize pre-import jax and pin the platform
+        jax.config.update("jax_platforms", args.platform)
 
     kwargs = {}
     if args.coordinator:
@@ -45,6 +144,9 @@ def main(argv=None) -> int:
     print(f"[multihost] process {jax.process_index()}/"
           f"{jax.process_count()}: {len(jax.local_devices())} local / "
           f"{len(jax.devices())} global devices", file=sys.stderr)
+
+    if args.selftest:
+        return selftest(args.selftest)
 
     cli_args = [a for a in args.rest if a != "--"]
     from colormipsearch_tpu.cli.main import main as cli_main

@@ -101,3 +101,33 @@ def test_graft_entry_roundtrip():
     best = np.asarray(out[0])
     assert best.shape[0] == 16
     g.dryrun_multichip(8)
+
+
+def test_sharded_shape_step_equals_single_device():
+    """Shape pass over the mesh == single-device kernel."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from colormipsearch_tpu.ops import shape_score
+    from colormipsearch_tpu.parallel.mesh import (
+        create_mesh,
+        make_sharded_shape_step,
+        shard_target_planes,
+    )
+
+    rng = np.random.default_rng(0)
+    p, t = 4096, 16
+    t_pack = jnp.asarray(
+        rng.integers(0, 1 << 27, (p, t), dtype=np.int64).astype(np.uint32))
+    q_pack = jnp.asarray(
+        rng.integers(0, 1 << 12, p, dtype=np.int64).astype(np.int32))
+
+    hi0, lo0, he0 = shape_score.shape_score_pairs(t_pack, q_pack)
+
+    mesh = create_mesh()
+    step = make_sharded_shape_step(mesh)
+    hi1, lo1, he1 = step(shard_target_planes(mesh, t_pack), q_pack)
+    assert (np.asarray(hi0) == np.asarray(hi1)).all()
+    assert (np.asarray(lo0) == np.asarray(lo1)).all()
+    assert (np.asarray(he0) == np.asarray(he1)).all()
