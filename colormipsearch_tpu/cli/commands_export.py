@@ -42,10 +42,37 @@ def configure_export_data(sp):
     sp.add_argument("--exported-result-type", required=True,
                     choices=EXPORT_TYPES)
     sp.add_argument("--matches", "-md", nargs="*", default=[],
-                    help="per-mask grouped match files/dirs to export")
+                    help="per-mask grouped match files/dirs to export "
+                         "(FS mode)")
     sp.add_argument("--mips", nargs="*", default=[],
                     help="neuron JSON files (for *_MIPS exports)")
-    sp.add_argument("--relative-url-index", type=int, default=1)
+    sp.add_argument("--results-storage", dest="resultsStorage",
+                    choices=["FS", "DB"], default="FS",
+                    help="DB: read matches per mask from the match store "
+                         "(ExportData4NBCmd's DBNeuronMatchesReader path)")
+    sp.add_argument("--config", dest="configFile", default=None)
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("-l", "--libraries", nargs="*", default=[],
+                    help="mask libraries to export (DB mode)")
+    sp.add_argument("--exported-names", nargs="*", default=[],
+                    help="mask published names to export (DB mode)")
+    sp.add_argument("--neuron-tags", nargs="*", default=[])
+    sp.add_argument("--default-relative-url-index", type=int, default=-1,
+                    dest="defaultRelativeURLIndex",
+                    help="strip URL path components before this index "
+                         "(ExportData4NBCmd --default-relative-url-index; "
+                         "-1 leaves URLs untouched)")
+    sp.add_argument("--relative-url-indexes-by-filetype", nargs="*",
+                    dest="relativeURLIndexesByFileType", default=[],
+                    help="per-FileType overrides 'FileType:index[:bool]' "
+                         "(bool = also transform non-http paths)")
+    sp.add_argument("--default-image-store", dest="defaultImageStore",
+                    default=None,
+                    help="image store recorded as files.store on every "
+                         "exported neuron")
+    sp.add_argument("--image-stores-per-neuron-meta", nargs="*",
+                    dest="imageStoresPerMetadata", default=[],
+                    help="'<alignmentSpace>[,<library>]:<store>' overrides")
     sp.add_argument("--published-urls", dest="publishedURLs", default=None,
                     help="JSON file {mipId: {FileType: url}} merged into "
                          "exported neuron files (the offline stand-in for "
@@ -66,12 +93,88 @@ def cmd_export_data(args) -> int:
     if getattr(args, "publishedURLs", None):
         with open(args.publishedURLs) as f:
             args._url_map = json.load(f)
+    args._url_transformer = _make_url_transformer(args)
+    args._image_store = _make_image_store(args)
 
     if args.exported_result_type in ("EM_MIPS", "LM_MIPS"):
         return _export_mips(args, out_dir, pretty)
     if args.exported_result_type == "EM_PPP_MATCHES":
         return _export_ppp_matches(args, out_dir, pretty)
     return _export_cd_matches(args, out_dir, pretty)
+
+
+def _relativize_url(url: str, index: int, change_non_http: bool) -> str:
+    """Strip leading path components from a URL
+    (cmd/dataexport/URLTransformer.relativizeURL:52-83)."""
+    if not url:
+        return ""
+    if index < 0:
+        return url
+    from urllib.parse import urlparse
+
+    low = url.lower()
+    if low.startswith("http://") or low.startswith("https://"):
+        path = urlparse(url.replace(" ", "+")).path
+    elif change_non_http:
+        path = url
+    else:
+        return url
+    parts = [p for p in path.split("/") if p]
+    if index >= len(parts):
+        LOG.warning("URL %s has fewer components than index %d; left "
+                    "as is", url, index)
+        return url
+    return "/".join(parts[index:])
+
+
+def _make_url_transformer(args):
+    """(file_type_name, url) -> transformed url
+    (ExportData4NBCmd.createURLTransformer:371-392)."""
+    per_type = {}
+    for spec in args.relativeURLIndexesByFileType or ():
+        name, _, rest = spec.partition(":")
+        idx_s, _, flag = rest.partition(":")
+        per_type[name] = (int(idx_s), flag.lower() == "true")
+    default = (args.defaultRelativeURLIndex, False)
+
+    def transform(file_type: str, url: str) -> str:
+        idx, non_http = per_type.get(file_type, default)
+        return _relativize_url(url, idx, non_http)
+
+    return transform
+
+
+def _make_image_store(args):
+    """neuron metadata -> image store name
+    (cmd/dataexport/ImageStoreMapping: (alignmentSpace, library) key,
+    then alignmentSpace key, then the default)."""
+    mapping = {}
+    for spec in args.imageStoresPerMetadata or ():
+        key, _, store = spec.rpartition(":")
+        parts = tuple(k.strip() for k in key.split(",") if k.strip())
+        mapping[parts] = store
+    default = args.defaultImageStore
+
+    def lookup(meta) -> str | None:
+        alignment = getattr(meta, "alignment_space", None) or ""
+        library = getattr(meta, "library_name", None) or ""
+        return (mapping.get((alignment, library))
+                or mapping.get((alignment,)) or default)
+
+    return lookup
+
+
+def _finalize_neuron_files(meta, neuron, args) -> None:
+    """Per-exported-neuron enrichment: published URLs merge, image-store
+    stamp (files.store), then URL transforms over every file entry
+    (AbstractDataExporter.updateNeuronFiles + transformAllNeuronFiles)."""
+    _apply_urls(meta, neuron, args._url_map)
+    store = args._image_store(meta)
+    if store:
+        meta.files = {**meta.files, "store": store}
+    transform = args._url_transformer
+    meta.files = {ft: (transform(ft, url) if ft != "store" else url)
+                  for ft, url in meta.files.items()}
 
 
 def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
@@ -94,8 +197,14 @@ def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
         for rd in doc.get("results", ()):
             m = PPPMatch.from_json(rd)
             m.mask_image = em
-            results.append(dto.ppp_match_to_dto(m))
-        publish = dto.result_matches_json(dto.neuron_metadata(em), results)
+            row = dto.ppp_match_to_dto(m)
+            if hasattr(row, "files") and row.files:
+                row.files = {ft: args._url_transformer(ft, url)
+                             for ft, url in row.files.items()}
+            results.append(row)
+        em_meta = dto.neuron_metadata(em)
+        _finalize_neuron_files(em_meta, em, args)
+        publish = dto.result_matches_json(em_meta, results)
         name = em.published_name or em.mip_id or Path(f).stem
         with open(out_dir / f"{name}.json", "w") as fh:
             json.dump(publish, fh, indent=2 if pretty else None)
@@ -104,18 +213,44 @@ def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
     return 0
 
 
+def _read_db_matches(args):
+    """DB read path: per-mask aggregation reads keyed by the mask
+    selector (ExportData4NBCmd's DBNeuronMatchesReader over
+    findNeuronMatches)."""
+    from colormipsearch_tpu.persist import Config, DaosProvider
+    from colormipsearch_tpu.persist.requests import NeuronSelector
+
+    daos = DaosProvider(Config(args.configFile))
+    sel = NeuronSelector(alignment_space=args.alignment_space,
+                         libraries=list(args.libraries or ()),
+                         names=list(args.exported_names or ()),
+                         tags=list(args.neuron_tags or ()))
+    mip_ids = daos.cd_matches_dao.mask_mip_ids(sel)
+    out = []
+    for mip_id in mip_ids:
+        out.extend(daos.cd_matches_dao.find_matches_by_mask(
+            NeuronSelector(mip_ids=[mip_id])))
+    LOG.info("read %d matches for %d masks from the DB store",
+             len(out), len(mip_ids))
+    return out
+
+
 def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
     """Per-mask publish files: dedupe to best match per (mask, target) MIP
     pair (AbstractCDMatchesExporter.selectBestMatchPerMIPPair:66-85), group
     by mask published name."""
-    files = JSONMatchesReader.list_matches_locations(args.matches)
+    if args.resultsStorage == "DB":
+        matches_in = _read_db_matches(args)
+    else:
+        matches_in = []
+        for f in JSONMatchesReader.list_matches_locations(args.matches):
+            matches_in.extend(JSONMatchesReader.read_matches(f))
     by_published: dict[str, list] = {}
-    for f in files:
-        for m in JSONMatchesReader.read_matches(f):
-            if m.mask_image is None or m.matched_image is None:
-                continue
-            name = m.mask_image.published_name or m.mask_image.mip_id
-            by_published.setdefault(name, []).append(m)
+    for m in matches_in:
+        if m.mask_image is None or m.matched_image is None:
+            continue
+        name = m.mask_image.published_name or m.mask_image.mip_id
+        by_published.setdefault(name, []).append(m)
 
     n = 0
     n_invalid = 0
@@ -144,11 +279,11 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
         if not selected:
             continue
         input_meta = dto.neuron_metadata(selected[0].mask_image)
-        _apply_urls(input_meta, selected[0].mask_image, args._url_map)
+        _finalize_neuron_files(input_meta, selected[0].mask_image, args)
         rows = []
         for m in selected:
             row = dto.cd_match_to_dto(m)
-            _apply_urls(row.target, m.matched_image, args._url_map)
+            _finalize_neuron_files(row.target, m.matched_image, args)
             rows.append(row)
         doc = dto.result_matches_json(input_meta, rows)
         with open(out_dir / f"{name}.json", "w") as f:
@@ -192,8 +327,12 @@ def _export_mips(args, out_dir: Path, pretty: bool) -> int:
             name = n.published_name or n.mip_id
             by_name.setdefault(name, []).append(n)
     for name, neurons in by_name.items():
-        doc = {"results": [dto.neuron_metadata(n).to_json()
-                           for n in neurons]}
+        metas = []
+        for n in neurons:
+            meta = dto.neuron_metadata(n)
+            _finalize_neuron_files(meta, n, args)
+            metas.append(meta)
+        doc = {"results": [meta.to_json() for meta in metas]}
         with open(out_dir / f"{name}.json", "w") as f:
             json.dump(doc, f, indent=2 if pretty else None)
     LOG.info("exported %d MIP files to %s", len(by_name), out_dir)
@@ -213,20 +352,52 @@ def configure_import_ppp(sp):
     sp.add_argument("--alignment-space", "-as", default=None)
     sp.add_argument("--only-best-skeleton-matches", action="store_true")
     sp.add_argument("--include-skeletons", action="store_true", default=True)
+    sp.add_argument("--screenshots-dir", dest="screenshotsDir",
+                    default="screenshots",
+                    help="screenshots dir name next to each results file "
+                         "(ImportPPPResultsCmd --screenshots-dir)")
     sp.add_argument("--processing-tag", dest="processingTag", default="")
-    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--mips-storage", dest="mipsStorage",
+                    choices=["FS", "DB"], default="FS",
+                    help="DB: resolve EM mask neurons from the metadata "
+                         "store and stamp PPPMatch processing tags")
+    sp.add_argument("--results-storage", dest="resultsStorage",
+                    choices=["FS", "DB"], default="FS")
+    sp.add_argument("--config", dest="configFile", default=None)
+    sp.add_argument("-od", "--outputDir", required=False, default=None)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
 
 
 def cmd_import_ppp(args) -> int:
     """Parse raw PPP files to pppMatches grouped per EM neuron
-    (ImportPPPResultsCmd; groups by source ref — here by EM name)."""
+    (ImportPPPResultsCmd): resolves EM mask neurons from the metadata
+    store when --mips-storage DB, attaches per-match screenshot files
+    (rank < 500) from the sibling screenshots dir, and writes grouped
+    JSON or DB rows."""
     gen = TimebasedIdGenerator()
     files = ppp_io.find_ppp_result_files(args.results_dir)
-    out_dir = Path(args.outputDir)
-    out_dir.mkdir(parents=True, exist_ok=True)
+    out_dir = Path(args.outputDir) if args.outputDir else None
+    if out_dir is not None:
+        out_dir.mkdir(parents=True, exist_ok=True)
+
+    daos = None
+    registered_em = {}
+    if args.mipsStorage == "DB" or args.resultsStorage == "DB":
+        from colormipsearch_tpu.persist import Config, DaosProvider
+
+        daos = DaosProvider(Config(args.configFile))
+    if daos is not None and args.mipsStorage == "DB":
+        from colormipsearch_tpu.persist.requests import NeuronSelector
+
+        sel = NeuronSelector(
+            libraries=[args.em_library] if args.em_library else [])
+        for n in daos.neuron_metadata_dao.find_neurons(sel):
+            if n.published_name:
+                registered_em.setdefault(n.published_name, n)
+
     n_matches = 0
+    used_em = []
     for f in files:
         matches = ppp_io.read_raw_ppp_matches(
             f, only_best_matches=args.only_best_skeleton_matches,
@@ -236,9 +407,22 @@ def cmd_import_ppp(args) -> int:
         em = ppp_io.em_neuron_from_ppp_name(
             matches[0].source_em_name, library=args.em_library,
             alignment_space=args.alignment_space)
-        em.entity_id = gen.generate_id()
+        # DB neuron resolution: the registered neuron (by body id)
+        # becomes the mask reference (ImportPPPResultsCmd
+        # retrieveEMNeurons + setMaskImage)
+        db_em = registered_em.get(em.published_name or "")
+        if db_em is not None:
+            em = db_em
+            if args.processingTag:
+                em.add_processed_tags(ProcessingType.PPPMatch,
+                                      [args.processingTag])
+            used_em.append(em)
+        elif em.entity_id is None:
+            em.entity_id = gen.generate_id()
+        screenshots_dir = f.parent / args.screenshotsDir
         for m in matches:
             m.mask_image = em
+            m.mask_image_ref_id = em.entity_id
             m.matched_image = ppp_io.lm_neuron_from_ppp_name(
                 m.source_lm_name, library=args.lm_library,
                 alignment_space=args.alignment_space)
@@ -247,15 +431,29 @@ def cmd_import_ppp(args) -> int:
             m.source_lm_library = args.lm_library
             if args.processingTag:
                 m.tags.add(args.processingTag)
+            if m.rank is not None and m.rank < 500:
+                # screenshot attachment (lookupScreenshots:388-396)
+                shots = ppp_io.find_screenshots(
+                    screenshots_dir, m.source_em_name or "",
+                    m.source_lm_name or "")
+                if shots:
+                    m.source_image_files.update(shots)
         matches.sort(key=lambda m: m.rank if m.rank is not None else 1e9)
-        doc = {
-            "inputImage": em.to_json(),
-            "results": [_ppp_result_json(m) for m in matches],
-        }
-        name = em.published_name or f.stem
-        with open(out_dir / f"{name}.json", "w") as fh:
-            json.dump(doc, fh, indent=None if args.noPrettyPrint else 2)
+        if daos is not None and args.resultsStorage == "DB":
+            daos.ppp_matches_dao.save_all(matches)
+        if out_dir is not None:
+            doc = {
+                "inputImage": em.to_json(),
+                "results": [_ppp_result_json(m) for m in matches],
+            }
+            name = em.published_name or f.stem
+            with open(out_dir / f"{name}.json", "w") as fh:
+                json.dump(doc, fh,
+                          indent=None if args.noPrettyPrint else 2)
         n_matches += len(matches)
+    if daos is not None and used_em and args.processingTag:
+        daos.neuron_metadata_dao.add_processing_tags(
+            used_em, ProcessingType.PPPMatch, [args.processingTag])
     LOG.info("imported %d PPP matches from %d files", n_matches, len(files))
     return 0
 

@@ -139,3 +139,36 @@ def find_ppp_result_files(dirs: Iterable[str]) -> list[Path]:
         elif p.is_dir():
             out.extend(sorted(p.rglob("cov_scores_*.json")))
     return out
+
+
+# PPP screenshot suffix -> screenshot-type key, as serialized in
+# PPPMatchEntity.sourceImageFiles (model/PPPScreenshotType.java:5-27);
+# declaration order matters: findScreenshotType takes the FIRST suffix
+# match, so _5_ch.png must be tested before _6_ch_skel.png etc.
+SCREENSHOT_TYPES = (
+    ("RAW", "_1_raw.png"),
+    ("MASKED_RAW", "_2_masked_raw.png"),
+    ("SKEL", "_3_skel.png"),
+    ("CH", "_5_ch.png"),
+    ("CH_SKEL", "_6_ch_skel.png"),
+)
+
+
+def find_screenshots(screenshots_dir, em_name: str, lm_name: str) -> dict:
+    """Locate the per-match screenshot files.
+
+    Mirrors ImportPPPResultsCmd.lookupScreenshots:388-396: glob
+    `{emName}*{lmName}*.png` in the screenshots dir next to the results
+    file and classify each hit by its FileType suffix
+    (PPPMatchEntity.addSourceImageFile).  Returns {type key: path str}.
+    """
+    d = Path(screenshots_dir)
+    if not d.is_dir():
+        return {}
+    out: dict = {}
+    for f in sorted(d.glob(f"{em_name}*{lm_name}*.png")):
+        for key, suffix in SCREENSHOT_TYPES:
+            if f.name.endswith(suffix):
+                out[key] = str(f)
+                break
+    return out

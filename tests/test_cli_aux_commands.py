@@ -184,3 +184,118 @@ def test_export_with_published_urls(tmp_path):
     doc = json.loads((out / "777.json").read_text())
     assert doc["inputImage"]["files"]["CDM"] == "https://s3/em.png"
     assert doc["results"][0]["image"]["files"]["CDM"] == "https://s3/lm.png"
+
+
+def test_import_ppp_screenshots_and_db_resolution(tmp_path):
+    """Screenshot attachment (lookupScreenshots) + DB mask resolution +
+    PPPMatch processing tags (ImportPPPResultsCmd DB mode)."""
+    import shutil
+
+    from colormipsearch_tpu.model import EMNeuron, ProcessingType
+    from colormipsearch_tpu.persist import Config, DaosProvider
+
+    # stage the fixture next to a screenshots dir we control
+    rd = tmp_path / "ppp_in"
+    rd.mkdir()
+    src = Path(PPP_FIXTURES) / "cov_scores_1599747200-PFNp_c-RT_18U.json"
+    shutil.copy(src, rd / src.name)
+    shots = rd / "screenshots"
+    shots.mkdir()
+    em_name = "1599747200-PFNp_c-RT_18U"
+    lm_name = "BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_40x"
+    for suffix in ("_1_raw.png", "_2_masked_raw.png", "_5_ch.png"):
+        (shots / f"{em_name}-{lm_name}{suffix}").write_bytes(b"png")
+    # unrelated screenshot must not attach
+    (shots / f"999-{lm_name}_1_raw.png").write_bytes(b"png")
+
+    # pre-register the EM neuron so DB resolution binds the mask ref
+    db = tmp_path / "db.sqlite"
+    cfg_file = tmp_path / "cfg.properties"
+    cfg_file.write_text(f"Store.Path={db}\n")
+    daos = DaosProvider(Config(str(cfg_file)))
+    em = EMNeuron(mip_id="em-mip-1", published_name="1599747200",
+                  library_name="flyem_hemibrain_1_2_1")
+    daos.neuron_metadata_dao.create_or_update(em)
+
+    out = tmp_path / "ppp_out"
+    run_cli("importPPPResults", "-rd", rd,
+            "--em-library", "flyem_hemibrain_1_2_1",
+            "--lm-library", "FlyLight Gen1 MCFO",
+            "--alignment-space", "JRC2018_Unisex_20x_HR",
+            "--mips-storage", "DB", "--results-storage", "DB",
+            "--processing-tag", "ppp-run-1",
+            "--config", cfg_file, "-od", out)
+
+    doc = json.loads((out / "1599747200.json").read_text())
+    # the mask is the REGISTERED neuron, not a synthesized one
+    assert doc["inputImage"]["entityId"] == str(em.entity_id)
+    assert doc["inputImage"]["mipId"] == "em-mip-1"
+    by_lm = {r["sourceLmName"]: r for r in doc["results"]}
+    files = by_lm[lm_name].get("sourceImageFiles")
+    assert files and set(files) == {"RAW", "MASKED_RAW", "CH"}
+    assert files["RAW"].endswith(f"{em_name}-{lm_name}_1_raw.png")
+    # matches landed in the DB store too
+    rows = daos.ppp_matches_dao.find_all()
+    assert len(rows) == len(doc["results"])
+    # processing tag stamped on the registered EM neuron
+    fresh = daos.neuron_metadata_dao.find_by_id(em.entity_id)
+    assert "ppp-run-1" in \
+        (fresh.processed_tags.get(ProcessingType.PPPMatch) or set())
+
+
+def test_export_db_read_path_with_url_transforms(tmp_path):
+    """exportData --results-storage DB: reads matches per mask from the
+    store, applies image-store mapping (files.store) and URL transforms
+    (ExportData4NBCmd.java:50-392) without intermediate files."""
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.persist import Config, DaosProvider
+
+    db = tmp_path / "db.sqlite"
+    cfg_file = tmp_path / "cfg.properties"
+    cfg_file.write_text(f"Store.Path={db}\n")
+    daos = DaosProvider(Config(str(cfg_file)))
+
+    em = EMNeuron(mip_id="em1", published_name="12345",
+                  library_name="flyem_hemibrain_1_2_1",
+                  alignment_space="JRC2018_Unisex_20x_HR")
+    lm = LMNeuron(mip_id="lm1", published_name="R99X99",
+                  library_name="MCFO", slide_code="sc1", gender="f",
+                  alignment_space="JRC2018_Unisex_20x_HR")
+    daos.neuron_metadata_dao.create_or_update(em)
+    daos.neuron_metadata_dao.create_or_update(lm)
+    m = CDMatch(mask_image=em, matched_image=lm,
+                mask_image_ref_id=em.entity_id,
+                matched_image_ref_id=lm.entity_id,
+                matching_pixels=87, matching_pixels_ratio=0.05,
+                normalized_score=2801.1, match_found=True)
+    daos.cd_matches_dao.create_or_update_all([m])
+
+    urls = tmp_path / "urls.json"
+    urls.write_text(json.dumps({
+        "em1": {"CDM": "https://s3.host/bucket/v3/em/12345-cdm.png"},
+        "lm1": {"CDM": "/nrs/some/local/path/lm1-cdm.png"},
+    }))
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--results-storage", "DB", "--config", cfg_file,
+            "--alignment-space", "JRC2018_Unisex_20x_HR",
+            "-l", "flyem_hemibrain_1_2_1",
+            "--published-urls", urls,
+            "--default-relative-url-index", "2",
+            "--default-image-store", "brain-store",
+            "--image-stores-per-neuron-meta",
+            "JRC2018_Unisex_20x_HR,MCFO:lm-store",
+            "-od", out)
+
+    doc = json.loads((out / "12345.json").read_text())
+    files = doc["inputImage"]["files"]
+    # https URL path /bucket/v3/em/... relativized from component
+    # index 2 (Java Path.subpath semantics); store stamped by the
+    # (alignmentSpace, library) mapping with the default as fallback
+    assert files["CDM"] == "em/12345-cdm.png"
+    assert files["store"] == "brain-store"
+    [res] = doc["results"]
+    tfiles = res["files"] if "files" in res else res["image"]["files"]
+    # non-http path left alone without the change-non-http flag
+    assert tfiles["CDM"] == "/nrs/some/local/path/lm1-cdm.png"
+    assert tfiles["store"] == "lm-store"
