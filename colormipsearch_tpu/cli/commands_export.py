@@ -357,6 +357,12 @@ def configure_import_ppp(sp):
                     help="screenshots dir name next to each results file "
                          "(ImportPPPResultsCmd --screenshots-dir)")
     sp.add_argument("--processing-tag", dest="processingTag", default="")
+    sp.add_argument("--jacs-url", "--data-url", dest="jacsURL",
+                    default=None,
+                    help="JACS base URL (or file:// dump) to resolve LM "
+                         "sample publishing names / slide codes "
+                         "(CachedDataHelper.retrieveLMSamplesByName)")
+    sp.add_argument("--authorization", default=None)
     sp.add_argument("--mips-storage", dest="mipsStorage",
                     choices=["FS", "DB"], default="FS",
                     help="DB: resolve EM mask neurons from the metadata "
@@ -396,6 +402,13 @@ def cmd_import_ppp(args) -> int:
             if n.published_name:
                 registered_em.setdefault(n.published_name, n)
 
+    samples_client = None
+    if args.jacsURL:
+        from colormipsearch_tpu.io.jacs import SamplesClient
+
+        samples_client = SamplesClient(args.jacsURL,
+                                       auth_token=args.authorization)
+
     n_matches = 0
     used_em = []
     for f in files:
@@ -404,6 +417,11 @@ def cmd_import_ppp(args) -> int:
             include_skeletons=args.include_skeletons)
         if not matches:
             continue
+        samples = {}
+        if samples_client is not None:
+            names = {ppp_io.lm_sample_name(m.source_lm_name or "")
+                     for m in matches}
+            samples = samples_client.samples_by_names(names)
         em = ppp_io.em_neuron_from_ppp_name(
             matches[0].source_em_name, library=args.em_library,
             alignment_space=args.alignment_space)
@@ -426,6 +444,15 @@ def cmd_import_ppp(args) -> int:
             m.matched_image = ppp_io.lm_neuron_from_ppp_name(
                 m.source_lm_name, library=args.lm_library,
                 alignment_space=args.alignment_space)
+            sample = samples.get(
+                ppp_io.lm_sample_name(m.source_lm_name or ""))
+            if sample:
+                # JACS sample enrichment (updateLMSampleInfo:382-387)
+                if sample.get("publishingName"):
+                    m.matched_image.published_name = \
+                        sample["publishingName"]
+                if sample.get("slideCode"):
+                    m.matched_image.slide_code = sample["slideCode"]
             m.entity_id = gen.generate_id()
             m.source_em_library = args.em_library
             m.source_lm_library = args.lm_library

@@ -231,20 +231,189 @@ def cmd_reverse_transfer(args) -> int:
 
 
 def configure_create_json_input_v2(sp):
-    sp.add_argument("-i", "--input", required=True,
-                    help="image library (dir or zip), location[:off[:len]]")
-    sp.add_argument("-l", "--library", default=None)
+    sp.add_argument("-i", "--input", required=False, default=None,
+                    help="image library (dir or zip), location[:off[:len]]"
+                         " (local mode)")
+    sp.add_argument("-l", "--library", "--libraries", nargs="*",
+                    default=None)
+    sp.add_argument("--jacs-url", "--data-url", dest="jacsURL",
+                    default=None,
+                    help="JACS base URL (or file:// page-dump dir) — the "
+                         "online mode of "
+                         "CreateColorDepthSearchJSONInputCmd")
+    sp.add_argument("--authorization", default=None)
     sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--segmented-mips-variant", dest="segmentedMips",
+                    nargs="*", default=[],
+                    help="segmented-image locations matched to each MIP "
+                         "(one output MIP per matched segmentation)")
+    sp.add_argument("--segmentation-channel-base", type=int, default=1,
+                    choices=[0, 1])
+    sp.add_argument("--include-mips-without-publishing-name",
+                    dest="includeUnpublished", action="store_true")
+    sp.add_argument("--excluded-names", nargs="*", default=[])
+    sp.add_argument("--excluded-mips", nargs="*", default=[])
+    sp.add_argument("--default-gender", default=None)
+    sp.add_argument("--keep-dups", dest="keepDups", action="store_true")
+    sp.add_argument("--urls-relative-to", dest="urlsRelativeTo",
+                    type=int, default=-1)
+    sp.add_argument("--append-output", dest="appendOutput",
+                    action="store_true")
     sp.add_argument("--output-filename", default=None)
     sp.add_argument("-od", "--outputDir", default=".")
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
 
 
+def _first_library(args) -> str | None:
+    libs = args.library
+    if isinstance(libs, str):
+        return libs
+    return libs[0] if libs else None
+
+
+def _relative_url(path: str | None, index: int) -> str | None:
+    if not path or index < 0:
+        return path
+    parts = [p for p in path.split("/") if p]
+    return "/".join(parts[index:]) if index < len(parts) else path
+
+
+def _jacs_mip_to_v2(rec: dict, library: str, args) -> v2_io.MIPMetadata:
+    """JACS ColorDepthMIP record -> v2 MIPMetadata
+    (CreateColorDepthSearchJSONInputCmd's asMIPInfo mapping over
+    cmd/jacsdata/ColorDepthMIP.java fields)."""
+    from colormipsearch_tpu.io import naming
+
+    sample = rec.get("sample") or {}
+    em_body = rec.get("emBody") or {}
+    is_em = naming.is_em_library(library)
+    body = rec.get("bodyId") or em_body.get("name")
+    published = (str(body) if is_em and body is not None
+                 else sample.get("publishingName") or sample.get("line"))
+    m = v2_io.MIPMetadata(
+        id=rec.get("id") or rec.get("_id"),
+        publishedName=published,
+        libraryName=library,
+        alignmentSpace=rec.get("alignmentSpace") or args.alignment_space,
+        cdmPath=rec.get("filepath"),
+        imageName=rec.get("filepath"),
+        imageType="file",
+        imageURL=_relative_url(rec.get("filepath"), args.urlsRelativeTo),
+        slideCode=sample.get("slideCode"),
+        objective=rec.get("objective"),
+        anatomicalArea=rec.get("anatomicalArea"),
+        channel=rec.get("channelNumber"),
+        mountingProtocol=sample.get("mountingProtocol"),
+        gender=sample.get("gender") or args.default_gender,
+        neuronType=em_body.get("neuronType"),
+        neuronInstance=em_body.get("neuronInstance"),
+        sampleRef=rec.get("sampleRef"),
+    )
+    return m
+
+
+def _create_json_input_v2_jacs(args) -> int:
+    """Online mode: page the JACS libraries, map to v2 MIPMetadata,
+    optionally substitute segmented searchable images, filter and write
+    (CreateColorDepthSearchJSONInputCmd.java — the JACS-driven
+    machinery)."""
+    from colormipsearch_tpu.io import naming
+    from colormipsearch_tpu.io.jacs import JacsClient
+
+    client = JacsClient(args.jacsURL, auth_token=args.authorization)
+    libraries = args.library if isinstance(args.library, list) \
+        else [args.library]
+    if not libraries or not libraries[0]:
+        LOG.error("online mode requires -l/--libraries")
+        return 1
+    excluded_names = set(args.excluded_names or ())
+    excluded_mips = set(args.excluded_mips or ())
+    seg_index = naming.index_segmented_images(args.segmentedMips) \
+        if args.segmentedMips else None
+
+    out_mips: list = []
+    seen = set()
+    for library in libraries:
+        for rec in client.color_depth_mips_with_samples(
+                library=library, alignment_space=args.alignment_space):
+            m = _jacs_mip_to_v2(rec, library, args)
+            if m.id in excluded_mips:
+                continue
+            if not m.publishedName and not args.includeUnpublished:
+                continue
+            if m.publishedName in excluded_names:
+                continue
+            if not args.keepDups:
+                key = (m.publishedName, m.slideCode, m.objective,
+                       m.channel, m.cdmPath)
+                if key in seen:
+                    continue
+                seen.add(key)
+            if seg_index is not None:
+                segmented = _matched_segmentations(m, seg_index, args)
+                if not segmented:
+                    continue  # only MIPs with a searchable segmentation
+                out_mips.extend(segmented)
+            else:
+                out_mips.append(m)
+    lib_name = libraries[0]
+    out = Path(args.outputDir) / (
+        args.output_filename or f"{lib_name.replace('/', '_')}.json")
+    if args.appendOutput and out.exists():
+        existing = v2_io.read_mips_json(out)
+        known = {mm.id for mm in existing}
+        out_mips = existing + [mm for mm in out_mips
+                               if mm.id not in known]
+    out.parent.mkdir(parents=True, exist_ok=True)
+    v2_io.write_mips_json(out_mips, out, pretty=not args.noPrettyPrint)
+    LOG.info("wrote %d MIPs to %s", len(out_mips), out)
+    return 0
+
+
+def _matched_segmentations(m: v2_io.MIPMetadata, seg_index, args) -> list:
+    """One output MIP per matched segmented image, id-suffixed the way
+    the reference emits a MIP per searchable segmentation."""
+    import dataclasses as _dc
+
+    from colormipsearch_tpu.io import naming
+    from colormipsearch_tpu.model import EMNeuron, LMNeuron
+
+    if naming.is_em_library(m.libraryName):
+        neuron = EMNeuron(mip_id=m.id, published_name=m.publishedName)
+    else:
+        try:
+            channel = int(m.channel) if m.channel is not None else None
+        except (TypeError, ValueError):
+            channel = None
+        neuron = LMNeuron(mip_id=m.id, published_name=m.publishedName,
+                          slide_code=m.slideCode, objective=m.objective,
+                          channel=channel)
+    files = naming.lookup_searchable_images(
+        neuron, seg_index, channel_base=args.segmentation_channel_base)
+    out = []
+    for i, fd in enumerate(files):
+        mm = _dc.replace(m) if i == 0 else _dc.replace(
+            m, id=f"{m.id}-{i}" if m.id else None)
+        mm.searchablePNG = fd.name
+        mm.imageName = fd.file_name
+        if fd.is_zip_entry:
+            mm.imageArchivePath = fd.file_name
+            mm.imageName = fd.entry_name
+            mm.imageType = "zipEntry"
+        out.append(mm)
+    return out
+
+
 def cmd_create_json_input_v2(args) -> int:
+    if args.jacsURL:
+        return _create_json_input_v2_jacs(args)
+    if not args.input:
+        LOG.error("local mode requires -i/--input")
+        return 1
     arg = ListArg.parse(args.input)
     files = arg.apply(mips_io.list_image_files(arg.location))
-    lib = args.library or os.path.basename(arg.location.rstrip("/"))
+    lib = _first_library(args) or os.path.basename(arg.location.rstrip("/"))
     mips = []
     for fd in files:
         base = os.path.basename(fd.name)
@@ -267,8 +436,17 @@ def cmd_create_json_input_v2(args) -> int:
 
 
 def configure_group_mips(sp):
-    sp.add_argument("-i", "--input", nargs="+", required=True,
-                    help="v2 MIP JSON list file(s)")
+    sp.add_argument("-i", "--input", nargs="*", default=[],
+                    help="v2 MIP JSON list file(s) (local mode)")
+    sp.add_argument("-l", "--library", "--libraries", nargs="*",
+                    default=None, help="JACS libraries (online mode)")
+    sp.add_argument("--jacs-url", "--data-url", dest="jacsURL",
+                    default=None)
+    sp.add_argument("--authorization", default=None)
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--urls-relative-to", dest="urlsRelativeTo",
+                    type=int, default=-1)
+    sp.add_argument("--default-gender", default=None)
     sp.add_argument("-od", "--outputDir", required=True)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
@@ -276,19 +454,57 @@ def configure_group_mips(sp):
 
 def cmd_group_mips(args) -> int:
     """Group MIPs by published name into by-name JSON files
-    (GroupMIPsByPublishedNameCmd, local metadata mode)."""
-    by_name: dict[str, list] = {}
-    for src in args.input:
-        for m in v2_io.read_mips_json(src):
-            name = m.publishedName or _extract_publishing_name(m.imageName)
-            by_name.setdefault(name, []).append(m)
+    (GroupMIPsByPublishedNameCmd): local mode groups existing v2 MIP
+    lists; with --jacs-url the MIPs are paged from JACS per library and
+    written into by_line/ (LM) or by_body/ (EM) subdirs like the
+    reference's NeuronBridge upload layout."""
+    from colormipsearch_tpu.io import naming
+
     out_dir = Path(args.outputDir)
-    for name, mips in by_name.items():
-        safe = re.sub(r"[^A-Za-z0-9._-]", "_", name or "UNKNOWN")
-        v2_io.write_mips_json(mips, out_dir / f"{safe}.json",
-                              pretty=not args.noPrettyPrint)
-    LOG.info("grouped %d MIPs into %d files",
-             sum(len(v) for v in by_name.values()), len(by_name))
+    n_mips = 0
+    n_files = 0
+
+    def write_groups(by_name: dict, sub: Path):
+        nonlocal n_mips, n_files
+        for name, mips in by_name.items():
+            safe = re.sub(r"[^A-Za-z0-9._-]", "_", name or "UNKNOWN")
+            v2_io.write_mips_json(mips, sub / f"{safe}.json",
+                                  pretty=not args.noPrettyPrint)
+            n_mips += len(mips)
+            n_files += 1
+
+    if args.jacsURL:
+        from colormipsearch_tpu.io.jacs import JacsClient
+
+        client = JacsClient(args.jacsURL, auth_token=args.authorization)
+        libraries = args.library or []
+        if not libraries:
+            LOG.error("online mode requires -l/--libraries")
+            return 1
+        for library in libraries:
+            by_name: dict[str, list] = {}
+            for rec in client.color_depth_mips_with_samples(
+                    library=library,
+                    alignment_space=args.alignment_space):
+                m = _jacs_mip_to_v2(rec, library, args)
+                if not m.publishedName:
+                    continue
+                by_name.setdefault(m.publishedName, []).append(m)
+            sub = out_dir / ("by_body"
+                             if naming.is_em_library(library) else "by_line")
+            write_groups(by_name, sub)
+    else:
+        if not args.input:
+            LOG.error("local mode requires -i/--input")
+            return 1
+        by_name = {}
+        for src in args.input:
+            for m in v2_io.read_mips_json(src):
+                name = m.publishedName or \
+                    _extract_publishing_name(m.imageName)
+                by_name.setdefault(name, []).append(m)
+        write_groups(by_name, out_dir)
+    LOG.info("grouped %d MIPs into %d files", n_mips, n_files)
     return 0
 
 

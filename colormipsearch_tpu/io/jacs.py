@@ -77,6 +77,44 @@ class JacsClient:
             offset += len(page)
 
 
+def _chunked(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i:i + n]
+
+
+class SamplesClient(JacsClient):
+    """LM sample lookups (JacsDataGetter.retrieveLMSamplesByName /
+    PublishedDataGetter): /data/samples filtered by sample name."""
+
+    def samples_by_names(self, names) -> dict:
+        """{sample name: sample record}."""
+        names = [n for n in names if n]
+        if not names:
+            return {}
+        out = {}
+        if self.base_url.startswith("file://"):
+            # offline dump: one page file, filtered client-side
+            recs = self._get("/data/samples", {"offset": 0})
+            wanted = set(names)
+            for rec in recs:
+                if rec.get("name") in wanted:
+                    out[rec["name"]] = rec
+            return out
+        for chunk in _chunked(sorted(names), 100):
+            params = [("name", n) for n in chunk]
+            url = (f"{self.base_url}/data/samples?"
+                   + urllib.parse.urlencode(params))
+            req = urllib.request.Request(url)
+            if self.auth_token:
+                req.add_header("Authorization",
+                               f"Bearer {self.auth_token}")
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                for rec in json.load(resp):
+                    if rec.get("name"):
+                        out[rec["name"]] = rec
+        return out
+
+
 def _is_em_library(library: str) -> bool:
     """MIPsHandlingUtils.isEmLibrary:116."""
     lib = (library or "").lower()

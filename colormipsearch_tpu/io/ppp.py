@@ -172,3 +172,10 @@ def find_screenshots(screenshots_dir, em_name: str, lm_name: str) -> dict:
                 out[key] = str(f)
                 break
     return out
+
+
+def lm_sample_name(lm_name: str) -> str:
+    """LM sample name = everything before _REG_UNISEX_
+    (ImportPPPResultsCmd.updateLMMetadata:371-380)."""
+    m = LM_NAME_RE.match(lm_name)
+    return m.group(1) if m else lm_name

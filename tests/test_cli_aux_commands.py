@@ -299,3 +299,25 @@ def test_export_db_read_path_with_url_transforms(tmp_path):
     # non-http path left alone without the change-non-http flag
     assert tfiles["CDM"] == "/nrs/some/local/path/lm1-cdm.png"
     assert tfiles["store"] == "lm-store"
+
+
+def test_import_ppp_jacs_sample_enrichment(tmp_path):
+    """--jacs-url resolves LM sample publishing names / slide codes
+    (CachedDataHelper.retrieveLMSamplesByName + updateLMSampleInfo)."""
+    dump = tmp_path / "dump"
+    dump.mkdir()
+    (dump / "data_samples_0.json").write_text(json.dumps([
+        {"name": "BJD_115G11_AE_01-20190507_62_F1",
+         "publishingName": "BJD_115G11", "slideCode": "20190507_62_F1"},
+    ]))
+    out = tmp_path / "ppp"
+    run_cli("importPPPResults", "-rd", PPP_FIXTURES,
+            "--em-library", "flyem_hemibrain_1_2_1",
+            "--lm-library", "FlyLight Gen1 MCFO",
+            "--jacs-url", f"file://{dump}",
+            "-od", out)
+    doc = json.loads((out / "1599747200.json").read_text())
+    by_lm = {r["sourceLmName"]: r for r in doc["results"]}
+    enriched = by_lm["BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_40x"]
+    assert enriched["image"]["publishedName"] == "BJD_115G11"
+    assert enriched["image"]["slideCode"] == "20190507_62_F1"

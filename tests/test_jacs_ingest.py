@@ -75,3 +75,67 @@ def test_create_data_input_from_jacs_cli(tmp_path, jacs_dump):
     assert data[0]["slideCode"] == "2020_0"
     assert data[0]["channel"] == 2
     assert "SourceColorDepthImage" in data[0]["computeFiles"]
+
+
+def test_v2_create_json_input_from_jacs(tmp_path, jacs_dump):
+    """v2 createColorDepthSearchJSONInput online mode: JACS paging ->
+    MIPMetadata with filters, URL relativization, and segmented-image
+    substitution (CreateColorDepthSearchJSONInputCmd.java)."""
+    from colormipsearch_tpu.dataio import v2_io
+
+    # segmented-image store: LM entries key on the slide code and must
+    # match the source channel (ch2 -> channel index 1) and objective
+    seg = tmp_path / "seg"
+    seg.mkdir()
+    (seg / "2020_0-stuff-40x_ch2_CDM.png").write_bytes(b"png")
+    (seg / "2020_1-stuff-40x_ch2_CDM.png").write_bytes(b"png")
+
+    out = tmp_path / "v2out"
+    run_cli("createColorDepthSearchJSONInput",
+            "--jacs-url", f"file://{jacs_dump}",
+            "-l", "FlyLight Gen1 MCFO",
+            "--alignment-space", "JRC2018_Unisex_20x_HR",
+            "--urls-relative-to", "1",
+            "--excluded-names", "R02A01",
+            "--output-filename", "lib.json", "-od", out)
+    mips = v2_io.read_mips_json(out / "lib.json")
+    names = {m.publishedName for m in mips}
+    assert names == {"R00A01", "R01A01"}  # R02A01 excluded
+    m0 = next(m for m in mips if m.publishedName == "R00A01")
+    assert m0.slideCode == "2020_0" and m0.gender == "f"
+    # /store/cdm/img0.png relativized from component 1
+    assert m0.imageURL == "cdm/img0.png"
+
+    # segmented variant substitution keeps only matchable MIPs
+    out2 = tmp_path / "v2seg"
+    run_cli("createColorDepthSearchJSONInput",
+            "--jacs-url", f"file://{jacs_dump}",
+            "-l", "FlyLight Gen1 MCFO",
+            "--segmented-mips-variant", seg,
+            "--output-filename", "seg.json", "-od", out2)
+    seg_mips = v2_io.read_mips_json(out2 / "seg.json")
+    assert {m.publishedName for m in seg_mips} == {"R00A01", "R01A01"}
+    assert all(m.imageName and "_CDM.png" in m.imageName for m in seg_mips)
+
+    # append mode merges without duplicating ids
+    run_cli("createColorDepthSearchJSONInput",
+            "--jacs-url", f"file://{jacs_dump}",
+            "-l", "FlyLight Gen1 MCFO",
+            "--append-output",
+            "--output-filename", "lib.json", "-od", out)
+    merged = v2_io.read_mips_json(out / "lib.json")
+    ids = [m.id for m in merged]
+    assert len(ids) == len(set(ids)) == 3  # R02A01 included this time
+
+
+def test_v2_group_mips_from_jacs(tmp_path, jacs_dump):
+    from colormipsearch_tpu.dataio import v2_io
+
+    out = tmp_path / "grouped"
+    run_cli("groupMIPsByPublishedName",
+            "--jacs-url", f"file://{jacs_dump}",
+            "-l", "FlyLight Gen1 MCFO", "-od", out)
+    files = sorted((out / "by_line").glob("*.json"))
+    assert [f.stem for f in files] == ["R00A01", "R01A01", "R02A01"]
+    mips = v2_io.read_mips_json(files[0])
+    assert mips[0].publishedName == "R00A01"
