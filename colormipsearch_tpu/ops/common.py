@@ -18,6 +18,8 @@ bandwidth-efficient on TPU and shards naturally over the target axis.
 
 from __future__ import annotations
 
+import functools
+
 from fractions import Fraction
 
 import jax
@@ -77,12 +79,22 @@ def unpack_summary(packed: jax.Array):
     return (v >> 24) & 0x7, (v >> 8) & 0xFF, (v >> 16) & 0xFF, v & 0xFF
 
 
-@jax.jit
-def pack_target_planes(rgb_stack: jax.Array) -> jax.Array:
-    """uint8 [T, H, W, 3] -> packed uint32 [P, T] pixel-major planes."""
+@functools.partial(jax.jit, static_argnames=("data_threshold",))
+def pack_target_planes(rgb_stack: jax.Array,
+                       data_threshold: int | None = None) -> jax.Array:
+    """uint8 [T, H, W, 3] -> packed uint32 [P, T] pixel-major planes.
+
+    With `data_threshold`, below-threshold pixels pack to the zero word
+    (class 0 matches nothing and flags nothing), so the kernel's
+    per-element threshold test becomes dead code — callers then pass
+    target_threshold=-1 to the scoring kernels and XLA folds the
+    comparison away.
+    """
     t = rgb_stack.shape[0]
     cls, s, p, maxch = classify(rgb_stack)
     packed = pack_summary(cls, s, p, maxch)
+    if data_threshold is not None:
+        packed = jnp.where(maxch > data_threshold, packed, 0)
     return packed.reshape(t, -1).T
 
 

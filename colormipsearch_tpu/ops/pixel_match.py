@@ -71,9 +71,11 @@ _ADJ_TABLE = (
 # float32 evaluation error is bounded by ~5e-7, float64-vs-exact by ~3e-16.
 ADJ_BAND = 1e-4
 
-# Largest exact-integer denominator for the same-class test:
-# |d| * b <= 65025 * b must stay inside int32.
-_MAX_INT_DENOM = 30000
+# Largest z-tolerance denominator for the exact same-class test: the
+# f32-evaluated integer products must stay < 2^24 (b * 255 * 255), so
+# fractions up to 1/258 of a percent stay exact; coarser denominators
+# fall back to the banded-f32 ratio-gap branch.
+_MAX_INT_DENOM = 258
 
 
 @dataclasses.dataclass
@@ -266,19 +268,26 @@ def query_side_rules(q_cls, q_s, q_p, *, ztol_num: int, ztol_den: int):
         minus rules (gap = (c - q_r) + (c - t_r) <= ztol):
             t_r >  pre_lo   and  t_r >= 2c - ztol - q_r
 
-    so the per-element test collapses to  sign * (t_s - B*t_p) <= 0,
-    with B and sign precomputed here per (query pixel, rule slot).
+    so the per-element test collapses to one bound test on
+    g = t_s - B*t_p (direction chosen by `upper`), with B precomputed
+    here per (query pixel, rule slot).
     Boundary points (the strict-vs-non-strict distinction and all f32
     rounding) fall inside the ambiguity band and are flagged for the
     float64 oracle.
 
-    Returns (same_cls, a_qp, tc, bound, sign):
+    Returns (same_cls, bq_s, bq_p, a_qp, tc, bound, sign):
       same_cls: int32 — q_cls where the same-class branch can fire
                 (ratio > 0 per :262), else -1
-      a_qp:     int32 — ztol_num * q_p (same-class rhs factor)
+      bq_s, bq_p, a_qp: f32 — ztol_den * q_s, ztol_den * q_p and
+                ztol_num * q_p.  The same-class test
+                |q_s*t_p - t_s*q_p| * b <= a * q_p * t_p runs entirely
+                in f32: every product is < 2^24 (b*255*255 <= 1.66e7
+                for b <= 255), so f32 arithmetic is EXACT and the VPU
+                avoids int32 multiplies (slow on TPU) in favor of
+                FMA-capable float lanes.
       tc:       int32 [2, ...] — adjacency rule target class (0 = off)
       bound:    f32  [2, ...] — ratio bound B
-      sign:     f32  [2, ...] — +1 for upper (t_r <= B), -1 for lower
+      upper:    bool [2, ...] — True for upper (t_r <= B), else lower
     """
     a, b = ztol_num, ztol_den
     ztol_f32 = jnp.float32(a / b)
@@ -288,11 +297,13 @@ def query_side_rules(q_cls, q_s, q_p, *, ztol_num: int, ztol_den: int):
         (jnp.asarray(t) for t in _adj_rule_tables())
 
     same_cls = jnp.where(q_s >= 1, q_cls, -1)
-    a_qp = a * q_p
+    bq_s = (b * q_s).astype(jnp.float32)
+    bq_p = (b * q_p).astype(jnp.float32)
+    a_qp = (a * q_p).astype(jnp.float32)
 
     tc = []
     bound = []
-    sign = []
+    upper = []
     for k in (0, 1):
         # query-side precondition (exact ints), folded into the rule's
         # target class (0 = rule disabled for this query pixel)
@@ -314,8 +325,9 @@ def query_side_rules(q_cls, q_s, q_p, *, ztol_num: int, ztol_den: int):
         bound.append(jnp.where(plus,
                                jnp.minimum(pre_ratio, gap_bound),
                                jnp.maximum(pre_ratio, gap_bound)))
-        sign.append(jnp.where(plus, jnp.float32(1), jnp.float32(-1)))
-    return same_cls, a_qp, jnp.stack(tc), jnp.stack(bound), jnp.stack(sign)
+        upper.append(plus)
+    return (same_cls, bq_s, bq_p, a_qp, jnp.stack(tc), jnp.stack(bound),
+            jnp.stack(upper))
 
 
 def element_predicate(q_cls, q_s, q_p, t_cls, t_s, t_p, t_max, *,
@@ -347,40 +359,43 @@ def predicate_from_rules(rules, q_s, q_p, t_cls, t_s, t_p, t_max, *,
     variant) element in the hot kernel; everything foldable to the query
     side lives in query_side_rules."""
     a, b = ztol_num, ztol_den
-    use_int_same = b <= _MAX_INT_DENOM
+    use_exact_same = b <= _MAX_INT_DENOM
     band = jnp.float32(ADJ_BAND)
-    same_cls, a_qp, tc, bound, sign = rules
+    same_cls, bq_s, bq_p, a_qp, tc, bound, upper = rules
 
     valid = t_max > target_threshold
+    ts_f = t_s.astype(jnp.float32)
+    tp_f = t_p.astype(jnp.float32)
 
     same = (same_cls == t_cls) & (t_s >= 1)
-    if use_int_same:
-        d = jnp.abs(q_s * t_p - t_s * q_p)
-        lhs = d * b
-        rhs = a_qp * t_p
+    if use_exact_same:
+        # exact-in-f32 integer arithmetic (see query_side_rules): every
+        # product < 2^24, so these compares equal the exact-rational test
+        lhs = jnp.abs(bq_s * tp_f - ts_f * bq_p)
+        rhs = a_qp * tp_f
         m_same = same & (lhs <= rhs)
         f_same = same & (lhs == rhs)
     else:
         q_r = q_s.astype(jnp.float32) / \
             jnp.maximum(q_p, 1).astype(jnp.float32)
-        t_r32 = t_s.astype(jnp.float32) / \
-            jnp.maximum(t_p, 1).astype(jnp.float32)
+        t_r32 = ts_f / jnp.maximum(tp_f, 1)
         ztol_f32 = jnp.float32(a / b)
         gap = jnp.abs(t_r32 - q_r)
         m_same = same & (gap <= ztol_f32)
         f_same = same & (jnp.abs(gap - ztol_f32) < band)
 
-    ts_f = t_s.astype(jnp.float32)
-    tp_f = t_p.astype(jnp.float32)
-    bnd = band * tp_f
-    live = t_cls > 0
-    m_adj = jnp.zeros_like(same)
-    f_adj = jnp.zeros_like(same)
-    for k in (0, 1):
-        g = ts_f - bound[k] * tp_f
-        sel = (t_cls == tc[k]) & live
-        m_adj |= sel & (sign[k] * g <= 0)
-        f_adj |= sel & (jnp.abs(g) < bnd)
+    # the two rule slots target DISTINCT classes (a query class pairs
+    # with at most two different adjacent classes), so at most one rule
+    # can fire per element: select that rule's bound/direction by class
+    # equality and evaluate a single bound test
+    sel0 = t_cls == tc[0]
+    sel1 = t_cls == tc[1]
+    sel = (sel0 | sel1) & (t_cls > 0)
+    bound_sel = jnp.where(sel0, bound[0], bound[1])
+    upper_sel = jnp.where(sel0, upper[0], upper[1])
+    g = ts_f - bound_sel * tp_f
+    m_adj = sel & ((g <= 0) == upper_sel)
+    f_adj = sel & (jnp.abs(g) < band * tp_f)
 
     match = valid & (m_same | m_adj)
     flag = valid & (f_same | f_adj)
@@ -410,9 +425,10 @@ def score_query_against_planes_raw(t_planes: jax.Array, pos: jax.Array,
     # [Q, T] hot path needs no division and no two-sided rule sweeps
     rules = query_side_rules(q_cls, q_s, q_p, ztol_num=ztol_num,
                              ztol_den=ztol_den)
-    same_cls, a_qp, tc, bound, sign = rules
-    rules_b = (same_cls[:, None], a_qp[:, None], tc[:, :, None],
-               bound[:, :, None], sign[:, :, None])
+    same_cls, bq_s, bq_p, a_qp, tc, bound, upper = rules
+    rules_b = (same_cls[:, None], bq_s[:, None], bq_p[:, None],
+               a_qp[:, None], tc[:, :, None], bound[:, :, None],
+               upper[:, :, None])
 
     def per_variant(_, pos_v):
         gathered = jnp.take(t_planes, jnp.maximum(pos_v, 0), axis=0)  # [Q,T]

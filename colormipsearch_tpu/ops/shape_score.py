@@ -156,7 +156,11 @@ def pack_targets(t_rgb: np.ndarray, grad: np.ndarray,
     sl = slice_numbers_lut(zgap_rgb).astype(np.uint32)
     znz = (zgap_rgb.astype(np.int32).sum(axis=-1) > 0).astype(np.uint32)
     tfg = (t_rgb > mask_threshold).any(axis=-1).astype(np.uint32)
-    word = (grad.astype(np.uint32)
+    # pre-threshold the gradient (ShapeMatch zeroes values <= GAP_THRESHOLD
+    # :219): the slice-gap branch can never fall below it (sg - 40 >= 40),
+    # so folding the check into the pack removes it from the hot kernel
+    grad_thr = np.where(grad > GAP_THRESHOLD, grad, 0)
+    word = (grad_thr.astype(np.uint32)
             | (sl << _SL_SHIFT) | (znz << _ZNZ_SHIFT) | (tfg << _TFG_SHIFT))
     grad_fg = word & np.uint32(0xFFFF | (1 << _TFG_SHIFT))
     z_part = word & np.uint32((0x1FF << _SL_SHIFT) | (1 << _ZNZ_SHIFT))
@@ -225,10 +229,13 @@ def shape_score_pairs_raw(t_pack: jax.Array, q_pack: jax.Array):
     # slice gap: if either slice is 0 the gap is the target slice
     sg = jnp.where((q_sl == 0) | (z_sl == 0), z_sl, jnp.abs(q_sl - z_sl))
     overlap = (q_nz & z_nz) == 1
-    grad_term = q_sig * grad
+    # grad is pre-thresholded at pack time (> GAP_THRESHOLD or 0) and the
+    # slice-gap branch is always >= 2*flux - flux = 40 > GAP_THRESHOLD,
+    # so no val threshold is needed here; select replaces the q_sig
+    # multiply (int32 multiplies are slow on the TPU VPU)
+    grad_term = jnp.where(q_sig == 1, grad, 0)
     val = jnp.where(overlap & (sg >= 2 * DEFAULT_COLOR_FLUX),
                     sg - DEFAULT_COLOR_FLUX, grad_term)
-    val = jnp.where(val > GAP_THRESHOLD, val, 0)
 
     gap_lo = (val & 0x3FF).sum(axis=0, dtype=jnp.int32)
     gap_hi = (val >> 10).sum(axis=0, dtype=jnp.int32)

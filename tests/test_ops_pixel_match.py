@@ -96,3 +96,38 @@ def test_bucket_padding():
     assert pixel_match._bucket(1) == 512
     assert pixel_match._bucket(512) == 512
     assert pixel_match._bucket(513) == 1024
+
+
+def test_threshold_folded_pack_equals_runtime_threshold():
+    """pack(data_threshold=N) + kernel(thr=-1) == pack() + kernel(thr=N)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from colormipsearch_tpu.ops import common, pixel_match
+
+    rng = np.random.default_rng(2)
+    h, w, t = 24, 32, 9
+    targets = np.zeros((t, h, w, 3), np.uint8)
+    n = 200
+    for img in targets:
+        img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+            rng.integers(0, 256, (n, 3))
+    query = np.zeros((h, w, 3), np.uint8)
+    query[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+        rng.integers(0, 256, (n, 3))
+
+    plan = pixel_match.build_query_plan(
+        query, 20, mirror=True, xy_shift=2, pix_color_fluctuation=2.0)
+    plain = common.pack_target_planes(jnp.asarray(targets))
+    folded = common.pack_target_planes(jnp.asarray(targets),
+                                       data_threshold=20)
+    args = (jnp.asarray(plan.positions), jnp.asarray(plan.q_cls),
+            jnp.asarray(plan.q_s), jnp.asarray(plan.q_p))
+    s0, f0 = pixel_match.score_query_against_planes(
+        plain, *args, target_threshold=20,
+        ztol_num=plan.ztol_num, ztol_den=plan.ztol_den)
+    s1, f1 = pixel_match.score_query_against_planes(
+        folded, *args, target_threshold=-1,
+        ztol_num=plan.ztol_num, ztol_den=plan.ztol_den)
+    assert (np.asarray(s0) == np.asarray(s1)).all()
+    assert (np.asarray(f0) == np.asarray(f1)).all()
