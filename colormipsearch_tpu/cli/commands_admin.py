@@ -379,3 +379,86 @@ def cmd_copy_segmentation(args) -> int:
         n += 1
     LOG.info("copied %d variant images to %s", n, out)
     return 0
+
+
+# -------------------------------------------------------------------------
+# precomputeVariants (TPU-native addition)
+# -------------------------------------------------------------------------
+
+
+def configure_precompute_variants(sp):
+    sp.add_argument("-i", "--input", nargs="+", required=True,
+                    help="CDM image dirs/files to derive variants from")
+    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--gradient-subdir", default="grad")
+    sp.add_argument("--zgap-subdir", default="zgap")
+    sp.add_argument("--gradient-suffix", default="_gradient")
+    sp.add_argument("--zgap-suffix", default="_20pxRGB")
+    sp.add_argument("--maskThreshold", type=int, default=20)
+    sp.add_argument("--negativeRadius", type=int, default=20)
+    sp.add_argument("--no-gradient", dest="withGradient",
+                    action="store_false", default=True)
+    sp.add_argument("--no-zgap", dest="withZgap",
+                    action="store_false", default=True)
+
+
+def cmd_precompute_variants(args) -> int:
+    """Generate the GradientImage / ZGapImage variants from CDMs.
+
+    The reference consumes these variants but never produces them (they
+    come from an external Fiji pipeline; see README.md:349-360 of the
+    reference — the `..._gradient` and `..._20pxRGBMAX` archives).  This
+    command makes the framework self-sufficient:
+
+      * ZGapImage: EXACTLY the reference's on-the-fly fallback —
+        mask(maskThreshold) then the ImageJ-exact circular dilation of
+        radius --negativeRadius
+        (ShapeMatchColorDepthSearchAlgorithm.java:166-168), so
+        precomputed and on-the-fly scoring are bit-identical.
+      * GradientImage: 16-bit euclidean distance from the nearest
+        above-threshold pixel (rounded), the standard construction for
+        the area-gap penalty.
+    """
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+    from scipy import ndimage
+
+    from colormipsearch_tpu.io import mips as mips_io
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb
+
+    out = Path(args.outputDir)
+    grad_dir = out / args.gradient_subdir
+    zgap_dir = out / args.zgap_subdir
+    if args.withGradient:
+        grad_dir.mkdir(parents=True, exist_ok=True)
+    if args.withZgap:
+        zgap_dir.mkdir(parents=True, exist_ok=True)
+
+    n = 0
+    for loc in args.input:
+        for fd in mips_io.list_image_files(str(loc)):
+            try:
+                rgb = read_image(fd.name if not fd.is_zip_entry
+                                 else fd).as_rgb()
+            except (OSError, ValueError):
+                LOG.warning("skipping unreadable %s", fd.name)
+                continue
+            stem = Path(fd.entry_name if fd.is_zip_entry
+                        else fd.file_name).stem
+            fg = (rgb > args.maskThreshold).any(axis=-1)
+            if args.withGradient:
+                dist = ndimage.distance_transform_edt(~fg)
+                grad = np.minimum(np.rint(dist), 0xFFFF).astype(np.uint16)
+                Image.fromarray(grad, mode="I;16").save(
+                    grad_dir / f"{stem}{args.gradient_suffix}.png")
+            if args.withZgap:
+                zgap = dilate_rgb(mask_rgb(rgb, args.maskThreshold),
+                                  args.negativeRadius)
+                Image.fromarray(zgap).save(
+                    zgap_dir / f"{stem}{args.zgap_suffix}.png")
+            n += 1
+    LOG.info("precomputed variants for %d images into %s", n, out)
+    return 0

@@ -107,6 +107,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("copyMIPSegmentation", commands_admin.cmd_copy_segmentation,
         commands_admin.configure_copy_segmentation,
         help="copy MIP variant/segmentation images")
+    add("precomputeVariants", commands_admin.cmd_precompute_variants,
+        commands_admin.configure_precompute_variants,
+        help="generate GradientImage/ZGapImage variants from CDMs "
+             "(the reference consumes these from an external pipeline)")
     return p
 
 

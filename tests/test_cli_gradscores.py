@@ -100,3 +100,32 @@ def test_gradient_scores_cli(tmp_path, pipeline_dirs):
         87, ref.gradient_area_gap, ref.high_expression_area, 87,
         ref.negative_score)
     assert res["normalizedScore"] == pytest.approx(expected_norm, rel=1e-6)
+
+
+def test_precompute_variants_roundtrip(tmp_path):
+    """precomputeVariants output feeds gradientScores: the generated
+    zgap must be bit-identical to the on-the-fly dilation fallback, so
+    scoring with precomputed variants == scoring without them."""
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb
+
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    shutil.copy(TARGET_TIF, lib / Path(TARGET_TIF).name)
+    run_cli("precomputeVariants", "-i", lib, "-od", tmp_path / "var",
+            "--maskThreshold", 20, "--negativeRadius", 20)
+    stem = Path(TARGET_TIF).stem
+    grad_f = tmp_path / "var" / "grad" / f"{stem}_gradient.png"
+    zgap_f = tmp_path / "var" / "zgap" / f"{stem}_20pxRGB.png"
+    assert grad_f.exists() and zgap_f.exists()
+
+    t_rgb = read_image(str(TARGET_TIF)).as_rgb()
+    zgap = read_image(str(zgap_f)).as_rgb()
+    expected = dilate_rgb(mask_rgb(t_rgb, 20), 20)
+    assert (zgap == expected).all()
+
+    grad = np.asarray(Image.open(grad_f))
+    assert grad.dtype == np.uint16 or grad.dtype == np.int32
+    fg = (t_rgb > 20).any(axis=-1)
+    assert (np.asarray(grad)[fg] == 0).all()   # zero on foreground
+    assert np.asarray(grad)[~fg].max() > 0     # grows off-signal
