@@ -135,8 +135,13 @@ def main():
     ap.add_argument("--repeats-pairs", type=float, default=4e6,
                     help="aim for this many pairs per timing run")
     ap.add_argument("--gather-only", action="store_true")
+    ap.add_argument("--strip-experiment", action="store_true")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+
+    if args.strip_experiment:
+        strip_gather_experiment()
+        return 0
 
     plan, target_rgb = build_plan()
     v, q = plan.positions.shape
@@ -201,6 +206,74 @@ def main():
                key=lambda r: r["pairs_per_s"])
     log(f"best: {best}")
     return 0
+
+
+
+
+def strip_gather_experiment(t_width=4096, q=2048, repeats=200):
+    """Row-gather vs 5-row-strip-gather microbenchmark.
+
+    The 9 xyShift=2 variants read rows {p + dy*w + dx : dx,dy in
+    {-2,0,2}}; a (5, T) strip per (q, dy) covers all three dx variants,
+    fetching 15 rows/side instead of 9 but with 3x fewer descriptors.
+    Run with --strip-experiment to decide which the kernel should use.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    plan, target_rgb = build_plan()
+    planes = build_planes(target_rgb, t_width)
+    p_rows = planes.shape[0]
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(
+        rng.integers(2, p_rows - 3, (q,)).astype(np.int32))
+
+    @jax.jit
+    def rows9(planes, pos):
+        acc = jnp.zeros((planes.shape[1],), jnp.uint32)
+        w = 566
+        for dy in (-2 * w, 0, 2 * w):
+            for dx in (-2, 0, 2):
+                g = jnp.take(planes, pos + (dy + dx), axis=0)
+                acc = acc + g.sum(axis=0, dtype=jnp.uint32)
+        return acc
+
+    @jax.jit
+    def strips3(planes, pos):
+        acc = jnp.zeros((planes.shape[1],), jnp.uint32)
+        w = 566
+
+        def strip(starts):
+            def one(s):
+                return lax.dynamic_slice(
+                    planes, (s, 0), (5, planes.shape[1]))
+            return jax.vmap(one)(starts)          # [Q, 5, T]
+
+        for dy in (-2 * w, 0, 2 * w):
+            slab = strip(pos + dy - 2)
+            for i in (0, 2, 4):
+                acc = acc + slab[:, i].sum(axis=0, dtype=jnp.uint32)
+        return acc
+
+    for name, fn in (("rows9", rows9), ("strips3", strips3)):
+        np.asarray(fn(planes, pos))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(repeats):
+            out = fn(planes, pos)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+        rows_read = repeats * q * (9 if name == "rows9" else 15)
+        print(json.dumps({
+            "kind": name,
+            "gathers_per_s": round(repeats * q * (9 if name == "rows9"
+                                                  else 3) / dt),
+            "read_gb_per_s": round(
+                rows_read * t_width * 4 / dt / 1e9, 1),
+            "useful_gb_per_s": round(
+                repeats * q * 9 * t_width * 4 / dt / 1e9, 1),
+            "secs": round(dt, 2)}), flush=True)
 
 
 if __name__ == "__main__":
