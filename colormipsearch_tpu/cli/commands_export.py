@@ -19,11 +19,7 @@ from colormipsearch_tpu.dataio.json_io import (
 )
 from colormipsearch_tpu.io import ppp as ppp_io
 from colormipsearch_tpu.model import dto
-from colormipsearch_tpu.model.entities import (
-    EMNeuron,
-    LMNeuron,
-    ProcessingType,
-)
+from colormipsearch_tpu.model.entities import ProcessingType
 from colormipsearch_tpu.model.ids import TimebasedIdGenerator
 
 LOG = logging.getLogger(__name__)

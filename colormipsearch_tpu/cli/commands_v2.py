@@ -96,8 +96,6 @@ def configure_gradient_score_v2(sp):
 
 
 def cmd_gradient_score_v2(args) -> int:
-    from colormipsearch_tpu.io.image import read_image
-
     out_dir = Path(args.outputDir)
     for f in _result_files(args):
         g = v2_io.read_cds_matches(f)
