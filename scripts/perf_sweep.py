@@ -140,7 +140,8 @@ def main():
     args = ap.parse_args()
 
     if args.strip_experiment:
-        strip_gather_experiment()
+        # u32 + u16 planes must fit HBM together -> T=2048
+        strip_gather_experiment(t_width=2048)
         return 0
 
     plan, target_rgb = build_plan()
@@ -211,12 +212,9 @@ def main():
 
 
 def strip_gather_experiment(t_width=4096, q=2048, repeats=200):
-    """Row-gather vs 5-row-strip-gather microbenchmark.
-
-    The 9 xyShift=2 variants read rows {p + dy*w + dx : dx,dy in
-    {-2,0,2}}; a (5, T) strip per (q, dy) covers all three dx variants,
-    fetching 15 rows/side instead of 9 but with 3x fewer descriptors.
-    Run with --strip-experiment to decide which the kernel should use.
+    """Gather microbenchmarks: plain uint32 row gathers vs 5-row strips
+    (one descriptor covers the three x-shift variants) vs uint16 rows
+    (half the bytes — tells whether the gather is byte- or row-bound).
     """
     import jax
     import jax.numpy as jnp
@@ -224,15 +222,16 @@ def strip_gather_experiment(t_width=4096, q=2048, repeats=200):
 
     plan, target_rgb = build_plan()
     planes = build_planes(target_rgb, t_width)
+    planes16 = (planes >> 16).astype(jnp.uint16)
     p_rows = planes.shape[0]
     rng = np.random.default_rng(0)
     pos = jnp.asarray(
         rng.integers(2, p_rows - 3, (q,)).astype(np.int32))
+    w = 566
 
     @jax.jit
-    def rows9(planes, pos):
+    def rows9(pos):
         acc = jnp.zeros((planes.shape[1],), jnp.uint32)
-        w = 566
         for dy in (-2 * w, 0, 2 * w):
             for dx in (-2, 0, 2):
                 g = jnp.take(planes, pos + (dy + dx), axis=0)
@@ -240,9 +239,17 @@ def strip_gather_experiment(t_width=4096, q=2048, repeats=200):
         return acc
 
     @jax.jit
-    def strips3(planes, pos):
+    def rows9_u16(pos):
+        acc = jnp.zeros((planes16.shape[1],), jnp.uint32)
+        for dy in (-2 * w, 0, 2 * w):
+            for dx in (-2, 0, 2):
+                g = jnp.take(planes16, pos + (dy + dx), axis=0)
+                acc = acc + g.sum(axis=0, dtype=jnp.uint32)
+        return acc
+
+    @jax.jit
+    def strips3(pos):
         acc = jnp.zeros((planes.shape[1],), jnp.uint32)
-        w = 566
 
         def strip(starts):
             def one(s):
@@ -256,23 +263,22 @@ def strip_gather_experiment(t_width=4096, q=2048, repeats=200):
                 acc = acc + slab[:, i].sum(axis=0, dtype=jnp.uint32)
         return acc
 
-    for name, fn in (("rows9", rows9), ("strips3", strips3)):
-        np.asarray(fn(planes, pos))
+    cases = (("rows9", rows9, 9, 4), ("strips3", strips3, 15, 4),
+             ("rows9_u16", rows9_u16, 9, 2))
+    for name, fn, rows_per_q, bytes_px in cases:
+        np.asarray(fn(pos))
         t0 = time.perf_counter()
         out = None
         for _ in range(repeats):
-            out = fn(planes, pos)
+            out = fn(pos)
         np.asarray(out)
         dt = time.perf_counter() - t0
-        rows_read = repeats * q * (9 if name == "rows9" else 15)
         print(json.dumps({
             "kind": name,
-            "gathers_per_s": round(repeats * q * (9 if name == "rows9"
-                                                  else 3) / dt),
+            "rows_per_s": round(repeats * q * rows_per_q / dt),
             "read_gb_per_s": round(
-                rows_read * t_width * 4 / dt / 1e9, 1),
-            "useful_gb_per_s": round(
-                repeats * q * 9 * t_width * 4 / dt / 1e9, 1),
+                repeats * q * rows_per_q * t_width * bytes_px / dt / 1e9,
+                1),
             "secs": round(dt, 2)}), flush=True)
 
 

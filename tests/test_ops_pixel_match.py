@@ -93,9 +93,16 @@ def test_device_flags_exact_boundary_pair():
 
 
 def test_bucket_padding():
+    # {1, 1.25, 1.5, 1.75} x 2^k ladder: avg padding waste ~10%, max 25%
     assert pixel_match._bucket(1) == 512
     assert pixel_match._bucket(512) == 512
-    assert pixel_match._bucket(513) == 1024
+    assert pixel_match._bucket(513) == 640
+    assert pixel_match._bucket(700) == 768
+    assert pixel_match._bucket(1897) == 2048  # the fixture mask
+    assert pixel_match._bucket(2049) == 2560
+    for q in range(1, 9000, 13):
+        b = pixel_match._bucket(q)
+        assert b >= q and (q <= 512 or b <= q * 1.25 + 1)
 
 
 def test_threshold_folded_pack_equals_runtime_threshold():
