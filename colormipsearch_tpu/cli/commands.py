@@ -266,7 +266,10 @@ def cmd_color_depth_search(args) -> int:
         targets = [t for t in targets if t.mip_id not in excluded]
     LOG.info("colorDepthSearch: %d masks x %d targets", len(masks), len(targets))
     params = _cds_params(args)
-    engine = CDSearchEngine(params)
+    engine = CDSearchEngine(
+        params,
+        decode_concurrency=args.cdsConcurrency
+        if getattr(args, "cdsConcurrency", 0) > 0 else 8)
     tags = [args.processingTag] if args.processingTag else []
     cap = max(args.maxMatchesPerMask, 0)
     batch_size = max(args.writeBatchSize, 1)

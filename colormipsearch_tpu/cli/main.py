@@ -22,9 +22,16 @@ from colormipsearch_tpu.cli import (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="colormipsearch-tpu",
-        description="TPU-native color depth MIP search")
+        description="TPU-native color depth MIP search",
+        # JCommander-style @argfile expansion (one argument per line),
+        # used by the reference's grid scripts (cmd/Main.java @file)
+        fromfile_prefix_chars="@")
     p.add_argument("--cacheSize", type=int, default=0,
                    help="target image cache size (images)")
+    p.add_argument("--cdsConcurrency", type=int, default=0,
+                   help="host-side decode concurrency (0 = auto; the "
+                        "device side is a single fused kernel, so this "
+                        "only affects image decode/pack threads)")
     p.add_argument("-v", "--verbose", action="store_true")
     sub = p.add_subparsers(dest="command", required=True)
 

@@ -285,8 +285,13 @@ class CDSearchEngine:
     def __init__(self, params: CDSParams, *, use_mesh: bool | None = None,
                  neg_query_rgb: np.ndarray | None = None,
                  neg_query_threshold: int | None = None,
-                 mirror_neg_query: bool = False):
+                 mirror_neg_query: bool = False,
+                 decode_concurrency: int = 8):
         self.params = params
+        # host-side decode/pack thread count (--cdsConcurrency; the
+        # reference's executor pool sizing, CmdUtils.java:15-29 — the
+        # device side here is one fused kernel, so threads only feed it)
+        self.decode_concurrency = max(1, decode_concurrency)
         # optional negative query applied to every mask
         # (PixelMatchColorDepthSearchAlgorithm:29-57 negQueryImage)
         self.neg_query_rgb = neg_query_rgb
@@ -362,7 +367,8 @@ class CDSearchEngine:
         # whole group goes through one batched dispatch; mask decodes run
         # on a thread pool (native decode + PIL release the GIL)
         groups: dict[tuple, list] = {}
-        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=self.decode_concurrency) as pool:
             mask_mips = list(pool.map(
                 lambda m: mips_io.load_compute_file(
                     m, ComputeFileType.InputColorDepthImage), masks))

@@ -68,3 +68,27 @@ def test_store_filter_operators(tmp_path):
     got = col.find({}, sort=[("a", -1)], limit=2)
     assert [d["_id"] for d in got] == ["2", "1"]
     store.close()
+
+
+def test_argfile_expansion(tmp_path):
+    """JCommander-style @argfile support (one argument per line)."""
+    import json
+
+    from colormipsearch_tpu.cli.main import main
+    from colormipsearch_tpu.dataio import v2_io
+
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    import numpy as np
+    from PIL import Image
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(lib / "a.png")
+    argfile = tmp_path / "args.txt"
+    argfile.write_text("\n".join([
+        "createColorDepthSearchJSONInput",
+        "-i", str(lib), "-l", "argfile_lib",
+        "-od", str(tmp_path / "out"),
+        "--output-filename", "lib.json",
+    ]))
+    assert main([f"@{argfile}"]) == 0
+    mips = v2_io.read_mips_json(tmp_path / "out" / "lib.json")
+    assert mips and mips[0].libraryName == "argfile_lib"
