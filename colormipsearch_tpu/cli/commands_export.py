@@ -53,6 +53,12 @@ def configure_export_data(sp):
     sp.add_argument("--exported-names", nargs="*", default=[],
                     help="mask published names to export (DB mode)")
     sp.add_argument("--neuron-tags", nargs="*", default=[])
+    sp.add_argument("--pctPositivePixels", type=float, default=0.0,
+                    help="only export matches with matchingPixelsRatio "
+                         ">= pct/100 (ExportData4NBCmd.getCDScoresFilter)")
+    sp.add_argument("--ignore-grad-scores", dest="ignoreGradScores",
+                    action="store_true",
+                    help="export matches without gradientAreaGap >= 0")
     sp.add_argument("--default-relative-url-index", type=int, default=-1,
                     dest="defaultRelativeURLIndex",
                     help="strip URL path components before this index "
@@ -241,6 +247,16 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
         matches_in = []
         for f in JSONMatchesReader.list_matches_locations(args.matches):
             matches_in.extend(JSONMatchesReader.read_matches(f))
+    # score filters (ExportData4NBCmd.getCDScoresFilter:209-218): ratio
+    # floor plus gradientAreaGap >= 0 unless grad scores are ignored
+    if args.pctPositivePixels > 0:
+        thr = args.pctPositivePixels / 100
+        matches_in = [m for m in matches_in
+                      if (m.matching_pixels_ratio or 0) >= thr]
+    if not args.ignoreGradScores:
+        matches_in = [m for m in matches_in
+                      if m.gradient_area_gap is not None
+                      and m.gradient_area_gap >= 0]
     by_published: dict[str, list] = {}
     for m in matches_in:
         if m.mask_image is None or m.matched_image is None:

@@ -60,6 +60,7 @@ def test_export_cd_matches(tmp_path):
 
     out = tmp_path / "export"
     run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--ignore-grad-scores",
             "--matches", matches_dir, "-od", out)
     doc = json.loads((out / "12345.json").read_text())
     assert doc["inputImage"]["type"] == "EMImage"
@@ -180,6 +181,7 @@ def test_export_with_published_urls(tmp_path):
         "lm1": {"CDM": "https://s3/lm.png"}}))
     out = tmp_path / "pub"
     run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--ignore-grad-scores",
             "--matches", matches_dir, "--published-urls", urls, "-od", out)
     doc = json.loads((out / "777.json").read_text())
     assert doc["inputImage"]["files"]["CDM"] == "https://s3/em.png"
@@ -277,6 +279,7 @@ def test_export_db_read_path_with_url_transforms(tmp_path):
     }))
     out = tmp_path / "pub"
     run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--ignore-grad-scores",
             "--results-storage", "DB", "--config", cfg_file,
             "--alignment-space", "JRC2018_Unisex_20x_HR",
             "-l", "flyem_hemibrain_1_2_1",
@@ -321,3 +324,36 @@ def test_import_ppp_jacs_sample_enrichment(tmp_path):
     enriched = by_lm["BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_40x"]
     assert enriched["image"]["publishedName"] == "BJD_115G11"
     assert enriched["image"]["slideCode"] == "20190507_62_F1"
+
+
+def test_export_score_filters(tmp_path):
+    """getCDScoresFilter parity: by default only matches with
+    gradientAreaGap >= 0 export; --pctPositivePixels floors the ratio."""
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+
+    em = EMNeuron(mip_id="em1", published_name="777",
+                  library_name="lib", alignment_space="AS")
+
+    def lm(i):
+        return LMNeuron(mip_id=f"lm{i}", published_name=f"L{i}",
+                        library_name="lmlib", slide_code=f"s{i}")
+
+    graded = CDMatch(mask_image=em, matched_image=lm(1),
+                     matching_pixels=100, matching_pixels_ratio=0.05,
+                     normalized_score=2000.0, gradient_area_gap=123)
+    ungraded = CDMatch(mask_image=em, matched_image=lm(2),
+                       matching_pixels=90, matching_pixels_ratio=0.04,
+                       normalized_score=1500.0)
+    low_ratio = CDMatch(mask_image=em, matched_image=lm(3),
+                        matching_pixels=10, matching_pixels_ratio=0.001,
+                        normalized_score=100.0, gradient_area_gap=5)
+    matches_dir = tmp_path / "m"
+    JSONMatchesWriter(per_masks_dir=matches_dir).write(
+        [graded, ungraded, low_ratio])
+
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "-md", matches_dir, "--pctPositivePixels", "1.0", "-od", out)
+    doc = json.loads((out / "777.json").read_text())
+    assert [r["image"]["id"] for r in doc["results"]] == ["lm1"]
