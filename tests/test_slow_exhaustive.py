@@ -306,3 +306,84 @@ def test_slice_numbers_vs_java_transliteration():
     for i, (r, g, b) in enumerate(allc):
         expected = _java_slice_number(int(r), int(g), int(b))
         assert vec[i] == expected, ((r, g, b), vec[i], expected)
+
+
+# ---------------------------------------------------------------------------
+# engine-vs-oracle parameter sweep
+# ---------------------------------------------------------------------------
+
+
+def test_engine_matches_oracle_across_param_combos(tmp_path):
+    """Property test: the full device engine (plans, batching, mesh,
+    flags + fallback) equals the float64 oracle for every pair, across
+    the CDS parameter grid (thresholds x xyShift x mirror x fluctuation
+    x label regions)."""
+    from PIL import Image
+
+    from colormipsearch_tpu.engine.cds import CDSParams, CDSearchEngine
+    from colormipsearch_tpu.model import ComputeFileType, FileData, LMNeuron
+    from colormipsearch_tpu.oracle.pixel import (
+        PixelMatchOracle,
+        label_regions_mask,
+    )
+
+    rng = np.random.default_rng(17)
+    h, w = 36, 52
+    imgs = np.zeros((10, h, w, 3), np.uint8)
+    for img in imgs:
+        n = 500
+        img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+            rng.integers(0, 256, (n, 3))
+    masks_rgb, targets_rgb = imgs[:2], imgs[2:]
+
+    def neuron(img, name):
+        p = tmp_path / f"{name}.png"
+        Image.fromarray(img).save(p)
+        nr = LMNeuron(mip_id=name, published_name=name)
+        nr.compute_files[ComputeFileType.InputColorDepthImage] = \
+            FileData(str(p))
+        return nr
+
+    mask_neurons = [neuron(m, f"m{i}") for i, m in enumerate(masks_rgb)]
+    target_neurons = [neuron(t, f"t{i}") for i, t in enumerate(targets_rgb)]
+
+    combos = [
+        dict(mask_threshold=20, data_threshold=20, xy_shift=2,
+             mirror_mask=True, pix_color_fluctuation=1.0),
+        dict(mask_threshold=20, data_threshold=20, xy_shift=0,
+             mirror_mask=False, pix_color_fluctuation=2.0),
+        dict(mask_threshold=50, data_threshold=30, xy_shift=2,
+             mirror_mask=True, pix_color_fluctuation=2.0),
+        dict(mask_threshold=0, data_threshold=0, xy_shift=4,
+             mirror_mask=True, pix_color_fluctuation=1.0),
+        dict(mask_threshold=20, data_threshold=20, xy_shift=2,
+             mirror_mask=True, pix_color_fluctuation=0.0),
+        dict(mask_threshold=20, data_threshold=20, xy_shift=2,
+             mirror_mask=False, pix_color_fluctuation=2.0,
+             with_name_label_region=False,
+             with_color_scale_region=False),
+    ]
+    for params_kw in combos:
+        params = CDSParams(**params_kw)
+        engine = CDSearchEngine(params)  # auto-mesh on the 8-device CPU
+        got = {}
+        for m in engine.find_all_matches(mask_neurons, target_neurons):
+            got[(m.mask_image.mip_id, m.matched_image.mip_id)] = \
+                (m.matching_pixels, m.mirrored)
+        for mi, m_rgb in enumerate(masks_rgb):
+            region = params.excluded_region(h, w)
+            oracle = PixelMatchOracle(
+                m_rgb, params.mask_threshold,
+                mirror=params.mirror_mask,
+                target_threshold=params.data_threshold,
+                z_tolerance=params.pix_color_fluctuation / 100,
+                xy_shift=params.xy_shift, excluded_region=region)
+            for ti, t_rgb in enumerate(targets_rgb):
+                res = oracle.score(t_rgb)
+                key = (f"m{mi}", f"t{ti}")
+                if res.matching_pixels > 0:
+                    assert got.get(key) == (res.matching_pixels,
+                                            res.mirrored), \
+                        (params_kw, key, got.get(key), res)
+                else:
+                    assert key not in got, (params_kw, key)
