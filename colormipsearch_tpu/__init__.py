@@ -11,7 +11,7 @@ See PARITY.md for the mapping to the reference implementation and
 docs/DESIGN.md for the architecture.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from colormipsearch_tpu.engine.cds import CDSParams
 
