@@ -101,3 +101,35 @@ def test_db_pipeline(env):
     assert cross.gradient_area_gap >= 0
     assert cross.normalized_score is not None
     daos.store.close()
+
+
+def test_db_pipeline_export_tail(env):
+    """The DB-only pipeline ends in publish files straight from the
+    store: search -> gradientScores -> exportData --results-storage DB
+    with no intermediate files (VERDICT round-1 missing #6)."""
+    tmp, cfg = env
+    run_cli("createColorDepthSearchDataInput", "-i", tmp / "lib",
+            "-l", "dblib", "--alignment-space", "JRC2018_Unisex_20x_HR",
+            "--gradients-location", tmp / "grad",
+            "--zgap-location", tmp / "zgap",
+            "--mips-storage", "DB", "--config", cfg)
+    run_cli("colorDepthSearch",
+            "-m", "dblib", "-i", "dblib",
+            "--mips-storage", "DB", "--results-storage", "DB",
+            "--config", cfg,
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask")
+    run_cli("gradientScores", "--matches", "dblib",
+            "--results-storage", "DB", "--config", cfg,
+            "--maskThreshold", 20, "--mirrorMask")
+    out = tmp / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--results-storage", "DB", "--config", cfg,
+            "--default-image-store", "store1", "-od", out)
+    files = sorted(out.glob("*.json"))
+    assert files, "publish files must come straight from the store"
+    doc = json.loads(files[0].read_text())
+    assert doc["results"]
+    assert doc["inputImage"]["files"]["store"] == "store1"
+    for r in doc["results"]:
+        assert r["normalizedScore"] is not None
