@@ -154,12 +154,18 @@ class GradScoreEngine:
             loaded.append((m, t_rgb, grad.astype(np.uint16), zgap))
         return loaded
 
+    # targets per device batch: bounds host stacks (~0.7 GB RGB+grad+
+    # zgap) and the packed planes (2 x [P, 256] uint32) per dispatch
+    GROUP_TILE = 256
+
     def _score_group_device(self, mask_rgb, region, roi_rgb, loaded) -> int:
         from colormipsearch_tpu.ops import shape_score
         from colormipsearch_tpu.oracle.shape import clear_region
 
         if not loaded:
             return 0
+        # per-mask query packing (r=60/r=20 dilations) happens ONCE,
+        # then the group's targets stream through in bounded tiles
         p = self.params
         roi_keep = None
         roi_keep_m = None
@@ -175,7 +181,17 @@ class GradScoreEngine:
             q_pack_m = shape_score.pack_query(
                 mask_rgb, excluded_region=region, roi_keep=roi_keep_m,
                 negative_radius=p.negative_radius)
+        n = 0
+        for i in range(0, len(loaded), self.GROUP_TILE):
+            n += self._score_group_tile(
+                region, q_pack, q_pack_m, loaded[i:i + self.GROUP_TILE])
+        return n
 
+    def _score_group_tile(self, region, q_pack, q_pack_m, loaded) -> int:
+        from colormipsearch_tpu.ops import shape_score
+        from colormipsearch_tpu.oracle.shape import clear_region
+
+        p = self.params
         t_stack = np.stack([clear_region(t, region)
                             for _, t, _, _ in loaded])
         g_stack = np.stack([g for _, _, g, _ in loaded])
