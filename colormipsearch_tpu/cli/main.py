@@ -52,7 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     # (cmd/Main.java:29); accept both spellings
     add("normalizeGradientScores", commands.cmd_normalize_scores,
         commands.configure_normalize_scores,
-        aliases=["mormalizeGradientScores"],
+        # the reference registers the typo'd name (cmd/Main.java:29) and
+        # its README run-book still calls the pre-v3 "normalizeScores"
+        aliases=["mormalizeGradientScores", "normalizeScores"],
         help="re-normalize gradient scores per mask")
     add("createColorDepthSearchDataInput", commands.cmd_create_data_input,
         commands.configure_create_data_input,
