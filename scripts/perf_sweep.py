@@ -140,7 +140,8 @@ def main():
     args = ap.parse_args()
 
     if args.strip_experiment:
-        strip_gather_experiment()
+        # u32 planes + the >>16 temp + u16 copy must coexist in HBM
+        strip_gather_experiment(t_width=1024)
         return 0
 
     plan, target_rgb = build_plan()
@@ -274,7 +275,8 @@ def main():
     args = ap.parse_args()
 
     if args.strip_experiment:
-        strip_gather_experiment()
+        # u32 planes + the >>16 temp + u16 copy must coexist in HBM
+        strip_gather_experiment(t_width=1024)
         return 0
 
     plan, target_rgb = build_plan()
