@@ -156,6 +156,14 @@ def configure_color_depth_search(sp):
                     type=int, default=10000,
                     help="flush results to storage every N matches "
                          "instead of holding the full set in RAM")
+    sp.add_argument("--parallel-write-results", dest="parallelWrite",
+                    action="store_true",
+                    help="accepted for reference parity; grouped-file "
+                         "writes already run on a thread pool")
+    sp.add_argument("--use-spark", dest="useSpark", action="store_true",
+                    help="accepted for reference parity; distribution "
+                         "here is the device mesh (auto-enabled on "
+                         "multi-device platforms) rather than Spark")
     _add_cds_params(sp)
     _add_output_args(sp)
 
@@ -351,6 +359,10 @@ def configure_gradient_scores(sp):
     sp.add_argument("--nBestSamplesPerLine", type=int, default=-1)
     sp.add_argument("--nBestMatchesPerSample", type=int, default=-1)
     sp.add_argument("--processing-tag", dest="processingTag", default="")
+    sp.add_argument("--process-partitions-concurrently",
+                    dest="partitionsConcurrently", action="store_true",
+                    help="accepted for reference parity; mask groups "
+                         "already stream through batched device tiles")
     sp.add_argument("--use-device", action="store_true", default=True,
                     help="use the TPU shape-scoring kernels (default)")
     sp.add_argument("--no-use-device", dest="use_device", action="store_false")
@@ -485,13 +497,15 @@ def configure_create_data_input(sp):
     sp.add_argument("-i", "--input", required=False, default=None,
                     help="image library location (dir or zip), "
                          "location[:offset[:length]]")
-    sp.add_argument("--jacs-url", dest="jacsURL", default=None,
+    sp.add_argument("--jacs-url", "--jacsURL", "--data-url",
+                    dest="jacsURL", default=None,
                     help="JACS config server URL (or file:// dir of page "
                          "dumps) to ingest a library from instead of "
                          "local files")
     sp.add_argument("--authorization", default=None,
                     help="bearer token for the JACS server")
-    sp.add_argument("--libraries-variants", dest="librariesVariants",
+    sp.add_argument("--libraries-variants", "--librariesVariants",
+                    "--libraryVariants", dest="librariesVariants",
                     nargs="*", default=[],
                     help="variantType:location[:suffix] mappings for "
                          "JACS ingest (e.g. GradientImage:/grad:_gradient)")
@@ -509,6 +523,13 @@ def configure_create_data_input(sp):
                          "entry (MIPsHandlingUtils.lookupSearchable...)")
     sp.add_argument("--segmentation-channel-base", type=int, default=1)
     sp.add_argument("--match-neuron-state", action="store_true")
+    sp.add_argument("--tag", nargs="*", default=[],
+                    help="tags stamped on every created neuron")
+    sp.add_argument("--excluded-neurons", nargs="*", default=[],
+                    help="mip ids / published names to skip")
+    sp.add_argument("--included-neurons", "--included-published-names",
+                    dest="includedNeurons", nargs="*", default=[],
+                    help="only ingest these mip ids / published names")
     sp.add_argument("--output-filename", default=None)
     sp.add_argument("--mips-storage", dest="mipsStorage",
                     choices=["FS", "DB"], default="FS")
@@ -570,6 +591,21 @@ def cmd_create_data_input(args) -> int:
 
 
 def _write_data_input(args, neurons, lib) -> int:
+    # neuron include/exclude filters + created-neuron tags
+    # (CreateCDSDataInputCmd --excluded-neurons/--included-neurons/--tag)
+    excluded = set(getattr(args, "excluded_neurons", None) or ())
+    included = set(getattr(args, "includedNeurons", None) or ())
+    if excluded:
+        neurons = [n for n in neurons
+                   if n.mip_id not in excluded
+                   and (n.published_name or "") not in excluded]
+    if included:
+        neurons = [n for n in neurons
+                   if n.mip_id in included
+                   or (n.published_name or "") in included]
+    for tag in getattr(args, "tag", None) or ():
+        for n in neurons:
+            n.tags.add(tag)
     if args.mipsStorage == "DB":
         from colormipsearch_tpu.dataio.db_io import DBCDMIPsWriter
 

@@ -48,11 +48,36 @@ def configure_export_data(sp):
                          "(ExportData4NBCmd's DBNeuronMatchesReader path)")
     sp.add_argument("--config", dest="configFile", default=None)
     sp.add_argument("--alignment-space", "-as", default=None)
-    sp.add_argument("-l", "--libraries", nargs="*", default=[],
+    sp.add_argument("-l", "--library", "--libraries", dest="libraries",
+                    nargs="*", default=[],
                     help="mask libraries to export (DB mode)")
     sp.add_argument("--exported-names", nargs="*", default=[],
                     help="mask published names to export (DB mode)")
+    sp.add_argument("--exported-mips", nargs="*", default=[],
+                    help="mask mip ids to export")
     sp.add_argument("--neuron-tags", nargs="*", default=[])
+    sp.add_argument("--excluded-neuron-tags", nargs="*", default=[])
+    sp.add_argument("--neuron-terms", nargs="*", default=[])
+    sp.add_argument("--excluded-neuron-terms", nargs="*", default=[])
+    sp.add_argument("--target-library", nargs="*", default=[],
+                    help="only export matches whose target is in these "
+                         "libraries")
+    sp.add_argument("--target-tags", nargs="*", default=[])
+    sp.add_argument("--excluded-target-tags", nargs="*", default=[])
+    sp.add_argument("--target-terms", nargs="*", default=[])
+    sp.add_argument("--excluded-target-terms", nargs="*", default=[])
+    sp.add_argument("--excluded-matches-tags", nargs="*", default=[],
+                    help="skip matches carrying any of these tags")
+    sp.add_argument("--offset", type=int, default=0,
+                    help="offset into the exported mask set")
+    sp.add_argument("--size", type=int, default=0,
+                    help="number of masks to export (0 = all)")
+    sp.add_argument("--processingPartitionSize", "-ps",
+                    "--libraryPartitionSize", type=int, default=5000,
+                    help="accepted for reference parity (exports stream "
+                         "per mask already)")
+    sp.add_argument("--read-batch-size", type=int, default=1000,
+                    help="accepted for reference parity")
     sp.add_argument("--pctPositivePixels", type=float, default=0.0,
                     help="only export matches with matchingPixelsRatio "
                          ">= pct/100 (ExportData4NBCmd.getCDScoresFilter)")
@@ -247,6 +272,42 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
         matches_in = []
         for f in JSONMatchesReader.list_matches_locations(args.matches):
             matches_in.extend(JSONMatchesReader.read_matches(f))
+    def neuron_ok(n, tags, ex_tags, terms, ex_terms, libs=()):
+        if n is None:
+            return False
+        if libs and n.library_name not in libs:
+            return False
+        ntags = set(n.tags or ())
+        nterms = set(getattr(n, "neuron_terms", None) or ())
+        if tags and not ntags.intersection(tags):
+            return False
+        if ex_tags and ntags.intersection(ex_tags):
+            return False
+        if terms and not nterms.intersection(terms):
+            return False
+        if ex_terms and nterms.intersection(ex_terms):
+            return False
+        return True
+
+    ex_match_tags = set(args.excluded_matches_tags or ())
+    matches_in = [
+        m for m in matches_in
+        if not (ex_match_tags and set(m.tags or ()) & ex_match_tags)
+        and neuron_ok(m.mask_image, set(args.neuron_tags or ()),
+                      set(args.excluded_neuron_tags or ()),
+                      set(args.neuron_terms or ()),
+                      set(args.excluded_neuron_terms or ()))
+        and neuron_ok(m.matched_image, set(args.target_tags or ()),
+                      set(args.excluded_target_tags or ()),
+                      set(args.target_terms or ()),
+                      set(args.excluded_target_terms or ()),
+                      libs=set(args.target_library or ()))
+    ]
+    if args.exported_mips:
+        wanted = set(args.exported_mips)
+        matches_in = [m for m in matches_in
+                      if m.mask_image and m.mask_image.mip_id in wanted]
+
     # score filters (ExportData4NBCmd.getCDScoresFilter:209-218): ratio
     # floor plus gradientAreaGap >= 0 unless grad scores are ignored
     if args.pctPositivePixels > 0:
@@ -263,6 +324,13 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
             continue
         name = m.mask_image.published_name or m.mask_image.mip_id
         by_published.setdefault(name, []).append(m)
+
+    names_ordered = sorted(by_published)
+    if args.offset > 0:
+        names_ordered = names_ordered[args.offset:]
+    if args.size > 0:
+        names_ordered = names_ordered[:args.size]
+    by_published = {k: by_published[k] for k in names_ordered}
 
     n = 0
     n_invalid = 0
@@ -363,7 +431,22 @@ def configure_import_ppp(sp):
     sp.add_argument("--lm-library", default=None)
     sp.add_argument("--alignment-space", "-as", default=None)
     sp.add_argument("--only-best-skeleton-matches", action="store_true")
-    sp.add_argument("--include-skeletons", action="store_true", default=True)
+    sp.add_argument("--include-skeletons",
+                    "--include-raw-skeleton-matches",
+                    dest="include_skeletons",
+                    action="store_true", default=True)
+    sp.add_argument("--results-file", "-rf", nargs="*", default=[],
+                    help="explicit cov_scores result files (in addition "
+                         "to --results-dir scans)")
+    sp.add_argument("--anatomical-area", default="Brain",
+                    help="suffix equal to this area is NOT an objective "
+                         "(ImportPPPResultsCmd.updateLMMetadata)")
+    sp.add_argument("--em-tags", nargs="*", default=[],
+                    help="tags stamped on resolved/created EM neurons")
+    sp.add_argument("--processing-partition-size", type=int, default=100,
+                    help="accepted for reference parity")
+    sp.add_argument("--jacs-read-batch-size", type=int, default=1000,
+                    help="accepted for reference parity")
     sp.add_argument("--screenshots-dir", dest="screenshotsDir",
                     default="screenshots",
                     help="screenshots dir name next to each results file "
@@ -395,6 +478,7 @@ def cmd_import_ppp(args) -> int:
     JSON or DB rows."""
     gen = TimebasedIdGenerator()
     files = ppp_io.find_ppp_result_files(args.results_dir)
+    files.extend(Path(f) for f in (args.results_file or ()))
     out_dir = Path(args.outputDir) if args.outputDir else None
     if out_dir is not None:
         out_dir.mkdir(parents=True, exist_ok=True)
@@ -440,9 +524,13 @@ def cmd_import_ppp(args) -> int:
         # DB neuron resolution: the registered neuron (by body id)
         # becomes the mask reference (ImportPPPResultsCmd
         # retrieveEMNeurons + setMaskImage)
+        for t in args.em_tags or ():
+            em.tags.add(t)
         db_em = registered_em.get(em.published_name or "")
         if db_em is not None:
             em = db_em
+            for t in args.em_tags or ():
+                em.tags.add(t)
             if args.processingTag:
                 em.add_processed_tags(ProcessingType.PPPMatch,
                                       [args.processingTag])
@@ -455,7 +543,8 @@ def cmd_import_ppp(args) -> int:
             m.mask_image_ref_id = em.entity_id
             m.matched_image = ppp_io.lm_neuron_from_ppp_name(
                 m.source_lm_name, library=args.lm_library,
-                alignment_space=args.alignment_space)
+                alignment_space=args.alignment_space,
+                anatomical_area=args.anatomical_area)
             sample = samples.get(
                 ppp_io.lm_sample_name(m.source_lm_name or ""))
             if sample:

@@ -111,13 +111,20 @@ def em_neuron_from_ppp_name(em_name: str, *, library=None,
 
 
 def lm_neuron_from_ppp_name(lm_name: str, *, library=None,
-                            alignment_space=None) -> LMNeuron:
-    """'BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_40x' -> LM neuron."""
+                            alignment_space=None,
+                            anatomical_area: str | None = None) -> LMNeuron:
+    """'BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_40x' -> LM neuron.
+
+    A suffix equal to `anatomical_area` is the area, not an objective
+    (ImportPPPResultsCmd.updateLMMetadata:371-380)."""
     n = LMNeuron(library_name=library, alignment_space=alignment_space)
     m = LM_NAME_RE.match(lm_name)
     base = m.group(1) if m else lm_name
     objective = m.group(2) if m else None
-    if objective and not OBJECTIVE_RE.fullmatch(objective):
+    if objective and anatomical_area and \
+            objective.lower() == anatomical_area.lower():
+        objective = None
+    elif objective and not OBJECTIVE_RE.fullmatch(objective):
         objective = DEFAULT_OBJECTIVE
     n.objective = objective
     parts = base.split("-", 1)
