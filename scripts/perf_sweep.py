@@ -261,161 +261,5 @@ def strip_gather_experiment(t_width=2048, q=2048, repeats=300):
             "secs": round(dt, 2)}), flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--widths", default="512,1024,2048,4096")
-    ap.add_argument("--batches", default="8")
-    ap.add_argument("--extra-batches", default="16,32",
-                    help="mask batches tried at the widest width")
-    ap.add_argument("--repeats-pairs", type=float, default=4e6,
-                    help="aim for this many pairs per timing run")
-    ap.add_argument("--gather-only", action="store_true")
-    ap.add_argument("--strip-experiment", action="store_true")
-    ap.add_argument("--out", default=None)
-    args = ap.parse_args()
-
-    if args.strip_experiment:
-        # u32 planes + the >>16 temp + u16 copy must coexist in HBM
-        strip_gather_experiment(t_width=1024)
-        return 0
-
-    plan, target_rgb = build_plan()
-    v, q = plan.positions.shape
-    log(f"plan: {plan.query_size} px, {v} variants, padded Q {q}")
-    log(f"devices: {jax.devices()}")
-
-    from colormipsearch_tpu.ops import pixel_match
-
-    results = []
-
-    def record(**kw):
-        results.append(kw)
-        line = json.dumps(kw)
-        print(line, flush=True)
-        if args.out:
-            with open(args.out, "a") as f:
-                f.write(line + "\n")
-
-    widths = [int(x) for x in args.widths.split(",")]
-    batches = [int(x) for x in args.batches.split(",")]
-    extra_batches = [int(x) for x in args.extra_batches.split(",") if x]
-
-    for t_width in widths:
-        t0 = time.perf_counter()
-        planes = build_planes(target_rgb, t_width)
-        log(f"T={t_width}: packed planes "
-            f"({planes.nbytes / 1e9:.1f} GB) in "
-            f"{time.perf_counter() - t0:.1f}s")
-        batch_list = batches + (extra_batches if t_width == widths[-1]
-                                else [])
-        for b in batch_list:
-            pos = jax.device_put(np.stack([plan.positions] * b))
-            q_cls = jax.device_put(np.stack([plan.q_cls] * b))
-            q_s = jax.device_put(np.stack([plan.q_s] * b))
-            q_p = jax.device_put(np.stack([plan.q_p] * b))
-
-            def run_once():
-                return pixel_match.score_query_batch(
-                    planes, pos, q_cls, q_s, q_p,
-                    target_threshold=20, ztol_num=plan.ztol_num,
-                    ztol_den=plan.ztol_den, n_straight=plan.n_straight)
-
-            pairs_per_step = b * t_width
-            repeats = max(2, int(args.repeats_pairs / pairs_per_step))
-            dt = time_step(run_once, repeats)
-            rate = repeats * pairs_per_step / dt
-            gbs = repeats * b * v * q * t_width * 4 / dt / 1e9
-            record(kind="full", t_width=t_width, mask_batch=b,
-                   pairs_per_s=round(rate), gather_gb_per_s=round(gbs, 1),
-                   repeats=repeats, secs=round(dt, 2))
-
-            if args.gather_only:
-                dtg = time_step(gather_only_step(planes, pos), repeats)
-                record(kind="gather_only", t_width=t_width, mask_batch=b,
-                       pairs_per_s=round(repeats * pairs_per_step / dtg),
-                       gather_gb_per_s=round(
-                           repeats * b * v * q * t_width * 4 / dtg / 1e9, 1),
-                       repeats=repeats, secs=round(dtg, 2))
-        del planes
-
-    best = max((r for r in results if r["kind"] == "full"),
-               key=lambda r: r["pairs_per_s"])
-    log(f"best: {best}")
-    return 0
-
-
-
-
-def strip_gather_experiment(t_width=4096, q=2048, repeats=200):
-    """Gather microbenchmarks: plain uint32 row gathers vs 5-row strips
-    (one descriptor covers the three x-shift variants) vs uint16 rows
-    (half the bytes — tells whether the gather is byte- or row-bound).
-    """
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
-    plan, target_rgb = build_plan()
-    planes = build_planes(target_rgb, t_width)
-    planes16 = (planes >> 16).astype(jnp.uint16)
-    p_rows = planes.shape[0]
-    rng = np.random.default_rng(0)
-    pos = jnp.asarray(
-        rng.integers(2, p_rows - 3, (q,)).astype(np.int32))
-    w = 566
-
-    @jax.jit
-    def rows9(pos):
-        acc = jnp.zeros((planes.shape[1],), jnp.uint32)
-        for dy in (-2 * w, 0, 2 * w):
-            for dx in (-2, 0, 2):
-                g = jnp.take(planes, pos + (dy + dx), axis=0)
-                acc = acc + g.sum(axis=0, dtype=jnp.uint32)
-        return acc
-
-    @jax.jit
-    def rows9_u16(pos):
-        acc = jnp.zeros((planes16.shape[1],), jnp.uint32)
-        for dy in (-2 * w, 0, 2 * w):
-            for dx in (-2, 0, 2):
-                g = jnp.take(planes16, pos + (dy + dx), axis=0)
-                acc = acc + g.sum(axis=0, dtype=jnp.uint32)
-        return acc
-
-    @jax.jit
-    def strips3(pos):
-        acc = jnp.zeros((planes.shape[1],), jnp.uint32)
-
-        def strip(starts):
-            def one(s):
-                return lax.dynamic_slice(
-                    planes, (s, 0), (5, planes.shape[1]))
-            return jax.vmap(one)(starts)          # [Q, 5, T]
-
-        for dy in (-2 * w, 0, 2 * w):
-            slab = strip(pos + dy - 2)
-            for i in (0, 2, 4):
-                acc = acc + slab[:, i].sum(axis=0, dtype=jnp.uint32)
-        return acc
-
-    cases = (("rows9", rows9, 9, 4), ("strips3", strips3, 15, 4),
-             ("rows9_u16", rows9_u16, 9, 2))
-    for name, fn, rows_per_q, bytes_px in cases:
-        np.asarray(fn(pos))
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(repeats):
-            out = fn(pos)
-        np.asarray(out)
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            "kind": name,
-            "rows_per_s": round(repeats * q * rows_per_q / dt),
-            "read_gb_per_s": round(
-                repeats * q * rows_per_q * t_width * bytes_px / dt / 1e9,
-                1),
-            "secs": round(dt, 2)}), flush=True)
-
-
 if __name__ == "__main__":
     sys.exit(main())

@@ -357,3 +357,135 @@ def test_export_score_filters(tmp_path):
             "-md", matches_dir, "--pctPositivePixels", "1.0", "-od", out)
     doc = json.loads((out / "777.json").read_text())
     assert [r["image"]["id"] for r in doc["results"]] == ["lm1"]
+
+
+def test_export_neuron_and_target_filters(tmp_path):
+    """Neuron/target tag+term+library filters and match-tag exclusion
+    (ExportData4NBCmd neuron selectors / excluded-matches-tags)."""
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+
+    def em(i, **kw):
+        return EMNeuron(mip_id=f"em{i}", published_name=f"N{i}",
+                        library_name="emlib", alignment_space="AS", **kw)
+
+    def lm(i, lib="lmlib", **kw):
+        return LMNeuron(mip_id=f"lm{i}", published_name=f"L{i}",
+                        library_name=lib, slide_code=f"s{i}", **kw)
+
+    keep = CDMatch(mask_image=em(1, tags={"validated"}),
+                   matched_image=lm(1, tags={"good"}),
+                   matching_pixels=100, matching_pixels_ratio=0.05,
+                   normalized_score=2000.0)
+    wrong_mask_tag = CDMatch(mask_image=em(2),
+                             matched_image=lm(2, tags={"good"}),
+                             matching_pixels=90,
+                             matching_pixels_ratio=0.04,
+                             normalized_score=1500.0)
+    wrong_target_lib = CDMatch(mask_image=em(3, tags={"validated"}),
+                               matched_image=lm(3, lib="otherlib"),
+                               matching_pixels=80,
+                               matching_pixels_ratio=0.04,
+                               normalized_score=1400.0)
+    bad_match_tag = CDMatch(mask_image=em(4, tags={"validated"}),
+                            matched_image=lm(4, tags={"good"}),
+                            matching_pixels=70,
+                            matching_pixels_ratio=0.04,
+                            normalized_score=1300.0,
+                            tags={"suspicious"})
+    matches_dir = tmp_path / "m"
+    JSONMatchesWriter(per_masks_dir=matches_dir).write(
+        [keep, wrong_mask_tag, wrong_target_lib, bad_match_tag])
+
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--ignore-grad-scores", "-md", matches_dir, "-od", out,
+            "--neuron-tags", "validated",
+            "--target-library", "lmlib",
+            "--excluded-matches-tags", "suspicious")
+    assert sorted(p.name for p in out.glob("*.json")) == ["N1.json"]
+    doc = json.loads((out / "N1.json").read_text())
+    assert [r["image"]["id"] for r in doc["results"]] == ["lm1"]
+
+
+def test_export_mips_offset_size(tmp_path):
+    """--exported-mips narrows masks; --offset/--size page the exported
+    published-name set in sorted order."""
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+
+    matches = []
+    for i in range(4):
+        emn = EMNeuron(mip_id=f"em{i}", published_name=f"N{i}",
+                       library_name="emlib", alignment_space="AS")
+        lmn = LMNeuron(mip_id=f"lm{i}", published_name=f"L{i}",
+                       library_name="lmlib", slide_code=f"s{i}")
+        matches.append(CDMatch(mask_image=emn, matched_image=lmn,
+                               matching_pixels=50,
+                               matching_pixels_ratio=0.04,
+                               normalized_score=1000.0))
+    matches_dir = tmp_path / "m"
+    JSONMatchesWriter(per_masks_dir=matches_dir).write(matches)
+
+    out = tmp_path / "paged"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--ignore-grad-scores", "-md", matches_dir, "-od", out,
+            "--offset", "1", "--size", "2")
+    assert sorted(p.name for p in out.glob("*.json")) == \
+        ["N1.json", "N2.json"]
+
+    out2 = tmp_path / "mips"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--ignore-grad-scores", "-md", matches_dir, "-od", out2,
+            "--exported-mips", "em3")
+    assert sorted(p.name for p in out2.glob("*.json")) == ["N3.json"]
+
+
+def test_ppp_lm_anatomical_area_suffix():
+    """A REG_UNISEX suffix equal to the anatomical area is NOT an
+    objective (ImportPPPResultsCmd.updateLMMetadata)."""
+    from colormipsearch_tpu.io import ppp
+
+    n = ppp.lm_neuron_from_ppp_name(
+        "BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_VNC",
+        anatomical_area="VNC")
+    assert n.objective is None
+    # without the area hint the unknown suffix falls back to the default
+    n2 = ppp.lm_neuron_from_ppp_name(
+        "BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_VNC")
+    assert n2.objective == ppp.DEFAULT_OBJECTIVE
+    n3 = ppp.lm_neuron_from_ppp_name(
+        "BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_40x",
+        anatomical_area="Brain")
+    assert n3.objective == "40x"
+
+
+def test_create_data_input_neuron_filters(tmp_path):
+    """--tag / --excluded-neurons / --included-neurons on
+    createColorDepthSearchDataInput."""
+    import shutil
+
+    fix = ("/root/reference/colormipsearch-api/src/test/resources/"
+           "colormipsearch/api/cdsearch")
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    for f in Path(fix).glob("*.tif"):
+        shutil.copy(f, lib / f.name)
+
+    out = tmp_path / "inputs"
+    run_cli("createColorDepthSearchDataInput", "-i", lib,
+            "-l", "testlib", "--alignment-space", "AS",
+            "--tag", "roundA",
+            "--excluded-neurons", "1752016801-LPLC2-RT_18U",
+            "-od", out, "--output-filename", "filtered.json")
+    docs = json.loads((out / "filtered.json").read_text())
+    assert docs, "non-excluded neurons remain"
+    assert all("LPLC2" not in d["mipId"] for d in docs)
+    assert all("roundA" in (d.get("tags") or ()) for d in docs)
+
+    run_cli("createColorDepthSearchDataInput", "-i", lib,
+            "-l", "testlib", "--alignment-space", "AS",
+            "--included-neurons", "1752016801-LPLC2-RT_18U",
+            "-od", out, "--output-filename", "only.json")
+    only = json.loads((out / "only.json").read_text())
+    assert [d["mipId"] for d in only] == ["1752016801-LPLC2-RT_18U"]
