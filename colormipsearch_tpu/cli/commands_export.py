@@ -47,6 +47,23 @@ def configure_export_data(sp):
                     help="DB: read matches per mask from the match store "
                          "(ExportData4NBCmd's DBNeuronMatchesReader path)")
     sp.add_argument("--config", dest="configFile", default=None)
+    sp.add_argument("--jacs-url", "--data-url", dest="dataServiceURL",
+                    default=None,
+                    help="JACS data service base URL (or file:// page "
+                         "dumps); accepted for parity — neuron metadata "
+                         "here is already embedded in the match rows")
+    sp.add_argument("--config-url", dest="configURL", default=None,
+                    help="config service whose /cdm_library entry maps "
+                         "internal library ids to published display "
+                         "names (JacsDataGetter.retrieveLibraryNameMapping"
+                         "; also accepts file://<json>)")
+    sp.add_argument("--authorization", default=None,
+                    help="JACS authorization header value")
+    sp.add_argument("--published-alignment-space-alias", nargs="*",
+                    dest="publishedAlignmentSpaceAliases", default=[],
+                    help="'<alignmentSpace>=<alias>' pairs used when "
+                         "matching published LM images by alignment "
+                         "space (PublishedDataGetter.findPublishedImage)")
     sp.add_argument("--alignment-space", "-as", default=None)
     sp.add_argument("-l", "--library", "--libraries", dest="libraries",
                     nargs="*", default=[],
@@ -122,6 +139,9 @@ def cmd_export_data(args) -> int:
             args._url_map = json.load(f)
     args._url_transformer = _make_url_transformer(args)
     args._image_store = _make_image_store(args)
+    args._library_names = _load_library_name_mapping(
+        getattr(args, "configURL", None))
+    args._published_urls_by_id = {}
 
     if args.exported_result_type in ("EM_MIPS", "LM_MIPS"):
         return _export_mips(args, out_dir, pretty)
@@ -171,6 +191,36 @@ def _make_url_transformer(args):
     return transform
 
 
+def _load_library_name_mapping(config_url: str | None) -> dict:
+    """{internal library id -> published display name} from the config
+    service's /cdm_library entry
+    (JacsDataGetter.retrieveLibraryNameMapping:167-187). Accepts
+    file://<json-file> for offline use; failures log and return {}."""
+    if not config_url:
+        return {}
+    try:
+        if config_url.startswith("file://"):
+            with open(config_url[len("file://"):]) as f:
+                doc = json.load(f)
+        else:
+            import urllib.request
+
+            with urllib.request.urlopen(
+                    config_url.rstrip("/") + "/cdm_library",
+                    timeout=60) as resp:
+                doc = json.load(resp)
+        config = doc.get("config")
+        if not isinstance(config, dict):
+            raise ValueError("config entry is not a map")
+        return {lid: ldata.get("name")
+                for lid, ldata in config.items()
+                if isinstance(ldata, dict) and ldata.get("name")}
+    except Exception as e:  # noqa: BLE001 - enrichment is best-effort
+        LOG.error("could not load library name mapping from %s: %s",
+                  config_url, e)
+        return {}
+
+
 def _make_image_store(args):
     """neuron metadata -> image store name
     (cmd/dataexport/ImageStoreMapping: (alignmentSpace, library) key,
@@ -191,14 +241,33 @@ def _make_image_store(args):
     return lookup
 
 
+# publishedURL collection "uploaded" keys -> publish FileType names
+# (jacsdata/ColorDepthMIP.java:25-28 updateEMNeuron/updateLMNeuron)
+_UPLOADED_KEY_FILETYPES = (("cdm", "CDM"),
+                           ("cdm_thumbnail", "CDMThumbnail"),
+                           ("skeletonswc", "AlignedBodySWC"),
+                           ("skeletonobj", "AlignedBodyOBJ"))
+
+
 def _finalize_neuron_files(meta, neuron, args) -> None:
     """Per-exported-neuron enrichment: published URLs merge, image-store
-    stamp (files.store), then URL transforms over every file entry
+    stamp (files.store), library display-name mapping, then URL
+    transforms over every file entry
     (AbstractDataExporter.updateNeuronFiles + transformAllNeuronFiles)."""
     _apply_urls(meta, neuron, args._url_map)
+    uploaded = args._published_urls_by_id.get(
+        getattr(neuron, "entity_id", None))
+    if uploaded:
+        for key, ft in _UPLOADED_KEY_FILETYPES:
+            if uploaded.get(key):
+                meta.files = {**meta.files, ft: uploaded[key]}
     store = args._image_store(meta)
     if store:
         meta.files = {**meta.files, "store": store}
+    # library display name AFTER the store lookup: the image-store
+    # mapping is keyed on the internal name (AbstractDataExporter:48-51)
+    if args._library_names and meta.library_name in args._library_names:
+        meta.library_name = args._library_names[meta.library_name]
     transform = args._url_transformer
     meta.files = {ft: (transform(ft, url) if ft != "store" else url)
                   for ft, url in meta.files.items()}
@@ -259,6 +328,18 @@ def _read_db_matches(args):
             NeuronSelector(mip_ids=[mip_id])))
     LOG.info("read %d matches for %d masks from the DB store",
              len(out), len(mip_ids))
+    # uploaded-file URLs live in the publishedURL collection keyed by
+    # neuron internal id (model/NeuronPublishedURLs.java storeName,
+    # CachedDataHelper.retrievePublishedURLs)
+    for doc in daos.store.collection("publishedURL").find({}):
+        try:
+            key = int(doc["_id"])
+        except (KeyError, TypeError, ValueError):
+            continue
+        args._published_urls_by_id[key] = doc.get("uploaded") or {}
+    if args._published_urls_by_id:
+        LOG.info("loaded published URLs for %d neurons",
+                 len(args._published_urls_by_id))
     return out
 
 
@@ -364,7 +445,37 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
         for m in selected:
             row = dto.cd_match_to_dto(m)
             _finalize_neuron_files(row.target, m.matched_image, args)
+            if args._published_urls_by_id:
+                # match CDMInput/CDMMatch come from each side's uploaded
+                # searchable_neurons URL; matches missing either are
+                # dropped (AbstractCDMatchesExporter:119-163,
+                # EMCDMatchesExporter:174-179)
+                transform = args._url_transformer
+                mask_up = args._published_urls_by_id.get(
+                    m.mask_image.entity_id) or {}
+                tgt_up = args._published_urls_by_id.get(
+                    m.matched_image.entity_id) or {}
+                cdm_in = mask_up.get("searchable_neurons")
+                cdm_match = tgt_up.get("searchable_neurons")
+                if not cdm_in or not cdm_match:
+                    LOG.warning("no searchable neuron URL for match "
+                                "%s->%s; skipping",
+                                m.mask_image.mip_id,
+                                m.matched_image.mip_id)
+                    continue
+                row.files = {**row.files,
+                             "CDMInput": transform("CDMInput", cdm_in),
+                             "CDMMatch": transform("CDMMatch", cdm_match)}
+                mask_store = input_meta.files.get("store")
+                tgt_store = row.target.files.get("store")
+                if mask_store and mask_store == tgt_store:
+                    row.files["store"] = tgt_store
+                elif mask_store != tgt_store:
+                    LOG.error("image stores for mask %s and target %s "
+                              "do not match", mask_store, tgt_store)
             rows.append(row)
+        if not rows:
+            continue
         doc = dto.result_matches_json(input_meta, rows)
         with open(out_dir / f"{name}.json", "w") as f:
             json.dump(doc, f, indent=2 if pretty else None)
@@ -438,12 +549,20 @@ def configure_import_ppp(sp):
     sp.add_argument("--results-file", "-rf", nargs="*", default=[],
                     help="explicit cov_scores result files (in addition "
                          "to --results-dir scans)")
-    sp.add_argument("--anatomical-area", default="Brain",
+    sp.add_argument("--matches-prefix", default="cov_scores_",
+                    help="filename prefix of the PPP score result files")
+    sp.add_argument("--neuron-matches-sub-dir",
+                    default=None,
+                    help="only scan results inside this per-neuron "
+                         "subdirectory (the PPP pipeline writes e.g. "
+                         "lm_cable_length_20_v4_adj_by_cov_numba_agglo_aT)")
+    sp.add_argument("--anatomical-area", "-area", default="Brain",
                     help="suffix equal to this area is NOT an objective "
                          "(ImportPPPResultsCmd.updateLMMetadata)")
     sp.add_argument("--em-tags", nargs="*", default=[],
                     help="tags stamped on resolved/created EM neurons")
-    sp.add_argument("--processing-partition-size", type=int, default=100,
+    sp.add_argument("--processing-partition-size", "-ps",
+                    type=int, default=100,
                     help="accepted for reference parity")
     sp.add_argument("--jacs-read-batch-size", type=int, default=1000,
                     help="accepted for reference parity")
@@ -477,7 +596,9 @@ def cmd_import_ppp(args) -> int:
     (rank < 500) from the sibling screenshots dir, and writes grouped
     JSON or DB rows."""
     gen = TimebasedIdGenerator()
-    files = ppp_io.find_ppp_result_files(args.results_dir)
+    files = ppp_io.find_ppp_result_files(
+        args.results_dir, prefix=args.matches_prefix,
+        sub_dir=args.neuron_matches_sub_dir)
     files.extend(Path(f) for f in (args.results_file or ()))
     out_dir = Path(args.outputDir) if args.outputDir else None
     if out_dir is not None:

@@ -135,16 +135,23 @@ def lm_neuron_from_ppp_name(lm_name: str, *, library=None,
     return n
 
 
-def find_ppp_result_files(dirs: Iterable[str]) -> list[Path]:
-    """Locate cov_scores_*.json files under the given directories
-    (ImportPPPResultsCmd walks em-subdirectories)."""
+def find_ppp_result_files(dirs: Iterable[str], *,
+                          prefix: str = "cov_scores_",
+                          sub_dir: str | None = None) -> list[Path]:
+    """Locate <prefix>*.json files under the given directories
+    (ImportPPPResultsCmd walks em-subdirectories; --matches-prefix /
+    --neuron-matches-sub-dir restrict the scan to the PPP pipeline's
+    per-neuron results subdirectory)."""
     out: list[Path] = []
     for d in dirs:
         p = Path(d)
         if p.is_file():
             out.append(p)
         elif p.is_dir():
-            out.extend(sorted(p.rglob("cov_scores_*.json")))
+            hits = sorted(p.rglob(f"{prefix}*.json"))
+            if sub_dir:
+                hits = [h for h in hits if sub_dir in h.parent.parts]
+            out.extend(hits)
     return out
 
 

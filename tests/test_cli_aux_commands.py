@@ -489,3 +489,116 @@ def test_create_data_input_neuron_filters(tmp_path):
             "-od", out, "--output-filename", "only.json")
     only = json.loads((out / "only.json").read_text())
     assert [d["mipId"] for d in only] == ["1752016801-LPLC2-RT_18U"]
+
+
+def test_export_db_published_urls_collection(tmp_path):
+    """DB export pulls uploaded URLs from the publishedURL collection by
+    neuron internal id: neuron CDM/CDMThumbnail files, match
+    CDMInput/CDMMatch from searchable_neurons, and drops matches where
+    either side has no searchable URL (AbstractCDMatchesExporter)."""
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.persist import Config, DaosProvider
+
+    db = tmp_path / "db.sqlite"
+    cfg_file = tmp_path / "cfg.properties"
+    cfg_file.write_text(f"Store.Path={db}\n")
+    daos = DaosProvider(Config(str(cfg_file)))
+
+    em = EMNeuron(mip_id="em1", published_name="12345",
+                  library_name="emlib", alignment_space="AS")
+    lm = LMNeuron(mip_id="lm1", published_name="R99X99",
+                  library_name="lmlib", slide_code="sc1",
+                  alignment_space="AS")
+    lm2 = LMNeuron(mip_id="lm2", published_name="R11X11",
+                   library_name="lmlib", slide_code="sc2",
+                   alignment_space="AS")
+    for n in (em, lm, lm2):
+        daos.neuron_metadata_dao.create_or_update(n)
+    ms = [CDMatch(mask_image=em, matched_image=t,
+                  mask_image_ref_id=em.entity_id,
+                  matched_image_ref_id=t.entity_id,
+                  matching_pixels=87, matching_pixels_ratio=0.05,
+                  normalized_score=2801.1, match_found=True)
+          for t in (lm, lm2)]
+    daos.cd_matches_dao.create_or_update_all(ms)
+    pub = daos.store.collection("publishedURL")
+    pub.insert_many([
+        {"_id": em.entity_id, "uploaded": {
+            "cdm": "https://s3/em1-cdm.png",
+            "cdm_thumbnail": "https://s3/em1-thumb.jpg",
+            "searchable_neurons": "https://s3/em1-searchable.png",
+            "skeletonswc": "https://s3/em1.swc"}},
+        {"_id": lm.entity_id, "uploaded": {
+            "cdm": "https://s3/lm1-cdm.png",
+            "searchable_neurons": "https://s3/lm1-searchable.png"}},
+        # lm2 has no published URLs -> its match must be dropped
+    ])
+
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--ignore-grad-scores",
+            "--results-storage", "DB", "--config", cfg_file,
+            "-l", "emlib", "-od", out)
+    doc = json.loads((out / "12345.json").read_text())
+    files = doc["inputImage"]["files"]
+    assert files["CDM"] == "https://s3/em1-cdm.png"
+    assert files["CDMThumbnail"] == "https://s3/em1-thumb.jpg"
+    assert files["AlignedBodySWC"] == "https://s3/em1.swc"
+    [res] = doc["results"]          # lm2 match dropped
+    assert res["image"]["id"] == "lm1"
+    assert res["files"]["CDMInput"] == "https://s3/em1-searchable.png"
+    assert res["files"]["CDMMatch"] == "https://s3/lm1-searchable.png"
+
+
+def test_export_library_name_mapping(tmp_path):
+    """--config-url maps internal library ids to published display names
+    (JacsDataGetter.retrieveLibraryNameMapping)."""
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+
+    em = EMNeuron(mip_id="em1", published_name="777",
+                  library_name="flyem_hemibrain_1_2_1",
+                  alignment_space="AS")
+    lm = LMNeuron(mip_id="lm1", published_name="L1",
+                  library_name="internal_mcfo", slide_code="s1")
+    m = CDMatch(mask_image=em, matched_image=lm, matching_pixels=50,
+                matching_pixels_ratio=0.04, normalized_score=1000.0)
+    matches_dir = tmp_path / "m"
+    JSONMatchesWriter(per_masks_dir=matches_dir).write([m])
+
+    cfg = tmp_path / "cdm_library.json"
+    cfg.write_text(json.dumps({"config": {
+        "flyem_hemibrain_1_2_1": {"name": "FlyEM_Hemibrain_v1.2.1"},
+        "internal_mcfo": {"name": "FlyLight Gen1 MCFO"},
+    }}))
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--ignore-grad-scores", "-md", matches_dir, "-od", out,
+            "--config-url", f"file://{cfg}",
+            "--image-stores-per-neuron-meta",
+            # keyed on the INTERNAL name: mapping applied after store
+            "AS,flyem_hemibrain_1_2_1:em-store")
+    doc = json.loads((out / "777.json").read_text())
+    assert doc["inputImage"]["libraryName"] == "FlyEM_Hemibrain_v1.2.1"
+    assert doc["inputImage"]["files"]["store"] == "em-store"
+    [res] = doc["results"]
+    assert res["image"]["libraryName"] == "FlyLight Gen1 MCFO"
+
+
+def test_ppp_results_scan_prefix_and_subdir(tmp_path):
+    """--matches-prefix / --neuron-matches-sub-dir restrict the PPP
+    results scan (ImportPPPResultsCmd)."""
+    from colormipsearch_tpu.io import ppp
+
+    base = tmp_path / "n1" / "lm_cable_agglo"
+    base.mkdir(parents=True)
+    good = base / "cov_scores_n1.json"
+    good.write_text("{}")
+    (tmp_path / "n1" / "cov_scores_stray.json").write_text("{}")
+    (base / "other_scores_n1.json").write_text("{}")
+
+    hits = ppp.find_ppp_result_files([tmp_path],
+                                     sub_dir="lm_cable_agglo")
+    assert hits == [good]
+    hits = ppp.find_ppp_result_files([tmp_path], prefix="other_scores_")
+    assert [h.name for h in hits] == ["other_scores_n1.json"]
