@@ -525,6 +525,21 @@ def configure_create_data_input(sp):
     sp.add_argument("--match-neuron-state", action="store_true")
     sp.add_argument("--tag", nargs="*", default=[],
                     help="tags stamped on every created neuron")
+    sp.add_argument("--datasets", nargs="*", default=[],
+                    help="JACS dataset filter for the ingest query")
+    sp.add_argument("--releases", "-r", nargs="*", default=[],
+                    help="JACS release filter for the ingest query")
+    sp.add_argument("--mips", nargs="*", default=[],
+                    help="only create inputs for these specific mip ids")
+    sp.add_argument("--included-libraries", nargs="*", default=[],
+                    help="MIPs must also be in ALL these libraries "
+                         "(CreateCDSDataInputCmd.checkLibraries)")
+    sp.add_argument("--excluded-libraries", nargs="*", default=[],
+                    help="MIPs must not be in ANY of these libraries")
+    sp.add_argument("--for-update", dest="forUpdate",
+                    action="store_true",
+                    help="merge into an existing output file / update "
+                         "existing DB entries instead of overwriting")
     sp.add_argument("--excluded-neurons", nargs="*", default=[],
                     help="mip ids / published names to skip")
     sp.add_argument("--included-neurons", "--included-published-names",
@@ -603,6 +618,9 @@ def _write_data_input(args, neurons, lib) -> int:
         neurons = [n for n in neurons
                    if n.mip_id in included
                    or (n.published_name or "") in included]
+    only_mips = set(getattr(args, "mips", None) or ())
+    if only_mips:
+        neurons = [n for n in neurons if n.mip_id in only_mips]
     for tag in getattr(args, "tag", None) or ():
         for n in neurons:
             n.tags.add(tag)
@@ -615,6 +633,14 @@ def _write_data_input(args, neurons, lib) -> int:
     out_name = args.output_filename or f"{lib}.json"
     out_dir = args.outputDir or "."
     out_path = Path(out_dir) / out_name
+    if getattr(args, "forUpdate", False) and out_path.exists():
+        # --for-update: merge into the existing file, replacing entries
+        # with the same mipId (CreateCDSDataInputCmd args.forUpdate)
+        from colormipsearch_tpu.dataio.json_io import read_neurons_json
+
+        merged = {n.mip_id: n for n in read_neurons_json(out_path)}
+        merged.update({n.mip_id: n for n in neurons})
+        neurons = list(merged.values())
     write_neurons_json(neurons, out_path, pretty=not args.noPrettyPrint)
     LOG.info("wrote %d neurons to %s", len(neurons), out_path)
     return 0
@@ -641,7 +667,10 @@ def _create_data_input_from_jacs(args) -> int:
         client, library=args.library,
         alignment_space=args.alignment_space,
         variant_locations=variant_locations or None,
-        variant_suffixes=variant_suffixes or None)
+        variant_suffixes=variant_suffixes or None,
+        datasets=args.datasets, releases=args.releases, mips=args.mips,
+        included_libraries=args.included_libraries,
+        excluded_libraries=args.excluded_libraries)
     return _write_data_input(args, neurons, args.library)
 
 

@@ -58,16 +58,24 @@ class JacsClient:
             return json.load(resp)
 
     def color_depth_mips_with_samples(self, *, library: str,
-                                      alignment_space: str | None = None
-                                      ) -> Iterator[dict]:
+                                      alignment_space: str | None = None,
+                                      datasets=None, releases=None,
+                                      mips=None) -> Iterator[dict]:
         """Page through the library's MIPs
-        (JacsDataGetter paging over /data/colorDepthMIPsWithSamples)."""
+        (JacsDataGetter paging over /data/colorDepthMIPsWithSamples;
+        dataset/release/id filters as comma lists,
+        CreateCDSDataInputCmd.java:552-567)."""
         offset = 0
         while True:
             params = {"libraryName": library, "offset": offset,
                       "length": self.page_size}
             if alignment_space:
                 params["alignmentSpace"] = alignment_space
+            for key, vals in (("dataset", datasets), ("release", releases),
+                              ("id", mips)):
+                vals = [v for v in (vals or ()) if v]
+                if vals:
+                    params[key] = ",".join(vals)
             page = self._get("/data/colorDepthMIPsWithSamples", params)
             if not page:
                 return
@@ -168,15 +176,33 @@ def mip_record_to_neuron(rec: dict, library: str) -> Optional[Neuron]:
 def load_library_neurons(client: JacsClient, *, library: str,
                          alignment_space: str | None = None,
                          variant_locations: dict | None = None,
-                         variant_suffixes: dict | None = None
-                         ) -> list[Neuron]:
+                         variant_suffixes: dict | None = None,
+                         datasets=None, releases=None, mips=None,
+                         included_libraries=None,
+                         excluded_libraries=None) -> list[Neuron]:
     """Fetch a library and attach variant compute files by convention
-    (--librariesVariants semantics of CreateCDSDataInputCmd:116-118)."""
+    (--librariesVariants semantics of CreateCDSDataInputCmd:116-118).
+    dataset/release/mip-id filters go into the JACS query; the
+    included/excluded-libraries check runs on each record's `libraries`
+    list (CreateCDSDataInputCmd.checkLibraries:459-468)."""
     from colormipsearch_tpu.io import mips as mips_io
 
+    included_libraries = set(included_libraries or ())
+    excluded_libraries = set(excluded_libraries or ())
+    mip_ids = {m for m in (mips or ()) if m}
     out = []
     for rec in client.color_depth_mips_with_samples(
-            library=library, alignment_space=alignment_space):
+            library=library, alignment_space=alignment_space,
+            datasets=datasets, releases=releases, mips=mips):
+        rec_libs = set(rec.get("libraries") or ())
+        if included_libraries and not included_libraries <= rec_libs:
+            continue
+        if excluded_libraries and rec_libs & excluded_libraries:
+            continue
+        # re-applied client-side for the file:// page-dump transport,
+        # which cannot filter server-side
+        if mip_ids and (rec.get("id") or rec.get("_id")) not in mip_ids:
+            continue
         n = mip_record_to_neuron(rec, library)
         if n is None:
             continue

@@ -139,3 +139,65 @@ def test_v2_group_mips_from_jacs(tmp_path, jacs_dump):
     assert [f.stem for f in files] == ["R00A01", "R01A01", "R02A01"]
     mips = v2_io.read_mips_json(files[0])
     assert mips[0].publishedName == "R00A01"
+
+
+def test_jacs_library_and_mip_filters(tmp_path):
+    """--included-libraries / --excluded-libraries / --mips filtering
+    (CreateCDSDataInputCmd.checkLibraries:459-468)."""
+    from colormipsearch_tpu.io.jacs import JacsClient, load_library_neurons
+
+    page0 = [
+        {"id": "mipA", "filepath": "/cdm/a.png", "alignmentSpace": "AS",
+         "libraries": ["libX", "libY"],
+         "sample": {"publishingName": "R01", "slideCode": "s1"}},
+        {"id": "mipB", "filepath": "/cdm/b.png", "alignmentSpace": "AS",
+         "libraries": ["libX"],
+         "sample": {"publishingName": "R02", "slideCode": "s2"}},
+        {"id": "mipC", "filepath": "/cdm/c.png", "alignmentSpace": "AS",
+         "libraries": ["libX", "libZ"],
+         "sample": {"publishingName": "R03", "slideCode": "s3"}},
+    ]
+    d = tmp_path / "dump"
+    d.mkdir()
+    (d / "data_colorDepthMIPsWithSamples_0.json").write_text(
+        json.dumps(page0))
+    client = JacsClient(f"file://{d}")
+
+    both = load_library_neurons(client, library="FlyLight Gen1 MCFO",
+                                included_libraries=["libX", "libY"])
+    assert [n.mip_id for n in both] == ["mipA"]
+    no_z = load_library_neurons(client, library="FlyLight Gen1 MCFO",
+                                excluded_libraries=["libZ"])
+    assert [n.mip_id for n in no_z] == ["mipA", "mipB"]
+    only = load_library_neurons(client, library="FlyLight Gen1 MCFO",
+                                mips=["mipB"])
+    assert [n.mip_id for n in only] == ["mipB"]
+
+
+def test_create_data_input_for_update(tmp_path):
+    """--for-update merges into an existing output file by mipId."""
+    import shutil
+    from pathlib import Path
+
+    fix = ("/root/reference/colormipsearch-api/src/test/resources/"
+           "colormipsearch/api/cdsearch")
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    for f in Path(fix).glob("*.tif"):
+        shutil.copy(f, lib / f.name)
+
+    out = tmp_path / "inputs"
+    run_cli("createColorDepthSearchDataInput", "-i", lib, "-l", "tl",
+            "--alignment-space", "AS",
+            "--included-neurons", "1752016801-LPLC2-RT_18U",
+            "-od", out, "--output-filename", "lib.json")
+    assert len(json.loads((out / "lib.json").read_text())) == 1
+    # second run adds the remaining neurons without dropping the first
+    run_cli("createColorDepthSearchDataInput", "-i", lib, "-l", "tl",
+            "--alignment-space", "AS", "--for-update",
+            "--tag", "batch2",
+            "-od", out, "--output-filename", "lib.json")
+    docs = json.loads((out / "lib.json").read_text())
+    ids = sorted(d["mipId"] for d in docs)
+    assert len(ids) == len(set(ids)) and len(ids) >= 2
+    assert any("LPLC2" in i for i in ids)
