@@ -11,6 +11,7 @@ Each command mirrors its reference counterpart's flags and file formats:
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import re
@@ -700,6 +701,14 @@ def configure_search_from_json(sp):
                     help="v2 MIP-list JSON file(s), location[:offset[:length]]")
     sp.add_argument("-i", "--images", "--targets", dest="targets", nargs="+",
                     required=True)
+    sp.add_argument("--masks-index", type=int, default=0,
+                    help="start offset applied to mask lists without an "
+                         "inline :offset (ColorDepthSearchJSONInputCmd)")
+    sp.add_argument("--masks-length", type=int, default=0)
+    sp.add_argument("--images-index", type=int, default=0,
+                    help="start offset applied to target lists without "
+                         "an inline :offset")
+    sp.add_argument("--images-length", type=int, default=0)
     _add_cds_params(sp)
     _add_v2_variant_args(sp)
     _add_output_args(sp)
@@ -710,6 +719,12 @@ def configure_search_local_files(sp):
                     required=True, help="mask images location (dir/zip/file)")
     sp.add_argument("-i", "-t", "--targets", dest="targets", nargs="+",
                     required=True, help="target images location")
+    sp.add_argument("--search-name", dest="searchName", default=None,
+                    help="name for the saved cds parameters record "
+                         "(default <masks>-<targets>-cdsparams.json)")
+    sp.add_argument("--viewableTargets", nargs="*", default=[],
+                    help="accepted for reference parity; viewable image "
+                         "substitution happens at export time here")
     _add_cds_params(sp)
     _add_v2_variant_args(sp)
     _add_output_args(sp)
@@ -741,9 +756,25 @@ def _neuron_to_mip(n: Neuron) -> v2_io.MIPMetadata:
     return m
 
 
+def _cds_name(args) -> str:
+    """v2 cds parameters record name
+    (ColorDepthSearchLocalMIPsCmd.getCDSName:193-200)."""
+    if getattr(args, "searchName", None):
+        return args.searchName
+    def stem(specs):
+        return "+".join(Path(ListArg.parse(s).location).stem
+                        for s in specs)
+    return f"{stem(args.masks)}-{stem(args.targets)}-cdsparams.json"
+
+
 def _run_v2_search(args, masks, targets, mip_by_key) -> int:
     params = _cds_params(args)
     engine = CDSearchEngine(params)
+    if getattr(args, "outputDir", None):
+        out_dir = Path(args.outputDir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        with open(out_dir / _cds_name(args), "w") as f:
+            json.dump(params.as_map(), f, indent=2)
     matches = engine.find_all_matches(masks, targets)
 
     # fused pixel + shape pass (v2 PixelMatchWithNegativeScore
@@ -806,19 +837,24 @@ def _run_v2_search(args, masks, targets, mip_by_key) -> int:
 def cmd_search_from_json(args) -> int:
     mip_by_key: dict[int, v2_io.MIPMetadata] = {}
 
-    def load(specs):
+    def load(specs, index=0, length=0):
         neurons = []
         for spec in specs:
             arg = ListArg.parse(spec)
-            for mip in v2_io.read_mips_json(arg.location, arg.offset,
-                                            arg.length):
+            offset = arg.offset if arg.offset > 0 else index
+            n_items = arg.length if arg.length > 0 else length
+            for mip in v2_io.read_mips_json(arg.location, offset,
+                                            n_items):
                 n = _mip_to_neuron(mip)
                 mip_by_key[id(n)] = mip
                 neurons.append(n)
         return neurons
 
-    return _run_v2_search(args, load(args.masks), load(args.targets),
-                          mip_by_key)
+    return _run_v2_search(
+        args,
+        load(args.masks, args.masks_index, args.masks_length),
+        load(args.targets, args.images_index, args.images_length),
+        mip_by_key)
 
 
 def cmd_search_local_files(args) -> int:
@@ -840,18 +876,51 @@ def cmd_search_local_files(args) -> int:
 
 
 def configure_merge_results(sp):
-    sp.add_argument("-rd", "--resultsDir", nargs="+", required=True,
+    sp.add_argument("-rd", "--resultsDir", nargs="*", default=[],
                     help="directories of per-mask result files to merge")
+    sp.add_argument("-rf", "--resultsFile", nargs="*", default=[],
+                    help="explicit result files to merge (files with the "
+                         "same basename combine into one output)")
+    sp.add_argument("--pctPositivePixels", type=float, default=0.0,
+                    help="only keep results with matchingRatio*100 > pct")
+    sp.add_argument("-cleanup", "--cleanup", dest="cleanup",
+                    action="store_true",
+                    help="strip internal image-path/sampleRef fields "
+                         "(ColorMIPSearchMatchMetadata.createReleaseCopy)")
+    sp.add_argument("--excluded-names", nargs="*", default=[],
+                    help="published names excluded from the merge")
     _add_output_args(sp)
+
+
+def _release_copy(r: "v2_io.V2Match") -> "v2_io.V2Match":
+    """Strip non-production fields
+    (ColorMIPSearchMatchMetadata.createReleaseCopy:24-40)."""
+    import dataclasses as _dc
+
+    r = _dc.replace(r, source=_dc.replace(r.source),
+                    target=_dc.replace(r.target))
+    for side in (r.source, r.target):
+        side.cdmPath = None
+        side.imageType = None
+        side.imageName = None
+        side.imageArchivePath = None
+        side.sampleRef = None
+    return r
 
 
 def cmd_merge_results(args) -> int:
     """Merge per-mask result files across libraries, deduping pairs and
     keeping the best score (cmd_v2/MergeResultsCmd.java)."""
+    if not args.resultsDir and not args.resultsFile:
+        raise SystemExit("either --resultsDir or --resultsFile required")
     by_name: dict[str, list[Path]] = {}
     for d in args.resultsDir:
         for f in sorted(Path(d).glob("*.json")):
             by_name.setdefault(f.name, []).append(f)
+    for f in args.resultsFile:
+        p = Path(f)
+        by_name.setdefault(p.name, []).append(p)
+    excluded = set(args.excluded_names or ())
     per_mask, _ = _out_dirs(args)
     if per_mask is None:
         per_mask = Path(".")
@@ -863,6 +932,14 @@ def cmd_merge_results(args) -> int:
             if header is None:
                 header = g
             for r in g.results:
+                if r.matchingRatio * 100 <= args.pctPositivePixels \
+                        and args.pctPositivePixels > 0:
+                    continue
+                if excluded and (r.source.publishedName in excluded
+                                 or r.target.publishedName in excluded):
+                    continue
+                if args.cleanup:
+                    r = _release_copy(r)
                 key = (r.source.id, r.target.id)
                 cur = merged.get(key)
                 if cur is None or r.matchingPixels > cur.matchingPixels:

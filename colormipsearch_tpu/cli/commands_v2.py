@@ -168,9 +168,36 @@ def configure_reverse_transfer(sp):
     sp.add_argument("--resultsDir", "-rd", default=None)
     sp.add_argument("--resultsFile", "-rf", nargs="*", default=None)
     sp.add_argument("--reverseResultsDir", "-revd", required=True)
+    sp.add_argument("--processingPartitionSize", "-ps", type=int,
+                    default=10, help="accepted for reference parity")
+    sp.add_argument("--topPublishedNameMatches", type=int, default=0,
+                    help="only transfer scores for the top N lines per "
+                         "mask (by matching pixels)")
+    sp.add_argument("--topPublishedSampleMatches", type=int, default=0,
+                    help="top M samples per line")
+    sp.add_argument("--topMatchesPerSample", type=int, default=0,
+                    help="top K matches per sample")
     sp.add_argument("-od", "--outputDir", required=True)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
+
+
+def _select_best_v2_rows(rows, top_lines, top_samples, top_per_sample):
+    """v2-row analogue of ColorMIPProcessUtils.selectBestMatches: top
+    lines by published name -> top samples (slide code) per line -> top
+    matches per sample, ranked by matching pixels."""
+    from colormipsearch_tpu.results.grouping import select_top_ranked
+
+    selected = []
+    for line in select_top_ranked(
+            rows, lambda r: r.target.publishedName or "",
+            lambda r: r.matchingPixels, top_lines, -1):
+        for sample in select_top_ranked(
+                line.entry,
+                lambda r: r.target.slideCode or r.target.sampleRef or "",
+                lambda r: r.matchingPixels, top_samples, top_per_sample):
+            selected.extend(sample.entry)
+    return selected
 
 
 def cmd_reverse_transfer(args) -> int:
@@ -199,6 +226,13 @@ def cmd_reverse_transfer(args) -> int:
     out_dir = Path(args.outputDir)
     for f in _result_files(args):
         g = v2_io.read_cds_matches(f)
+        if args.topPublishedNameMatches > 0 or \
+                args.topPublishedSampleMatches > 0 or \
+                args.topMatchesPerSample > 0:
+            g.results = _select_best_v2_rows(
+                g.results, args.topPublishedNameMatches,
+                args.topPublishedSampleMatches,
+                args.topMatchesPerSample)
         n_updates = 0
         for r in g.results:
             candidates = reverse_rows(r.target.id or "").get(
@@ -234,17 +268,41 @@ def configure_create_json_input_v2(sp):
                          " (local mode)")
     sp.add_argument("-l", "--library", "--libraries", nargs="*",
                     default=None)
-    sp.add_argument("--jacs-url", "--data-url", dest="jacsURL",
-                    default=None,
+    sp.add_argument("--jacs-url", "--data-url", "--jacsURL",
+                    dest="jacsURL", default=None,
                     help="JACS base URL (or file:// page-dump dir) — the "
                          "online mode of "
                          "CreateColorDepthSearchJSONInputCmd")
     sp.add_argument("--authorization", default=None)
+    sp.add_argument("--config-url", dest="configURL", default=None,
+                    help="config service /cdm_library mapping of internal "
+                         "library ids to published display names")
     sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--datasets", nargs="*", default=[],
+                    help="JACS dataset filter")
+    sp.add_argument("--releases", "-r", nargs="*", default=[],
+                    help="JACS release filter")
+    sp.add_argument("--included-libraries", nargs="*", default=[],
+                    help="MIPs must also be in ALL these libraries")
+    sp.add_argument("--excluded-libraries", nargs="*", default=[],
+                    help="MIPs must not be in ANY of these libraries")
+    sp.add_argument("--librariesVariants", "--libraryVariants",
+                    dest="librariesVariants", nargs="*", default=[],
+                    help="'library:variantType:location[:suffix]' variant "
+                         "descriptors (MIPVariantArg)")
+    sp.add_argument("--color-depth-mips-variant", dest="cdmVariantName",
+                    default=None,
+                    help="variants-dictionary entry naming the color "
+                         "depth mips themselves")
     sp.add_argument("--segmented-mips-variant", dest="segmentedMips",
                     nargs="*", default=[],
-                    help="segmented-image locations matched to each MIP "
-                         "(one output MIP per matched segmentation)")
+                    help="segmented-image locations (or the name of a "
+                         "--librariesVariants entry) matched to each MIP")
+    sp.add_argument("--segmented-image-handling", type=lambda s: int(s, 0),
+                    dest="segmentedImageHandling", default=0,
+                    help="0: segmented if found else the original; 0x1: "
+                         "original only when a segmentation exists; 0x2: "
+                         "segmented only; 0x4: original + segmentations")
     sp.add_argument("--segmentation-channel-base", type=int, default=1,
                     choices=[0, 1])
     sp.add_argument("--include-mips-without-publishing-name",
@@ -261,6 +319,15 @@ def configure_create_json_input_v2(sp):
     sp.add_argument("-od", "--outputDir", default=".")
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
+
+
+def _library_name_mapping(args) -> dict:
+    """--config-url display-name mapping (shared with exportData)."""
+    from colormipsearch_tpu.cli.commands_export import (
+        _load_library_name_mapping,
+    )
+
+    return _load_library_name_mapping(getattr(args, "configURL", None))
 
 
 def _first_library(args) -> str | None:
@@ -327,15 +394,43 @@ def _create_json_input_v2_jacs(args) -> int:
         return 1
     excluded_names = set(args.excluded_names or ())
     excluded_mips = set(args.excluded_mips or ())
-    seg_index = naming.index_segmented_images(args.segmentedMips) \
-        if args.segmentedMips else None
+    included_libs = set(args.included_libraries or ())
+    excluded_libs = set(args.excluded_libraries or ())
+    lib_names = _library_name_mapping(args)
+    # variant descriptors 'library:variantType:location[:suffix]'
+    # (MIPVariantArg); the segmentation variant's locations feed the
+    # segmented-image substitution
+    variants_by_lib: dict[tuple, list] = {}
+    for spec in args.librariesVariants:
+        parts = spec.split(":")
+        if len(parts) >= 3:
+            variants_by_lib.setdefault(
+                (parts[0], parts[1]), []).append(parts[2])
+    seg_locations = list(args.segmentedMips)
+    for (lib, vtype), locs in variants_by_lib.items():
+        if vtype in set(args.segmentedMips) or (
+                not args.segmentedMips
+                and vtype.lower() in ("segmentation", "searchable_neurons")):
+            seg_locations.extend(locs)
+    seg_locations = [loc for loc in seg_locations
+                     if loc and os.path.exists(str(loc))]
+    seg_index = naming.index_segmented_images(seg_locations) \
+        if seg_locations else None
+    handling = args.segmentedImageHandling
 
     out_mips: list = []
     seen = set()
     for library in libraries:
         for rec in client.color_depth_mips_with_samples(
-                library=library, alignment_space=args.alignment_space):
+                library=library, alignment_space=args.alignment_space,
+                datasets=args.datasets, releases=args.releases):
+            rec_libs = set(rec.get("libraries") or ())
+            if included_libs and not included_libs <= rec_libs:
+                continue
+            if excluded_libs and rec_libs & excluded_libs:
+                continue
             m = _jacs_mip_to_v2(rec, library, args)
+            m.libraryName = lib_names.get(m.libraryName, m.libraryName)
             if m.id in excluded_mips:
                 continue
             if not m.publishedName and not args.includeUnpublished:
@@ -350,9 +445,18 @@ def _create_json_input_v2_jacs(args) -> int:
                 seen.add(key)
             if seg_index is not None:
                 segmented = _matched_segmentations(m, seg_index, args)
-                if not segmented:
-                    continue  # only MIPs with a searchable segmentation
-                out_mips.extend(segmented)
+                # --segmented-image-handling bitmask
+                # (CreateColorDepthSearchJSONInputCmd.java:144-149)
+                if handling & 0x4:
+                    out_mips.append(m)
+                    out_mips.extend(segmented)
+                elif handling & 0x2:
+                    out_mips.extend(segmented)
+                elif handling & 0x1:
+                    if segmented:
+                        out_mips.append(m)
+                else:
+                    out_mips.extend(segmented if segmented else [m])
             else:
                 out_mips.append(m)
     lib_name = libraries[0]
@@ -438,10 +542,37 @@ def configure_group_mips(sp):
                     help="v2 MIP JSON list file(s) (local mode)")
     sp.add_argument("-l", "--library", "--libraries", nargs="*",
                     default=None, help="JACS libraries (online mode)")
-    sp.add_argument("--jacs-url", "--data-url", dest="jacsURL",
-                    default=None)
+    sp.add_argument("--jacs-url", "--data-url", "--jacsURL",
+                    dest="jacsURL", default=None)
     sp.add_argument("--authorization", default=None)
+    sp.add_argument("--config-url", dest="configURL", default=None,
+                    help="config service /cdm_library display-name map")
     sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("--datasets", nargs="*", default=[],
+                    help="JACS dataset filter")
+    sp.add_argument("--included-libraries", nargs="*", default=[],
+                    help="MIPs must also be in ALL these libraries")
+    sp.add_argument("--excluded-libraries", nargs="*", default=[],
+                    help="MIPs must not be in ANY of these libraries")
+    sp.add_argument("--include-mips-without-publishing-name",
+                    dest="includeUnpublished", action="store_true")
+    sp.add_argument("--keep-dups", dest="keepDups", action="store_true")
+    sp.add_argument("--skeletons-directory", "-emdir",
+                    dest="skeletonsOutput", default="by_body",
+                    help="EM grouped-output subdirectory name")
+    sp.add_argument("--lines-directory", "-lmdir",
+                    dest="linesOutput", default="by_line",
+                    help="LM grouped-output subdirectory name")
+    sp.add_argument("--librariesVariants", nargs="*", default=[],
+                    help="accepted for reference parity (variant files "
+                         "are resolved at search time here)")
+    sp.add_argument("--segmented-mips-variant", dest="segmentedMips",
+                    nargs="*", default=[],
+                    help="accepted for reference parity")
+    sp.add_argument("--segmentation-channel-base", type=int, default=1,
+                    choices=[0, 1], help="accepted for reference parity")
+    sp.add_argument("--segmented-image-handling", type=lambda s: int(s, 0),
+                    default=0, help="accepted for reference parity")
     sp.add_argument("--urls-relative-to", dest="urlsRelativeTo",
                     type=int, default=-1)
     sp.add_argument("--default-gender", default=None)
@@ -479,17 +610,37 @@ def cmd_group_mips(args) -> int:
         if not libraries:
             LOG.error("online mode requires -l/--libraries")
             return 1
+        included_libs = set(args.included_libraries or ())
+        excluded_libs = set(args.excluded_libraries or ())
+        lib_names = _library_name_mapping(args)
         for library in libraries:
             by_name: dict[str, list] = {}
+            seen = set()
             for rec in client.color_depth_mips_with_samples(
                     library=library,
-                    alignment_space=args.alignment_space):
-                m = _jacs_mip_to_v2(rec, library, args)
-                if not m.publishedName:
+                    alignment_space=args.alignment_space,
+                    datasets=args.datasets):
+                rec_libs = set(rec.get("libraries") or ())
+                if included_libs and not included_libs <= rec_libs:
                     continue
-                by_name.setdefault(m.publishedName, []).append(m)
-            sub = out_dir / ("by_body"
-                             if naming.is_em_library(library) else "by_line")
+                if excluded_libs and rec_libs & excluded_libs:
+                    continue
+                m = _jacs_mip_to_v2(rec, library, args)
+                m.libraryName = lib_names.get(m.libraryName,
+                                              m.libraryName)
+                if not m.publishedName and not args.includeUnpublished:
+                    continue
+                if not args.keepDups:
+                    key = (m.publishedName, m.slideCode, m.objective,
+                           m.channel, m.cdmPath)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                by_name.setdefault(m.publishedName or "UNKNOWN",
+                                   []).append(m)
+            sub = out_dir / (args.skeletonsOutput
+                             if naming.is_em_library(library)
+                             else args.linesOutput)
             write_groups(by_name, sub)
     else:
         if not args.input:
@@ -512,25 +663,51 @@ def cmd_group_mips(args) -> int:
 
 
 def configure_replace_attrs(sp):
-    sp.add_argument("--input", "-i", nargs="+", required=True,
+    sp.add_argument("--input", "-i", "--input-files", dest="input",
+                    nargs="*", default=[],
                     help="result/MIP JSON files to update")
-    sp.add_argument("--attributes-values", "-av", required=True,
-                    help="JSON file of {id: {attr: value}} replacements")
+    sp.add_argument("--input-dirs", nargs="*", default=[],
+                    help="directories of JSON files to update")
+    sp.add_argument("--attributes-values", "-av",
+                    "--new-mips-attributes", "-attrs",
+                    dest="attributes_values", required=True,
+                    help="JSON file of {id: {attr: value}} replacements "
+                         "or a MIP list with the new attribute values")
+    sp.add_argument("--id-field", default="id",
+                    help="indexing field, 'srcField[:docField]' "
+                         "(ReplaceMIPsMetadataAttributesCmd MappedFieldArg)")
+    sp.add_argument("--fields-toUpdate", dest="fieldsToUpdate",
+                    nargs="*", default=[],
+                    help="restrict updates to these fields, each "
+                         "'srcField[:docField]'; empty = all fields")
     sp.add_argument("-od", "--outputDir", required=True)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
 
 
+def _mapped_field(spec: str) -> tuple[str, str]:
+    """'src[:dst]' -> (src, dst) (cmd_v2/MappedFieldArg.java)."""
+    src, _, dst = spec.partition(":")
+    return src, dst or src
+
+
 def cmd_replace_attrs(args) -> int:
     """Replace metadata attributes by id
     (ReplaceMIPsMetadataAttributesCmd)."""
+    inputs = list(args.input)
+    for d in args.input_dirs:
+        inputs.extend(sorted(str(p) for p in Path(d).glob("*.json")))
+    if not inputs:
+        raise SystemExit("no inputs: use -i / --input-dirs")
     with open(args.attributes_values) as f:
         repl = json.load(f)
-    if isinstance(repl, list):  # tolerate a list of MIP metadata
-        repl = {m["id"]: m for m in repl if m.get("id")}
+    id_src, id_dst = _mapped_field(args.id_field)
+    if isinstance(repl, list):  # a MIP list with new attribute values
+        repl = {m[id_src]: m for m in repl if m.get(id_src)}
+    field_map = [_mapped_field(s) for s in args.fieldsToUpdate]
     out_dir = Path(args.outputDir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    for src in args.input:
+    for src in inputs:
         with open(src) as f:
             doc = json.load(f)
         n = 0
@@ -538,11 +715,14 @@ def cmd_replace_attrs(args) -> int:
         def patch(obj):
             nonlocal n
             if isinstance(obj, dict):
-                oid = obj.get("id") or obj.get("mipId")
+                oid = obj.get(id_dst) or obj.get("id") or obj.get("mipId")
                 if oid in repl:
-                    for k, v in repl[oid].items():
-                        if k != "id":
-                            obj[k] = v
+                    new = repl[oid]
+                    pairs = field_map or [(k, k) for k in new
+                                          if k != id_src]
+                    for f_src, f_dst in pairs:
+                        if f_src in new:
+                            obj[f_dst] = new[f_src]
                     n += 1
                 for v in obj.values():
                     patch(v)
@@ -558,7 +738,11 @@ def cmd_replace_attrs(args) -> int:
 
 
 def configure_merge_mips(sp):
-    sp.add_argument("-i", "--input", nargs="+", required=True)
+    sp.add_argument("-i", "--input", nargs="*", default=[])
+    sp.add_argument("-rf", "--resultsFile", nargs="*", default=[],
+                    help="MIP list files to merge (MergeMipsCmd -rf)")
+    sp.add_argument("-rd", "--resultsDir", nargs="*", default=[],
+                    help="directories of MIP list files to merge")
     sp.add_argument("--output-filename", required=True)
     sp.add_argument("-od", "--outputDir", default=".")
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
@@ -568,9 +752,14 @@ def configure_merge_mips(sp):
 def cmd_merge_mips(args) -> int:
     """Concatenate MIP lists, deduping by (id, imageName)
     (MergeMipsCmd)."""
+    sources = list(args.input) + list(args.resultsFile)
+    for d in args.resultsDir:
+        sources.extend(sorted(str(p) for p in Path(d).glob("*.json")))
+    if not sources:
+        raise SystemExit("no inputs: use -i / -rf / -rd")
     seen = set()
     merged = []
-    for src in args.input:
+    for src in sources:
         for m in v2_io.read_mips_json(src):
             key = (m.id, m.imageName)
             if key in seen:

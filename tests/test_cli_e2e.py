@@ -87,8 +87,10 @@ def test_search_local_files(tmp_path, fixture_library):
             "--maskThreshold", 20, "--dataThreshold", 20,
             "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask",
             "-od", out)
-    files = sorted(out.glob("*.json"))
+    files = [f for f in sorted(out.glob("*.json"))
+             if not f.name.endswith("cdsparams.json")]
     assert len(files) == 1
+    assert list(out.glob("*cdsparams.json")), "v2 params record saved"
     doc = json.loads(files[0].read_text())
     # self-match + cross-match rows, sorted by score desc
     pix = [r["matchingPixels"] for r in doc["results"]]

@@ -106,16 +106,30 @@ def test_v2_create_json_input_from_jacs(tmp_path, jacs_dump):
     # /store/cdm/img0.png relativized from component 1
     assert m0.imageURL == "cdm/img0.png"
 
-    # segmented variant substitution keeps only matchable MIPs
+    # handling 0x2: segmented-only — unmatched MIPs are dropped
     out2 = tmp_path / "v2seg"
     run_cli("createColorDepthSearchJSONInput",
             "--jacs-url", f"file://{jacs_dump}",
             "-l", "FlyLight Gen1 MCFO",
             "--segmented-mips-variant", seg,
+            "--segmented-image-handling", "0x2",
             "--output-filename", "seg.json", "-od", out2)
     seg_mips = v2_io.read_mips_json(out2 / "seg.json")
     assert {m.publishedName for m in seg_mips} == {"R00A01", "R01A01"}
     assert all(m.imageName and "_CDM.png" in m.imageName for m in seg_mips)
+
+    # default handling 0: segmented if found, else the original MIP
+    out3 = tmp_path / "v2seg0"
+    run_cli("createColorDepthSearchJSONInput",
+            "--jacs-url", f"file://{jacs_dump}",
+            "-l", "FlyLight Gen1 MCFO",
+            "--segmented-mips-variant", seg,
+            "--output-filename", "seg.json", "-od", out3)
+    seg0 = v2_io.read_mips_json(out3 / "seg.json")
+    assert {m.publishedName for m in seg0} == \
+        {"R00A01", "R01A01", "R02A01"}
+    orig = next(m for m in seg0 if m.publishedName == "R02A01")
+    assert "_CDM.png" not in (orig.imageName or "")
 
     # append mode merges without duplicating ids
     run_cli("createColorDepthSearchJSONInput",

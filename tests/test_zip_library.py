@@ -26,7 +26,8 @@ def test_search_zip_archives(tmp_path):
             "--maskThreshold", 20, "--dataThreshold", 20,
             "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask",
             "-od", out)
-    [f] = sorted(out.glob("*.json"))
+    [f] = [p for p in sorted(out.glob("*.json"))
+           if not p.name.endswith("cdsparams.json")]
     doc = json.loads(f.read_text())
     pix = sorted(r["matchingPixels"] for r in doc["results"])
     assert pix == [87, 1897]
