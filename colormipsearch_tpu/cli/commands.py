@@ -904,7 +904,9 @@ def _release_copy(r: "v2_io.V2Match") -> "v2_io.V2Match":
         side.imageType = None
         side.imageName = None
         side.imageArchivePath = None
-        side.sampleRef = None
+    # only the target-side sampleRef is reset; sourceSampleRef survives
+    # (ColorMIPSearchMatchMetadata.createReleaseCopy:24-40)
+    r.target.sampleRef = None
     return r
 
 
@@ -914,12 +916,15 @@ def cmd_merge_results(args) -> int:
     if not args.resultsDir and not args.resultsFile:
         raise SystemExit("either --resultsDir or --resultsFile required")
     by_name: dict[str, list[Path]] = {}
-    for d in args.resultsDir:
-        for f in sorted(Path(d).glob("*.json")):
-            by_name.setdefault(f.name, []).append(f)
-    for f in args.resultsFile:
-        p = Path(f)
-        by_name.setdefault(p.name, []).append(p)
+    if args.resultsFile:
+        # -rf takes precedence over -rd (MergeResultsCmd:106-110)
+        for f in args.resultsFile:
+            p = Path(f)
+            by_name.setdefault(p.name, []).append(p)
+    else:
+        for d in args.resultsDir:
+            for f in sorted(Path(d).glob("*.json")):
+                by_name.setdefault(f.name, []).append(f)
     excluded = set(args.excluded_names or ())
     per_mask, _ = _out_dirs(args)
     if per_mask is None:
@@ -932,8 +937,9 @@ def cmd_merge_results(args) -> int:
             if header is None:
                 header = g
             for r in g.results:
-                if r.matchingRatio * 100 <= args.pctPositivePixels \
-                        and args.pctPositivePixels > 0:
+                # unconditional ratio gate (MergeResultsCmd:144):
+                # matchingRatio 0 rows drop even at the 0.0 default
+                if not r.matchingRatio * 100 > args.pctPositivePixels:
                     continue
                 if excluded and (r.source.publishedName in excluded
                                  or r.target.publishedName in excluded):
@@ -942,7 +948,10 @@ def cmd_merge_results(args) -> int:
                     r = _release_copy(r)
                 key = (r.source.id, r.target.id)
                 cur = merged.get(key)
-                if cur is None or r.matchingPixels > cur.matchingPixels:
+                # duplicates resolve by normalized score (gap score when
+                # present), MergeResultsCmd's selectTopRankedElements
+                if cur is None or r.normalized_score > \
+                        cur.normalized_score:
                     merged[key] = r
         if header is None:
             continue

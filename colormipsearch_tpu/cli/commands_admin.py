@@ -307,10 +307,15 @@ def cmd_convert_ppp(args) -> int:
     (ConvertPPPResultsCmd)."""
     em_library = args.em_library or "flyem_{}_{}".format(
         args.em_dataset, args.em_dataset_version.replace(".", "_"))
-    files = ppp_io.find_ppp_result_files(
-        args.results_dir, prefix=args.matches_prefix,
-        sub_dir=args.neuron_matches_sub_dir)
-    files.extend(Path(f) for f in args.results_file)
+    if not args.results_dir and not args.results_file:
+        raise SystemExit("no inputs: use -rd / -rf")
+    if args.results_file:
+        # -rf takes precedence over -rd (ConvertPPPResultsCmd:166)
+        files = [Path(f) for f in args.results_file]
+    else:
+        files = ppp_io.find_ppp_result_files(
+            args.results_dir, prefix=args.matches_prefix,
+            sub_dir=args.neuron_matches_sub_dir)
     out_dir = Path(args.outputDir)
     out_dir.mkdir(parents=True, exist_ok=True)
     n = 0
@@ -390,12 +395,15 @@ _PPP_INTERNAL_FIELDS = ("sampleName", "sourceImageFiles",
 
 def cmd_copy_ppp(args) -> int:
     """Copy/trim PPP match files (CopyPPPMatchesCmd)."""
-    files = []
-    if args.inputDir:
-        files.extend(sorted(Path(args.inputDir).glob("*.json")))
-    for d in args.resultsDir:
-        files.extend(sorted(Path(d).glob("*.json")))
-    files.extend(Path(f) for f in args.resultsFile)
+    # -rf takes precedence over directory scans (CopyPPPMatchesCmd)
+    if args.resultsFile:
+        files = [Path(f) for f in args.resultsFile]
+    else:
+        files = []
+        if args.inputDir:
+            files.extend(sorted(Path(args.inputDir).glob("*.json")))
+        for d in args.resultsDir:
+            files.extend(sorted(Path(d).glob("*.json")))
     if not files:
         raise SystemExit("no inputs: use -i / -rd / -rf")
     out = Path(args.outputDir)

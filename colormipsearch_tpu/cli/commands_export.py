@@ -329,17 +329,23 @@ def _read_db_matches(args):
     LOG.info("read %d matches for %d masks from the DB store",
              len(out), len(mip_ids))
     # uploaded-file URLs live in the publishedURL collection keyed by
-    # neuron internal id (model/NeuronPublishedURLs.java storeName,
-    # CachedDataHelper.retrievePublishedURLs)
-    for doc in daos.store.collection("publishedURL").find({}):
-        try:
-            key = int(doc["_id"])
-        except (KeyError, TypeError, ValueError):
-            continue
-        args._published_urls_by_id[key] = doc.get("uploaded") or {}
+    # neuron internal id; only the ids present in the exported matches
+    # are fetched (CachedDataHelper.retrievePublishedURLs queries per
+    # neuron batch, not the whole collection)
+    needed = sorted({n.entity_id for m in out
+                     for n in (m.mask_image, m.matched_image)
+                     if n is not None and n.entity_id is not None})
+    coll = daos.store.collection("publishedURL")
+    for i in range(0, len(needed), 500):
+        for doc in coll.find({"_id": {"$in": needed[i:i + 500]}}):
+            try:
+                key = int(doc["_id"])
+            except (KeyError, TypeError, ValueError):
+                continue
+            args._published_urls_by_id[key] = doc.get("uploaded") or {}
     if args._published_urls_by_id:
-        LOG.info("loaded published URLs for %d neurons",
-                 len(args._published_urls_by_id))
+        LOG.info("loaded published URLs for %d of %d exported neurons",
+                 len(args._published_urls_by_id), len(needed))
     return out
 
 
@@ -371,18 +377,22 @@ def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
         return True
 
     ex_match_tags = set(args.excluded_matches_tags or ())
+    n_tags = set(args.neuron_tags or ())
+    n_ex_tags = set(args.excluded_neuron_tags or ())
+    n_terms = set(args.neuron_terms or ())
+    n_ex_terms = set(args.excluded_neuron_terms or ())
+    t_tags = set(args.target_tags or ())
+    t_ex_tags = set(args.excluded_target_tags or ())
+    t_terms = set(args.target_terms or ())
+    t_ex_terms = set(args.excluded_target_terms or ())
+    t_libs = set(args.target_library or ())
     matches_in = [
         m for m in matches_in
         if not (ex_match_tags and set(m.tags or ()) & ex_match_tags)
-        and neuron_ok(m.mask_image, set(args.neuron_tags or ()),
-                      set(args.excluded_neuron_tags or ()),
-                      set(args.neuron_terms or ()),
-                      set(args.excluded_neuron_terms or ()))
-        and neuron_ok(m.matched_image, set(args.target_tags or ()),
-                      set(args.excluded_target_tags or ()),
-                      set(args.target_terms or ()),
-                      set(args.excluded_target_terms or ()),
-                      libs=set(args.target_library or ()))
+        and neuron_ok(m.mask_image, n_tags, n_ex_tags, n_terms,
+                      n_ex_terms)
+        and neuron_ok(m.matched_image, t_tags, t_ex_tags, t_terms,
+                      t_ex_terms, libs=t_libs)
     ]
     if args.exported_mips:
         wanted = set(args.exported_mips)
@@ -596,10 +606,13 @@ def cmd_import_ppp(args) -> int:
     (rank < 500) from the sibling screenshots dir, and writes grouped
     JSON or DB rows."""
     gen = TimebasedIdGenerator()
-    files = ppp_io.find_ppp_result_files(
-        args.results_dir, prefix=args.matches_prefix,
-        sub_dir=args.neuron_matches_sub_dir)
-    files.extend(Path(f) for f in (args.results_file or ()))
+    if args.results_file:
+        # -rf takes precedence over -rd (ImportPPPResultsCmd:157-162)
+        files = [Path(f) for f in args.results_file]
+    else:
+        files = ppp_io.find_ppp_result_files(
+            args.results_dir, prefix=args.matches_prefix,
+            sub_dir=args.neuron_matches_sub_dir)
     out_dir = Path(args.outputDir) if args.outputDir else None
     if out_dir is not None:
         out_dir.mkdir(parents=True, exist_ok=True)

@@ -29,9 +29,11 @@ LOG = logging.getLogger(__name__)
 
 
 def _result_files(args) -> list[str]:
-    files: list[str] = []
+    # -rf takes precedence over -rd, as in every reference command that
+    # declares both (e.g. UpdateGradientScoresFromReverse...Cmd:166)
     if getattr(args, "resultsFile", None):
-        files.extend(args.resultsFile)
+        return list(args.resultsFile)
+    files: list[str] = []
     if getattr(args, "resultsDir", None):
         arg = ListArg.parse(args.resultsDir)
         listed = sorted(str(p) for p in Path(arg.location).glob("*.json"))
@@ -47,10 +49,10 @@ def _extract_publishing_name(image_name: str | None) -> str:
     return base.split("_")[0].split("-")[0]
 
 
-def select_for_grad_score(rows, top_lines, top_samples, top_matches):
-    """pickBestPublishedNameAndSampleMatches (:141-165) over v2 rows."""
-    for r in rows:
-        r.gradientAreaGap = -1
+def _select_best_v2_rows(rows, top_lines, top_samples, top_matches):
+    """Top lines (published name) -> top samples (slide code) per line
+    -> top matches per sample, ranked by matching pixels
+    (ColorMIPProcessUtils.selectBestMatches over v2 rows)."""
     top = select_top_ranked(
         rows,
         lambda r: (r.target.publishedName
@@ -66,6 +68,14 @@ def select_for_grad_score(rows, top_lines, top_samples, top_matches):
                 top_samples, top_matches):
             out.extend(sub.entry)
     return out
+
+
+def select_for_grad_score(rows, top_lines, top_samples, top_matches):
+    """pickBestPublishedNameAndSampleMatches (:141-165) over v2 rows."""
+    for r in rows:
+        r.gradientAreaGap = -1
+    return _select_best_v2_rows(rows, top_lines, top_samples,
+                                top_matches)
 
 
 # -------------------------------------------------------------------------
@@ -172,7 +182,8 @@ def configure_reverse_transfer(sp):
                     default=10, help="accepted for reference parity")
     sp.add_argument("--topPublishedNameMatches", type=int, default=0,
                     help="only transfer scores for the top N lines per "
-                         "mask (by matching pixels)")
+                         "mask (by matching pixels); all rows are still "
+                         "written")
     sp.add_argument("--topPublishedSampleMatches", type=int, default=0,
                     help="top M samples per line")
     sp.add_argument("--topMatchesPerSample", type=int, default=0,
@@ -180,24 +191,6 @@ def configure_reverse_transfer(sp):
     sp.add_argument("-od", "--outputDir", required=True)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
-
-
-def _select_best_v2_rows(rows, top_lines, top_samples, top_per_sample):
-    """v2-row analogue of ColorMIPProcessUtils.selectBestMatches: top
-    lines by published name -> top samples (slide code) per line -> top
-    matches per sample, ranked by matching pixels."""
-    from colormipsearch_tpu.results.grouping import select_top_ranked
-
-    selected = []
-    for line in select_top_ranked(
-            rows, lambda r: r.target.publishedName or "",
-            lambda r: r.matchingPixels, top_lines, -1):
-        for sample in select_top_ranked(
-                line.entry,
-                lambda r: r.target.slideCode or r.target.sampleRef or "",
-                lambda r: r.matchingPixels, top_samples, top_per_sample):
-            selected.extend(sample.entry)
-    return selected
 
 
 def cmd_reverse_transfer(args) -> int:
@@ -226,15 +219,22 @@ def cmd_reverse_transfer(args) -> int:
     out_dir = Path(args.outputDir)
     for f in _result_files(args):
         g = v2_io.read_cds_matches(f)
+        # the top* flags limit which rows GET a score transfer; every
+        # row is still written (the reference declares these args but
+        # updates and writes all rows — data must never be dropped here)
         if args.topPublishedNameMatches > 0 or \
                 args.topPublishedSampleMatches > 0 or \
                 args.topMatchesPerSample > 0:
-            g.results = _select_best_v2_rows(
+            eligible = set(map(id, _select_best_v2_rows(
                 g.results, args.topPublishedNameMatches,
                 args.topPublishedSampleMatches,
-                args.topMatchesPerSample)
+                args.topMatchesPerSample)))
+        else:
+            eligible = None
         n_updates = 0
         for r in g.results:
+            if eligible is not None and id(r) not in eligible:
+                continue
             candidates = reverse_rows(r.target.id or "").get(
                 r.source.id or "")
             if not candidates:
@@ -752,9 +752,15 @@ def configure_merge_mips(sp):
 def cmd_merge_mips(args) -> int:
     """Concatenate MIP lists, deduping by (id, imageName)
     (MergeMipsCmd)."""
-    sources = list(args.input) + list(args.resultsFile)
-    for d in args.resultsDir:
-        sources.extend(sorted(str(p) for p in Path(d).glob("*.json")))
+    # -rf takes precedence over -rd (MergeMipsCmd:81-84); -i merges in
+    # as explicit files for backward compatibility
+    sources = list(args.input)
+    if args.resultsFile:
+        sources.extend(args.resultsFile)
+    else:
+        for d in args.resultsDir:
+            sources.extend(sorted(str(p)
+                                  for p in Path(d).glob("*.json")))
     if not sources:
         raise SystemExit("no inputs: use -i / -rf / -rd")
     seen = set()

@@ -71,11 +71,20 @@ class JacsClient:
                       "length": self.page_size}
             if alignment_space:
                 params["alignmentSpace"] = alignment_space
+            filtered = False
             for key, vals in (("dataset", datasets), ("release", releases),
                               ("id", mips)):
                 vals = [v for v in (vals or ()) if v]
                 if vals:
                     params[key] = ",".join(vals)
+                    filtered = filtered or key != "id"
+            if filtered and offset == 0 \
+                    and self.base_url.startswith("file://"):
+                # the page-dump transport cannot filter server-side; id
+                # filters are re-applied client-side but dataset/release
+                # membership is not part of the MIP records
+                LOG.warning("dataset/release filters are IGNORED by the "
+                            "file:// page-dump transport")
             page = self._get("/data/colorDepthMIPsWithSamples", params)
             if not page:
                 return
