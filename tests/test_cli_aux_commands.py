@@ -602,3 +602,88 @@ def test_ppp_results_scan_prefix_and_subdir(tmp_path):
     assert hits == [good]
     hits = ppp.find_ppp_result_files([tmp_path], prefix="other_scores_")
     assert [h.name for h in hits] == ["other_scores_n1.json"]
+
+
+def test_merge_results_semantics(tmp_path):
+    """mergeResults parity: unconditional ratio gate (ratio 0 rows drop
+    even at the 0.0 default), duplicate resolution by normalized score,
+    -cleanup strips internal image paths but keeps sourceSampleRef, and
+    -rf takes precedence over -rd (MergeResultsCmd.java:106-160)."""
+    from colormipsearch_tpu.dataio import v2_io
+
+    def mip(i, **kw):
+        return v2_io.MIPMetadata(id=i, publishedName=f"P{i}",
+                                 imageName=f"x/{i}.tif", **kw)
+
+    src = mip("M", sampleRef="Sample#1")
+    a = v2_io.CDSMatches(maskId="M", results=[
+        # duplicate pair: lower pixels but higher gap score must win
+        v2_io.V2Match(source=src, target=mip("T1", sampleRef="Sample#2"),
+                      matchingPixels=100, matchingRatio=0.05,
+                      gradientAreaGap=5, normalizedGapScore=500.0),
+        v2_io.V2Match(source=src, target=mip("T2"),
+                      matchingPixels=10, matchingRatio=0.0),  # ratio gate
+    ])
+    b = v2_io.CDSMatches(maskId="M", results=[
+        v2_io.V2Match(source=src, target=mip("T1", sampleRef="Sample#2"),
+                      matchingPixels=90, matchingRatio=0.04,
+                      gradientAreaGap=3, normalizedGapScore=800.0),
+    ])
+    da, db = tmp_path / "a", tmp_path / "b"
+    v2_io.write_cds_matches(a, da / "M.json")
+    v2_io.write_cds_matches(b, db / "M.json")
+
+    out = tmp_path / "merged"
+    run_cli("mergeResults", "-rd", da, db, "-od", out, "-cleanup")
+    doc = json.loads((out / "M.json").read_text())
+    [r] = doc["results"]                     # ratio-0 row dropped
+    assert r["normalizedGapScore"] == pytest.approx(800.0)  # score wins
+    # cleanup: image paths gone on both sides, sourceSampleRef kept
+    assert "imageName" not in r and "sourceImageName" not in r
+    assert r.get("sourceSampleRef") == "Sample#1"
+    assert "sampleRef" not in r
+
+    # -rf precedence: only the explicit file is merged
+    out2 = tmp_path / "merged2"
+    run_cli("mergeResults", "-rd", da, "-rf", db / "M.json", "-od", out2)
+    doc2 = json.loads((out2 / "M.json").read_text())
+    assert [x["matchingPixels"] for x in doc2["results"]] == [90]
+
+
+def test_reverse_transfer_top_flags_keep_all_rows(tmp_path):
+    """The top* selection flags limit which rows get scores transferred
+    but never drop rows from the output."""
+    from colormipsearch_tpu.dataio import v2_io
+
+    def mip(i, name, sc=None):
+        return v2_io.MIPMetadata(id=i, publishedName=name, slideCode=sc,
+                                 imageName=f"x/{i}.tif")
+
+    src = mip("LM1", "lineA")
+    fwd = v2_io.CDSMatches(maskId="LM1", results=[
+        v2_io.V2Match(source=src, target=mip("EM1", "111"),
+                      matchingPixels=100, matchingRatio=0.05),
+        v2_io.V2Match(source=src, target=mip("EM2", "222"),
+                      matchingPixels=50, matchingRatio=0.03),
+    ])
+    v2_io.write_cds_matches(fwd, tmp_path / "fwd" / "LM1.json")
+    for em_id, em_name, gap, score in (("EM1", "111", 2438, 998.35),
+                                       ("EM2", "222", 999, 500.0)):
+        rev = v2_io.CDSMatches(maskId=em_id, results=[
+            v2_io.V2Match(source=mip(em_id, em_name), target=src,
+                          matchingPixels=100, matchingRatio=0.05,
+                          gradientAreaGap=gap,
+                          normalizedGapScore=score)])
+        v2_io.write_cds_matches(rev, tmp_path / "rev" / f"{em_id}.json")
+
+    out = tmp_path / "updated"
+    run_cli("gradientScoresFromMatchedResults",
+            "-rf", tmp_path / "fwd" / "LM1.json",
+            "-revd", tmp_path / "rev", "-od", out,
+            "--topPublishedNameMatches", "1")
+    doc = json.loads((out / "LM1.json").read_text())
+    assert len(doc["results"]) == 2          # nothing dropped
+    by_id = {r["id"]: r for r in doc["results"]}
+    assert by_id["EM1"]["gradientAreaGap"] == 2438   # top line updated
+    assert "gradientAreaGap" not in by_id["EM2"] or \
+        by_id["EM2"].get("gradientAreaGap") in (None, -1)
