@@ -98,6 +98,38 @@ def pack_target_planes(rgb_stack: jax.Array,
     return packed.reshape(t, -1).T
 
 
+@functools.partial(jax.jit, static_argnames=("data_threshold",))
+def pack_target_planes_split(rgb_stack: jax.Array,
+                             data_threshold: int):
+    """uint8 [T, H, W, 3] -> (uint16 [P, T] (p<<8)|s, uint8 [P, T] cls).
+
+    Split-plane layout for the pixel kernel: 3 gathered bytes/pixel
+    instead of 4.  The data threshold is ALWAYS folded here (a dead
+    pixel zeroes both planes; class 0 neither matches nor flags), so
+    consumers score with target_threshold=-1.  Exists for the
+    byte-vs-row gather bandwidth experiment (docs/DESIGN.md §6) and the
+    split kernel path (pixel_match.score_query_batch_split).
+    """
+    t = rgb_stack.shape[0]
+    cls, s, p, maxch = classify(rgb_stack)
+    live = maxch > data_threshold
+    sp = jnp.where(live, (p << 8) | s, 0).astype(jnp.uint16)
+    c8 = jnp.where(live, cls, 0).astype(jnp.uint8)
+    return sp.reshape(t, -1).T, c8.reshape(t, -1).T
+
+
+def split_planes_from_packed(planes: jax.Array):
+    """uint32 [P, T] packed planes -> the split-plane pair.
+
+    The packed word already has the threshold folded when built with
+    pack_target_planes(data_threshold=...); this just re-slices bits.
+    """
+    v = planes.astype(jnp.uint32)
+    sp = ((v >> 8) & 0xFFFF).astype(jnp.uint16)   # (p<<8)|s
+    c8 = ((v >> 24) & 0x7).astype(jnp.uint8)
+    return sp, c8
+
+
 def ztol_fraction(pix_color_fluctuation) -> tuple[int, int]:
     """Exact rational z-tolerance a/b from the CLI fluctuation value.
 

@@ -501,6 +501,71 @@ def score_query_batch(t_planes: jax.Array, pos: jax.Array, q_cls: jax.Array,
     return jax.lax.map(one, (pos, q_cls, q_s, q_p))
 
 
+def score_query_against_split_planes_raw(t_sp: jax.Array, t_cls8: jax.Array,
+                                         pos: jax.Array, q_cls: jax.Array,
+                                         q_s: jax.Array, q_p: jax.Array, *,
+                                         ztol_num: int, ztol_den: int):
+    """Split-plane variant of score_query_against_planes_raw.
+
+    Gathers 3 bytes/pixel (uint16 (p<<8)|s + uint8 cls) instead of the
+    4-byte packed word.  The data threshold must be folded into the
+    planes (common.pack_target_planes_split), so there is no t_max test.
+    Bit-identical scores to the packed path by construction (same
+    predicate on the same summaries).
+    """
+    rules = query_side_rules(q_cls, q_s, q_p, ztol_num=ztol_num,
+                             ztol_den=ztol_den)
+    same_cls, bq_s, bq_p, a_qp, tc, bound, upper = rules
+    rules_b = (same_cls[:, None], bq_s[:, None], bq_p[:, None],
+               a_qp[:, None], tc[:, :, None], bound[:, :, None],
+               upper[:, :, None])
+
+    def per_variant(_, pos_v):
+        idx = jnp.maximum(pos_v, 0)
+        g_sp = jnp.take(t_sp, idx, axis=0).astype(jnp.int32)    # [Q,T]
+        t_cls = jnp.take(t_cls8, idx, axis=0).astype(jnp.int32)
+        t_p = g_sp >> 8
+        t_s = g_sp & 0xFF
+        match, flag = predicate_from_rules(
+            rules_b, q_s[:, None], q_p[:, None],
+            t_cls, t_s, t_p, jnp.int32(0),
+            target_threshold=-1,
+            ztol_num=ztol_num, ztol_den=ztol_den)
+        ok = (pos_v >= 0)[:, None]
+        match &= ok
+        flag &= ok
+        return None, (match.sum(axis=0, dtype=jnp.int32),
+                      flag.sum(axis=0, dtype=jnp.int32))
+
+    n_variants = pos.shape[0]
+    if n_variants <= 32:
+        outs = [per_variant(None, pos[v])[1] for v in range(n_variants)]
+        return (jnp.stack([o[0] for o in outs]),
+                jnp.stack([o[1] for o in outs]))
+    _, (scores, flags) = jax.lax.scan(per_variant, None, pos)
+    return scores, flags
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ztol_num", "ztol_den", "n_straight"))
+def score_query_batch_split(t_sp: jax.Array, t_cls8: jax.Array,
+                            pos: jax.Array, q_cls: jax.Array,
+                            q_s: jax.Array, q_p: jax.Array, *,
+                            ztol_num: int, ztol_den: int,
+                            n_straight: int):
+    """Batched split-plane scoring (see score_query_batch)."""
+
+    def one(args):
+        pos_b, cls_b, s_b, p_b = args
+        scores, flags = score_query_against_split_planes_raw(
+            t_sp, t_cls8, pos_b, cls_b, s_b, p_b,
+            ztol_num=ztol_num, ztol_den=ztol_den)
+        return reduce_variants_device(scores, flags, n_straight)
+
+    return jax.lax.map(one, (pos, q_cls, q_s, q_p))
+
+
 def reduce_variants_device(scores: jax.Array, flags: jax.Array,
                            n_straight: int):
     """Device-side variant reduction: (best, mirrored, pair_flags).

@@ -136,12 +136,21 @@ def main():
                     help="aim for this many pairs per timing run")
     ap.add_argument("--gather-only", action="store_true")
     ap.add_argument("--strip-experiment", action="store_true")
+    ap.add_argument("--split", action="store_true",
+                    help="A/B the 3-byte split-plane kernel against the "
+                         "packed-u32 kernel at the widest width")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     if args.strip_experiment:
         # u32 planes + the >>16 temp + u16 copy must coexist in HBM
         strip_gather_experiment(t_width=1024)
+        return 0
+    if args.split:
+        split_kernel_experiment(
+            t_width=int(args.widths.split(",")[-1]),
+            b=int(args.batches.split(",")[0]),
+            repeats_pairs=args.repeats_pairs)
         return 0
 
     plan, target_rgb = build_plan()
@@ -211,6 +220,53 @@ def main():
 
 
 
+def split_kernel_experiment(t_width=4096, b=8, repeats_pairs=4e6):
+    """A/B: packed-u32 kernel vs the 3-byte split-plane kernel
+    (u16 (p<<8)|s + u8 cls), both with the data threshold folded into
+    the pack (the engine's production configuration)."""
+    import jax
+    import jax.numpy as jnp
+    from colormipsearch_tpu.ops import common as ops_common
+    from colormipsearch_tpu.ops import pixel_match
+
+    plan, target_rgb = build_plan()
+    v, q = plan.positions.shape
+    planes = build_planes(target_rgb, t_width)
+    # re-fold the threshold and derive the split pair on device
+    folded = jnp.where(
+        (planes & 0xFF) > 20, planes, 0).astype(jnp.uint32)
+    t_sp, t_c8 = ops_common.split_planes_from_packed(folded)
+    t_sp, t_c8 = jax.block_until_ready((t_sp, t_c8))
+
+    pos = jax.device_put(np.stack([plan.positions] * b))
+    q_cls = jax.device_put(np.stack([plan.q_cls] * b))
+    q_s = jax.device_put(np.stack([plan.q_s] * b))
+    q_p = jax.device_put(np.stack([plan.q_p] * b))
+    repeats = max(2, int(repeats_pairs / (b * t_width)))
+
+    def packed_once():
+        return pixel_match.score_query_batch(
+            folded, pos, q_cls, q_s, q_p, target_threshold=-1,
+            ztol_num=plan.ztol_num, ztol_den=plan.ztol_den,
+            n_straight=plan.n_straight)
+
+    def split_once():
+        return pixel_match.score_query_batch_split(
+            t_sp, t_c8, pos, q_cls, q_s, q_p,
+            ztol_num=plan.ztol_num, ztol_den=plan.ztol_den,
+            n_straight=plan.n_straight)
+
+    for name, fn, bytes_px in (("packed_u32", packed_once, 4),
+                               ("split_u16u8", split_once, 3)):
+        dt = time_step(fn, repeats)
+        print(json.dumps({
+            "kind": name, "t_width": t_width, "mask_batch": b,
+            "pairs_per_s": round(repeats * b * t_width / dt),
+            "gather_gb_per_s": round(
+                repeats * b * v * q * t_width * bytes_px / dt / 1e9, 1),
+            "repeats": repeats, "secs": round(dt, 2)}), flush=True)
+
+
 def strip_gather_experiment(t_width=2048, q=2048, repeats=300):
     """Gather microbenchmarks: plain uint32 row gathers vs uint16 rows
     (half the bytes — tells whether the gather is byte- or row-bound).
@@ -226,6 +282,7 @@ def strip_gather_experiment(t_width=2048, q=2048, repeats=300):
     plan, target_rgb = build_plan()
     planes = build_planes(target_rgb, t_width)
     planes16 = (planes >> 16).astype(jnp.uint16)
+    planes8 = (planes >> 24).astype(jnp.uint8)
     p_rows = planes.shape[0]
     rng = np.random.default_rng(0)
     pos = jnp.asarray(
@@ -244,7 +301,8 @@ def strip_gather_experiment(t_width=2048, q=2048, repeats=300):
         return f
 
     for name, pl, bytes_px in (("rows9_u32", planes, 4),
-                               ("rows9_u16", planes16, 2)):
+                               ("rows9_u16", planes16, 2),
+                               ("rows9_u8", planes8, 1)):
         fn = make(pl)
         np.asarray(fn(pos))
         t0 = time.perf_counter()

@@ -138,3 +138,45 @@ def test_threshold_folded_pack_equals_runtime_threshold():
         ztol_num=plan.ztol_num, ztol_den=plan.ztol_den)
     assert (np.asarray(s0) == np.asarray(s1)).all()
     assert (np.asarray(f0) == np.asarray(f1)).all()
+
+
+def test_split_planes_bit_equal():
+    """The 3-byte split-plane kernel (u16 (p<<8)|s + u8 cls) must produce
+    bit-identical scores and flags to the packed-u32 threshold-folded
+    path, for both the repacked and the direct-from-RGB packers."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    h, w, t = 24, 32, 7
+    targets = np.zeros((t, h, w, 3), np.uint8)
+    for img in targets:
+        n = 250
+        img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+            rng.integers(0, 256, (n, 3))
+    query = np.zeros((h, w, 3), np.uint8)
+    query[rng.integers(0, h, 250), rng.integers(0, w, 250)] = \
+        rng.integers(0, 256, (250, 3))
+
+    plan = pixel_match.build_query_plan(
+        query, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0)
+    tj = jnp.asarray(targets)
+    folded = common.pack_target_planes(tj, data_threshold=20)
+    sp_a, c8_a = common.pack_target_planes_split(tj, data_threshold=20)
+    sp_b, c8_b = common.split_planes_from_packed(folded)
+    assert (np.asarray(sp_a) == np.asarray(sp_b)).all()
+    assert (np.asarray(c8_a) == np.asarray(c8_b)).all()
+
+    args = (jnp.asarray(plan.positions)[None], jnp.asarray(plan.q_cls)[None],
+            jnp.asarray(plan.q_s)[None], jnp.asarray(plan.q_p)[None])
+    best0, mir0, fl0 = pixel_match.score_query_batch(
+        folded, *args, target_threshold=-1,
+        ztol_num=plan.ztol_num, ztol_den=plan.ztol_den,
+        n_straight=plan.n_straight)
+    best1, mir1, fl1 = pixel_match.score_query_batch_split(
+        sp_a, c8_a, *args,
+        ztol_num=plan.ztol_num, ztol_den=plan.ztol_den,
+        n_straight=plan.n_straight)
+    assert (np.asarray(best0) == np.asarray(best1)).all()
+    assert (np.asarray(mir0) == np.asarray(mir1)).all()
+    assert (np.asarray(fl0) == np.asarray(fl1)).all()
+    assert int(np.asarray(best0).max()) > 0
