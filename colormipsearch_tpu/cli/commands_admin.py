@@ -43,6 +43,17 @@ LOG = logging.getLogger(__name__)
 def configure_legacy_import(sp):
     sp.add_argument("--resultsDir", "-rd", nargs="*", default=[])
     sp.add_argument("--resultsFile", "-rf", nargs="*", default=[])
+    sp.add_argument("--results", "-r", nargs="*", default=[],
+                    help="v2 result files or dirs, location[:off[:len]] "
+                         "(ImportV2CDMatchesCmd --results)")
+    sp.add_argument("--imported-neuron-tag", default="Created by import",
+                    help="tag stamped on neurons this import creates")
+    sp.add_argument("--suspicious-match-tag", default="Suspicious match",
+                    help="tag for matches whose neurons had to be "
+                         "created (no valid store reference)")
+    sp.add_argument("--processingPartitionSize", "-ps",
+                    "--libraryPartitionSize", type=int, default=100,
+                    help="accepted for reference parity")
     sp.add_argument("--mask-library", default=None)
     sp.add_argument("--target-library", default=None)
     sp.add_argument("--alignment-space", "-as", default=None)
@@ -84,9 +95,19 @@ def _v2_mip_to_neuron(mip: v2_io.MIPMetadata, library_override=None,
 
 
 def cmd_legacy_import(args) -> int:
+    from colormipsearch_tpu.io.mips import ListArg
+
     files = list(args.resultsFile or [])
     for d in args.resultsDir or []:
         files.extend(sorted(str(p) for p in Path(d).glob("*.json")))
+    for spec in args.results or []:
+        arg = ListArg.parse(str(spec))
+        p = Path(arg.location)
+        if p.is_dir():
+            files.extend(arg.apply(
+                sorted(str(q) for q in p.glob("*.json"))))
+        else:
+            files.append(str(p))
     matches: list[CDMatch] = []
     neurons: dict[str, object] = {}
 
@@ -119,11 +140,27 @@ def cmd_legacy_import(args) -> int:
 
     if args.resultsStorage == "DB":
         from colormipsearch_tpu.persist import Config, DaosProvider
+        from colormipsearch_tpu.persist.requests import NeuronSelector
 
         daos = DaosProvider(Config(args.configFile))
+        # neurons with no pre-existing store entry get the import tag;
+        # matches referencing any such neuron are marked suspicious
+        # (ImportV2CDMatchesCmd:255-278)
+        mip_ids = sorted({n.mip_id for n in neurons.values() if n.mip_id})
+        existing = daos.neuron_metadata_dao.find_neurons(
+            NeuronSelector(mip_ids=mip_ids)) if mip_ids else []
+        known = {n.mip_id for n in existing
+                 if args.imported_neuron_tag not in n.tags}
+        created = set()
         for n in neurons.values():
+            if n.mip_id not in known:
+                n.tags.add(args.imported_neuron_tag)
+                created.add(id(n))
             daos.neuron_metadata_dao.create_or_update(n)
         for m in matches:
+            if id(m.mask_image) in created or \
+                    id(m.matched_image) in created:
+                m.tags.add(args.suspicious_match_tag)
             m.mask_image_ref_id = m.mask_image.entity_id
             m.matched_image_ref_id = m.matched_image.entity_id
         daos.cd_matches_dao.create_or_update_all(matches)
@@ -145,21 +182,68 @@ def configure_validate(sp):
     sp.add_argument("--config", dest="configFile", default=None)
     sp.add_argument("--results-storage", dest="resultsStorage",
                     choices=["FS", "DB"], default="FS")
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("-l", "--library", "--libraries", dest="libraries",
+                    nargs="*", default=[])
+    sp.add_argument("--excluded-libraries", nargs="*", default=[])
+    sp.add_argument("--validated-samples", nargs="*", default=[],
+                    help="only validate these sample/body refs")
+    sp.add_argument("--validated-names", nargs="*", default=[])
+    sp.add_argument("--validated-releases", nargs="*", default=[],
+                    help="dataset labels to validate")
+    sp.add_argument("--validated-tags", nargs="*", default=[])
+    sp.add_argument("--offset", type=int, default=0)
+    sp.add_argument("--size", type=int, default=0)
+    sp.add_argument("--no-grad-files-check", dest="checkGradFiles",
+                    action="store_false", default=True,
+                    help="skip GradientImage/ZGapImage existence checks")
     sp.add_argument("--check-files", action="store_true", default=True)
     sp.add_argument("--apply-error-tags", action="store_true")
+    sp.add_argument("--apply-error-tag-to-em-cdmatches",
+                    action="store_true",
+                    help="also stamp the error tag on cd matches whose "
+                         "EM side failed validation")
+    sp.add_argument("--apply-error-tag-to-lm-cdmatches",
+                    action="store_true")
     sp.add_argument("--error-tag", default="validationError")
+    sp.add_argument("--jacs-url", "--data-url", dest="dataServiceURL",
+                    default=None, help="accepted for reference parity")
+    sp.add_argument("--config-url", dest="configURL", default=None,
+                    help="accepted for reference parity")
+    sp.add_argument("--authorization", default=None)
+    sp.add_argument("--read-batch-size", type=int, default=1000,
+                    help="accepted for reference parity")
+    sp.add_argument("--processingPartitionSize", "-ps",
+                    "--libraryPartitionSize", type=int, default=5000,
+                    help="accepted for reference parity")
 
 
 def cmd_validate(args) -> int:
     """Consistency checks over neuron metadata: missing/unreadable compute
     files, duplicate mip ids (ValidateNBDBDataCmd, offline subset)."""
     dangling = 0
+    daos = None
     if args.resultsStorage == "DB":
         from colormipsearch_tpu.persist import Config, DaosProvider
         from colormipsearch_tpu.persist.requests import NeuronSelector
 
         daos = DaosProvider(Config(args.configFile))
-        neurons = daos.neuron_metadata_dao.find_neurons(NeuronSelector())
+        selector = NeuronSelector(
+            alignment_space=args.alignment_space,
+            libraries=list(args.libraries or ()),
+            names=list(args.validated_names or ()),
+            source_refs=list(args.validated_samples or ()),
+            datasets=list(args.validated_releases or ()),
+            tags=list(args.validated_tags or ()))
+        neurons = daos.neuron_metadata_dao.find_neurons(selector)
+        if args.excluded_libraries:
+            excluded = set(args.excluded_libraries)
+            neurons = [n for n in neurons
+                       if n.library_name not in excluded]
+        if args.offset > 0:
+            neurons = neurons[args.offset:]
+        if args.size > 0:
+            neurons = neurons[:args.size]
         sources = {"DB": neurons}
         # match integrity: every cdMatch must reference existing neurons
         known = {str(n.entity_id) for n in neurons}
@@ -173,7 +257,9 @@ def cmd_validate(args) -> int:
     else:
         sources = {src: read_neurons_json(src) for src in args.input}
 
+    grad_types = {ComputeFileType.GradientImage, ComputeFileType.ZGapImage}
     total_errors = 0
+    error_neuron_ids = []
     for src, neurons in sources.items():
         seen_mips: dict = {}
         n_missing = 0
@@ -186,6 +272,8 @@ def cmd_validate(args) -> int:
             seen_mips[key] = n
             if args.check_files:
                 for ftype, fd in n.compute_files.items():
+                    if ftype in grad_types and not args.checkGradFiles:
+                        continue
                     if not mips_io.exists(fd):
                         errors.append(
                             f"missing {ftype.value}: {fd.name}")
@@ -195,15 +283,41 @@ def cmd_validate(args) -> int:
                 if args.apply_error_tags:
                     n.validation_errors = set(errors)
                     n.tags.add(args.error_tag)
+                if n.entity_id is not None:
+                    error_neuron_ids.append(str(n.entity_id))
                 LOG.warning("%s %s: %s", src, n.mip_id, "; ".join(errors))
         LOG.info("%s: %d neurons, %d with errors (%d missing files)",
                  src, len(neurons), total_errors, n_missing)
         if args.apply_error_tags and args.resultsStorage != "DB":
             write_neurons_json(neurons, src)
+        elif args.apply_error_tags and daos is not None:
+            for n in neurons:
+                if n.validation_errors:
+                    daos.neuron_metadata_dao.create_or_update(n)
+    # --apply-error-tag-to-{em,lm}-cdmatches: stamp the error tag on
+    # matches whose failing neuron is the mask (EM) / target (LM) side
+    # (ValidateNBDBDataCmd error-tag propagation)
+    n_tagged_matches = 0
+    if daos is not None and error_neuron_ids and (
+            args.apply_error_tag_to_em_cdmatches
+            or args.apply_error_tag_to_lm_cdmatches):
+        bad = set(error_neuron_ids)
+        for doc in daos.cd_matches_dao._col.find({}):
+            hit = (args.apply_error_tag_to_em_cdmatches
+                   and str(doc.get("maskImageRefId")) in bad) or \
+                  (args.apply_error_tag_to_lm_cdmatches
+                   and str(doc.get("matchedImageRefId")) in bad)
+            if hit:
+                tags = set(doc.get("tags") or ())
+                tags.add(args.error_tag)
+                daos.cd_matches_dao._col.update_fields(
+                    doc["_id"], {"tags": sorted(tags)})
+                n_tagged_matches += 1
     print(json.dumps({"neuronsChecked": sum(len(v) for v in
                                             sources.values()),
                       "neuronsWithErrors": total_errors,
-                      "danglingMatchRefs": dangling}))
+                      "danglingMatchRefs": dangling,
+                      "errorTaggedMatches": n_tagged_matches}))
     return 0
 
 
@@ -215,12 +329,21 @@ def cmd_validate(args) -> int:
 def configure_copy_to_store(sp):
     sp.add_argument("-i", "--input", nargs="+", required=True,
                     help="neuron JSON files")
-    sp.add_argument("--store-dir", required=True)
+    sp.add_argument("--store-dir", "--targetDirectory", dest="store_dir",
+                    required=True)
     sp.add_argument("--file-types", nargs="*",
                     default=["InputColorDepthImage", "GradientImage",
                              "ZGapImage"])
+    sp.add_argument("--mipsFilter", nargs="*", default=[],
+                    help="only copy files for these mip ids / names")
     sp.add_argument("--update-metadata", action="store_true", default=True)
-    sp.add_argument("--dry-run", action="store_true")
+    sp.add_argument("--force", "-f", action="store_true",
+                    help="overwrite files already present in the store")
+    sp.add_argument("--lmIgnoreMissingSegmentation", action="store_true",
+                    help="accepted for reference parity; missing files "
+                         "are warned and skipped here")
+    sp.add_argument("--dry-run", "-n", dest="dry_run",
+                    action="store_true")
 
 
 def cmd_copy_to_store(args) -> int:
@@ -233,10 +356,14 @@ def cmd_copy_to_store(args) -> int:
               ComputeFileType.SourceColorDepthImage: "",
               ComputeFileType.GradientImage: "grad",
               ComputeFileType.ZGapImage: "zgap"}
+    wanted = {w.lower() for w in args.mipsFilter}
     n_copied = 0
     for src in args.input:
         neurons = read_neurons_json(src)
         for n in neurons:
+            if wanted and (n.mip_id or "").lower() not in wanted \
+                    and (n.published_name or "").lower() not in wanted:
+                continue
             base = store / (n.alignment_space or "UNKNOWN") / \
                 (n.library_name or "UNKNOWN")
             for ftype in ftypes:
@@ -245,6 +372,9 @@ def cmd_copy_to_store(args) -> int:
                     continue
                 dst_dir = base / subdir.get(ftype, ftype.value.lower())
                 dst = dst_dir / os.path.basename(fd.name)
+                if dst.exists() and not args.force:
+                    n.set_compute_file(ftype, FileData(str(dst)))
+                    continue
                 if args.dry_run:
                     LOG.info("would copy %s -> %s", fd.name, dst)
                     continue

@@ -732,21 +732,78 @@ def _ppp_result_json(m) -> dict:
 
 
 def configure_tag(sp):
-    sp.add_argument("-i", "--input", nargs="+", required=True,
-                    help="neuron JSON files to tag")
+    sp.add_argument("-i", "--input", nargs="*", default=[],
+                    help="neuron JSON files to tag (FS mode; omit for "
+                         "the DB store)")
+    sp.add_argument("--config", dest="configFile", default=None)
     sp.add_argument("--tag", nargs="+", required=True)
+    sp.add_argument("--alignment-space", "-as", default=None)
+    sp.add_argument("-l", "--library", "--libraries", dest="libraries",
+                    nargs="*", default=None)
     sp.add_argument("--published-names", nargs="*", default=None)
-    sp.add_argument("--libraries", nargs="*", default=None)
+    sp.add_argument("--mip-ids", nargs="*", default=None)
+    sp.add_argument("--source-refs", nargs="*", default=None,
+                    help="Sample/Body references to tag")
+    sp.add_argument("--data-labels", nargs="*", default=None,
+                    help="dataset labels to select")
+    sp.add_argument("--data-tags", nargs="*", default=None,
+                    help="only tag neurons already carrying one of these")
+    sp.add_argument("--excluded-data-tags", nargs="*", default=None,
+                    help="skip neurons carrying any of these tags")
+    sp.add_argument("--processing-tags", nargs="*", default=[],
+                    help="'<ProcessingType>=<tag>' selections")
     sp.add_argument("--processing-type", default=None,
                     choices=[p.value for p in ProcessingType])
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
 
 
+def _tag_selector(args):
+    from colormipsearch_tpu.persist.requests import NeuronSelector
+
+    processed = []
+    for spec in args.processing_tags or ():
+        ptype, _, tag = spec.partition("=")
+        if tag:
+            processed.append((ptype, tag))
+    return NeuronSelector(
+        alignment_space=args.alignment_space,
+        libraries=list(args.libraries or ()),
+        names=list(args.published_names or ()),
+        mip_ids=list(args.mip_ids or ()),
+        source_refs=list(args.source_refs or ()),
+        datasets=list(args.data_labels or ()),
+        tags=list(args.data_tags or ()),
+        excluded_tags=list(args.excluded_data_tags or ()),
+        processed_tags=processed)
+
+
 def cmd_tag(args) -> int:
-    """Bulk-tag neuron metadata in place (TagNeuronMetadataCmd)."""
+    """Bulk-tag neuron metadata (TagNeuronMetadataCmd): FS files in
+    place, or the DB store via the full neuron selector."""
+    if not args.input:
+        # DB mode: selector-driven append (TagNeuronMetadataCmd:94-107)
+        from colormipsearch_tpu.persist import Config, DaosProvider
+
+        daos = DaosProvider(Config(args.configFile))
+        neurons = daos.neuron_metadata_dao.find_neurons(_tag_selector(args))
+        for neuron in neurons:
+            if args.processing_type:
+                neuron.add_processed_tags(
+                    ProcessingType(args.processing_type), args.tag)
+            else:
+                neuron.tags.update(args.tag)
+            daos.neuron_metadata_dao.create_or_update(neuron)
+        LOG.info("tagged %d neurons in the DB store", len(neurons))
+        return 0
+
     names = set(args.published_names or ())
     libs = set(args.libraries or ())
+    mips = set(args.mip_ids or ())
+    refs = set(args.source_refs or ())
+    dtags = set(args.data_tags or ())
+    ex_dtags = set(args.excluded_data_tags or ())
+    labels = set(args.data_labels or ())
     for src in args.input:
         neurons = read_neurons_json(src)
         n = 0
@@ -754,6 +811,19 @@ def cmd_tag(args) -> int:
             if names and neuron.published_name not in names:
                 continue
             if libs and neuron.library_name not in libs:
+                continue
+            if mips and neuron.mip_id not in mips:
+                continue
+            if refs and (neuron.source_ref_id or "") not in refs:
+                continue
+            if args.alignment_space and \
+                    neuron.alignment_space != args.alignment_space:
+                continue
+            if dtags and not neuron.tags & dtags:
+                continue
+            if ex_dtags and neuron.tags & ex_dtags:
+                continue
+            if labels and not neuron.dataset_labels & labels:
                 continue
             if args.processing_type:
                 neuron.add_processed_tags(

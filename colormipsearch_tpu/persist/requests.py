@@ -20,6 +20,7 @@ class NeuronSelector:
     libraries: list = dataclasses.field(default_factory=list)
     names: list = dataclasses.field(default_factory=list)
     mip_ids: list = dataclasses.field(default_factory=list)
+    source_refs: list = dataclasses.field(default_factory=list)
     tags: list = dataclasses.field(default_factory=list)
     excluded_tags: list = dataclasses.field(default_factory=list)
     datasets: list = dataclasses.field(default_factory=list)
@@ -30,9 +31,10 @@ class NeuronSelector:
 
     def is_empty(self) -> bool:
         return not any((self.alignment_space, self.libraries, self.names,
-                        self.mip_ids, self.tags, self.excluded_tags,
-                        self.datasets, self.annotations,
-                        self.excluded_annotations, self.processed_tags))
+                        self.mip_ids, self.source_refs, self.tags,
+                        self.excluded_tags, self.datasets,
+                        self.annotations, self.excluded_annotations,
+                        self.processed_tags))
 
     def to_filter(self) -> dict:
         """Translate to the document-store filter language
@@ -46,6 +48,8 @@ class NeuronSelector:
             f["publishedName"] = {"$in": list(self.names)}
         if self.mip_ids:
             f["mipId"] = {"$in": list(self.mip_ids)}
+        if self.source_refs:
+            f["sourceRefId"] = {"$in": list(self.source_refs)}
         if self.tags:
             f["tags"] = {"$in": list(self.tags)}
         if self.excluded_tags:
