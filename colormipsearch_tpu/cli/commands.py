@@ -11,6 +11,7 @@ Each command mirrors its reference counterpart's flags and file formats:
 
 from __future__ import annotations
 
+import argparse
 import json
 import logging
 import os
@@ -64,12 +65,49 @@ def _add_cds_params(sp):
     sp.add_argument("--no-colormap-labels", dest="noColormapLabels",
                     action="store_true",
                     help="do not exclude the color scale label region")
-    sp.add_argument("--processingPartitionSize", "-ps", type=int, default=100)
+    sp.add_argument("--processingPartitionSize", "-ps",
+                    "--libraryPartitionSize", type=int, default=100)
     sp.add_argument("--query-roi-mask", dest="queryROIMask", default=None)
+    sp.add_argument("--masksFilter", "-mf", nargs="*", default=[],
+                    help="only score masks whose name/id contains one of "
+                         "these (case-insensitive)")
+    sp.add_argument("--libraryFilter", "-lf", nargs="*", default=[],
+                    help="only score targets whose name/id contains one "
+                         "of these (case-insensitive)")
+    sp.add_argument("--app", default="ColorMIPSearch",
+                    help="accepted for reference parity")
+    # default=SUPPRESS so the subcommand flag does not clobber a value
+    # given before the subcommand (the global --cdsConcurrency)
+    sp.add_argument("--cdsConcurrency", "-cdc", type=int,
+                    default=argparse.SUPPRESS,
+                    help="decode-thread concurrency (reference "
+                         "--cdsConcurrency); device dispatch is batched")
+    sp.add_argument("--task-concurrency", "-tc", type=int, default=0,
+                    help="accepted for reference parity")
+
+
+def _neuron_name_filter(neurons, patterns):
+    """Case-insensitive substring filter over mip id / published name /
+    input image name (CommonArgs.toLowerCase + readMIPs filters)."""
+    if not patterns:
+        return neurons
+    pats = [p.lower() for p in patterns if p]
+
+    def hit(n):
+        from colormipsearch_tpu.model.entities import ComputeFileType
+
+        fd = n.compute_file(ComputeFileType.InputColorDepthImage)
+        hay = " ".join(filter(None, (
+            n.mip_id, n.published_name,
+            fd.name if fd is not None else None))).lower()
+        return any(p in hay for p in pats)
+
+    return [n for n in neurons if hit(n)]
 
 
 def _add_output_args(sp):
-    sp.add_argument("-od", "--outputDir", required=False, default=None)
+    sp.add_argument("-od", "--outputDir", "--output-dir",
+                    required=False, default=None)
     sp.add_argument("--perMaskSubdir", default=None)
     sp.add_argument("--perTargetSubdir", default=None)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
@@ -273,11 +311,13 @@ def cmd_color_depth_search(args) -> int:
     if excluded:
         masks = [m for m in masks if m.mip_id not in excluded]
         targets = [t for t in targets if t.mip_id not in excluded]
+    masks = _neuron_name_filter(masks, args.masksFilter)
+    targets = _neuron_name_filter(targets, args.libraryFilter)
     LOG.info("colorDepthSearch: %d masks x %d targets", len(masks), len(targets))
     params = _cds_params(args)
     engine = CDSearchEngine(
         params,
-        decode_concurrency=args.cdsConcurrency
+        decode_concurrency=getattr(args, "cdsConcurrency", 0)
         if getattr(args, "cdsConcurrency", 0) > 0 else 8)
     tags = [args.processingTag] if args.processingTag else []
     cap = max(args.maxMatchesPerMask, 0)
@@ -691,6 +731,13 @@ def _add_v2_variant_args(sp):
     sp.add_argument("--gradientSuffix", default="_gradient")
     sp.add_argument("--zgapPath", "-zgp", nargs="*", default=[])
     sp.add_argument("--zgapSuffix", default="_20pxRGB")
+    sp.add_argument("--librarySuffix", default=None,
+                    help="suffix stripped from the library image name "
+                         "before appending the variant suffix")
+    sp.add_argument("--gradientVariant", default="gradient",
+                    help="variant-dictionary key for gradient images")
+    sp.add_argument("--zgapVariant", default="zgap",
+                    help="variant-dictionary key for zgap images")
     sp.add_argument("--perLibrarySubdir", default=None,
                     help="also write results grouped per matched target "
                          "(cmd_v2 AbstractColorDepthMatchArgs:88-92)")
@@ -790,11 +837,13 @@ def _run_v2_search(args, masks, targets, mip_by_key) -> int:
             if t_fd is None:
                 continue
             g = mips_io.find_variant(t_fd, args.gradientPath,
-                                     args.gradientSuffix)
+                                     args.gradientSuffix,
+                                     cdm_suffix=args.librarySuffix)
             if g is not None:
                 m.matched_image.set_compute_file(
                     ComputeFileType.GradientImage, g)
-            z = mips_io.find_variant(t_fd, args.zgapPath, args.zgapSuffix)
+            z = mips_io.find_variant(t_fd, args.zgapPath, args.zgapSuffix,
+                                     cdm_suffix=args.librarySuffix)
             if z is not None:
                 m.matched_image.set_compute_file(
                     ComputeFileType.ZGapImage, z)
@@ -852,8 +901,12 @@ def cmd_search_from_json(args) -> int:
 
     return _run_v2_search(
         args,
-        load(args.masks, args.masks_index, args.masks_length),
-        load(args.targets, args.images_index, args.images_length),
+        _neuron_name_filter(
+            load(args.masks, args.masks_index, args.masks_length),
+            args.masksFilter),
+        _neuron_name_filter(
+            load(args.targets, args.images_index, args.images_length),
+            args.libraryFilter),
         mip_by_key)
 
 
@@ -867,7 +920,11 @@ def cmd_search_local_files(args) -> int:
                 files, library_name=os.path.basename(arg.location.rstrip("/"))))
         return neurons
 
-    return _run_v2_search(args, load(args.masks), load(args.targets), {})
+    return _run_v2_search(
+        args,
+        _neuron_name_filter(load(args.masks), args.masksFilter),
+        _neuron_name_filter(load(args.targets), args.libraryFilter),
+        {})
 
 
 # -------------------------------------------------------------------------

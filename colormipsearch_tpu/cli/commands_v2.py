@@ -100,7 +100,45 @@ def configure_gradient_score_v2(sp):
                     action="store_true")
     sp.add_argument("--no-colormap-labels", dest="noColormapLabels",
                     action="store_true")
-    sp.add_argument("-od", "--outputDir", required=True)
+    sp.add_argument("--librarySuffix", default=None,
+                    help="suffix stripped from the target image name "
+                         "before appending the variant suffix")
+    sp.add_argument("--gradientVariant", default="gradient",
+                    help="accepted for reference parity")
+    sp.add_argument("--zgapVariant", default="zgap",
+                    help="accepted for reference parity")
+    sp.add_argument("--with-grad-scores", dest="withGradScores",
+                    action="store_true",
+                    help="accepted for reference parity (this command "
+                         "always computes the negative scores)")
+    sp.add_argument("--dataThreshold", type=int, default=100,
+                    help="accepted for reference parity")
+    sp.add_argument("--pixColorFluctuation", type=float, default=2.0,
+                    help="accepted for reference parity")
+    sp.add_argument("--xyShift", type=int, default=0,
+                    help="accepted for reference parity")
+    sp.add_argument("--pctPositivePixels", type=float, default=0.0,
+                    help="accepted for reference parity")
+    sp.add_argument("--border", type=int, default=0)
+    sp.add_argument("--query-roi-mask", dest="queryROIMask", default=None,
+                    help="accepted for reference parity")
+    sp.add_argument("--masksFilter", "-mf", nargs="*", default=[],
+                    help="accepted for reference parity")
+    sp.add_argument("--libraryFilter", "-lf", nargs="*", default=[],
+                    help="accepted for reference parity")
+    sp.add_argument("--perMaskSubdir", default=None)
+    sp.add_argument("--perLibrarySubdir", default=None,
+                    help="accepted for reference parity")
+    sp.add_argument("--processingPartitionSize", "-ps",
+                    "--libraryPartitionSize", type=int, default=100,
+                    help="accepted for reference parity")
+    sp.add_argument("--app", default="ColorMIPSearch",
+                    help="accepted for reference parity")
+    sp.add_argument("--cdsConcurrency", "-cdc", type=int, default=0,
+                    help="accepted for reference parity")
+    sp.add_argument("--task-concurrency", "-tc", type=int, default=0,
+                    help="accepted for reference parity")
+    sp.add_argument("-od", "--outputDir", "--output-dir", required=True)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
 
@@ -127,14 +165,22 @@ def cmd_gradient_score_v2(args) -> int:
             region = label_regions_mask(
                 w, h, with_name_label=not args.noNameLabels,
                 with_color_scale_label=not args.noColormapLabels)
+        if args.border > 0:
+            # borderSize excludes the outer frame from the query region
+            # (reference provider semantics)
+            border = np.ones((h, w), bool)
+            b = args.border
+            border[b:h - b, b:w - b] = False
+            region = border if region is None else (region | border)
         oracle = ShapeMatchOracle(
             mask_rgb, args.maskThreshold, mirror=args.mirrorMask,
             negative_radius=args.negativeRadius, excluded_region=region)
         max_pixels, max_neg = -1, -1
         for r in selected:
             t_fd = r.target.file_data()
-            grad_fd = mips_io.find_variant(t_fd, args.gradientPath,
-                                           args.gradientSuffix)
+            grad_fd = mips_io.find_variant(
+                t_fd, args.gradientPath, args.gradientSuffix,
+                cdm_suffix=args.librarySuffix)
             if grad_fd is None:
                 continue
             try:

@@ -92,3 +92,24 @@ def test_argfile_expansion(tmp_path):
     assert main([f"@{argfile}"]) == 0
     mips = v2_io.read_mips_json(tmp_path / "out" / "lib.json")
     assert mips and mips[0].libraryName == "argfile_lib"
+
+
+def test_masks_and_library_filters(tmp_path):
+    """--masksFilter/-mf and --libraryFilter/-lf are case-insensitive
+    substring filters over mip id / name / image name (CommonArgs)."""
+    from colormipsearch_tpu.cli.commands import _neuron_name_filter
+    from colormipsearch_tpu.model import EMNeuron, ComputeFileType, FileData
+
+    def n(mip, name, path):
+        x = EMNeuron(mip_id=mip, published_name=name)
+        x.set_compute_file(ComputeFileType.InputColorDepthImage,
+                           FileData(path))
+        return x
+
+    neurons = [n("A1", "LPLC2", "/lib/a1_cdm.tif"),
+               n("B2", "PFNp", "/lib/b2_cdm.tif")]
+    assert [x.mip_id for x in
+            _neuron_name_filter(neurons, ["lplc"])] == ["A1"]
+    assert [x.mip_id for x in
+            _neuron_name_filter(neurons, ["B2_CDM"])] == ["B2"]
+    assert _neuron_name_filter(neurons, []) == neurons
