@@ -113,3 +113,24 @@ def test_masks_and_library_filters(tmp_path):
     assert [x.mip_id for x in
             _neuron_name_filter(neurons, ["B2_CDM"])] == ["B2"]
     assert _neuron_name_filter(neurons, []) == neurons
+
+
+def test_ga_batch_launcher(tmp_path, capsys):
+    """scripts/ga_batch.py partitions per-mask result files into jobs
+    (submitGABatch.sh equivalent)."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    import ga_batch
+
+    d = tmp_path / "m"
+    d.mkdir()
+    for i in range(5):
+        (d / f"mask{i}.json").write_text("{}")
+    rc = ga_batch.main(["--matches-dir", str(d),
+                        "--mask-files-per-job", "2",
+                        "-od", str(tmp_path / "out"), "--print"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3                      # ceil(5/2) jobs
+    assert all("gradientScores" in line for line in out)
+    assert "mask4.json" in out[-1]
