@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time
 from typing import Iterable, Sequence
 
@@ -41,6 +42,11 @@ from colormipsearch_tpu.oracle.pixel import PixelMatchOracle, label_regions_mask
 from colormipsearch_tpu.ops import common, pixel_match
 
 LOG = logging.getLogger(__name__)
+
+# opt-in 3-byte split-plane pixel kernel (u16 (p<<8)|s + u8 cls); proven
+# bit-equal to the packed path, pending the hardware gather A/B before
+# becoming the default (docs/DESIGN.md §6 open question)
+_USE_SPLIT = os.environ.get("CDS_SPLIT_PLANES", "0") == "1"
 
 
 @dataclasses.dataclass
@@ -111,6 +117,8 @@ class TargetShard:
     # when set, below-threshold pixels are packed as zero words and the
     # kernels run with target_threshold=-1 (the test is folded away)
     packed_threshold: int | None = None
+    # lazy 3-byte split-plane pair (CDS_SPLIT_PLANES=1)
+    split_planes: tuple | None = None
 
     @property
     def count(self) -> int:
@@ -427,6 +435,33 @@ class CDSearchEngine:
                  n_matches, len(masks), n_targets, time.time() - t0,
                  GLOBAL.get("pairsScored") / max(time.time() - t0, 1e-9))
 
+    def _split_planes(self, shard: TargetShard):
+        """Lazy 3-byte split-plane pair for a shard (sharded over the
+        mesh when one is active)."""
+        if shard.split_planes is None or getattr(
+                shard, "_split_mesh", None) is not self._mesh:
+            t_sp, t_c8 = common.split_planes_from_packed(shard.planes)
+            if self._mesh is not None:
+                from colormipsearch_tpu.parallel import shard_target_planes
+
+                t_sp = shard_target_planes(self._mesh, t_sp)
+                t_c8 = shard_target_planes(self._mesh, t_c8)
+            shard.split_planes = (t_sp, t_c8)
+            shard._split_mesh = self._mesh
+        return shard.split_planes
+
+    def _split_step(self, n_straight: int, ztol):
+        from colormipsearch_tpu.parallel.mesh import (
+            make_sharded_batch_step_split,
+        )
+
+        key = ("split", n_straight, ztol)
+        if key not in self._sharded_steps:
+            self._sharded_steps[key] = make_sharded_batch_step_split(
+                self._mesh, ztol_num=ztol[0], ztol_den=ztol[1],
+                n_straight=n_straight)
+        return self._sharded_steps[key]
+
     def _score_batch(self, batch, shard: TargetShard, tags: set,
                      session_ref_id, top_k: int = 0) -> list[CDMatch]:
         p = self.params
@@ -447,7 +482,25 @@ class CDSearchEngine:
                 jnp.asarray(np.stack([pl.q_p for pl in plans])))
         n_dev = (len(self._mesh.devices.ravel())
                  if self._mesh is not None else 1)
-        if self._mesh is not None and shard.planes.shape[1] % n_dev == 0:
+        # CDS_SPLIT_PLANES=1: 3-byte split-plane kernel (requires the
+        # folded threshold; dense path only — the top-k step stays on
+        # the packed kernel)
+        use_split = (_USE_SPLIT and shard.packed_threshold is not None
+                     and top_k == 0)
+        if use_split and (self._mesh is None
+                          or shard.planes.shape[1] % n_dev == 0):
+            t_sp, t_c8 = self._split_planes(shard)
+            ztol = (plans[0].ztol_num, plans[0].ztol_den)
+            if self._mesh is not None:
+                step = self._split_step(plans[0].n_straight, ztol)
+                best, mirrored, pair_flags, _gmax = step(
+                    t_sp, t_c8, *args)
+            else:
+                best, mirrored, pair_flags = \
+                    pixel_match.score_query_batch_split(
+                        t_sp, t_c8, *args, ztol_num=ztol[0],
+                        ztol_den=ztol[1], n_straight=plans[0].n_straight)
+        elif self._mesh is not None and shard.planes.shape[1] % n_dev == 0:
             from colormipsearch_tpu.parallel import shard_target_planes
 
             planes = shard.device_planes

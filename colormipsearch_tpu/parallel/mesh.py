@@ -90,6 +90,38 @@ def make_sharded_search_step(mesh: Mesh, *, target_threshold: int,
     return jax.jit(step)
 
 
+def make_sharded_batch_step_split(mesh: Mesh, *, ztol_num: int,
+                                  ztol_den: int, n_straight: int):
+    """Split-plane (u16 (p<<8)|s + u8 cls) twin of the dense
+    make_sharded_batch_step: 3 gathered bytes/pixel instead of 4; the
+    data threshold must be folded into the planes."""
+
+    def local_step(t_sp, t_c8, pos, q_cls, q_s, q_p):
+        def one(args):
+            pos_b, cls_b, s_b, p_b = args
+            scores, flags = \
+                pixel_match.score_query_against_split_planes_raw(
+                    t_sp, t_c8, pos_b, cls_b, s_b, p_b,
+                    ztol_num=ztol_num, ztol_den=ztol_den)
+            return pixel_match.reduce_variants_device(
+                scores, flags, n_straight)
+
+        best, mirrored, pair_flags = jax.lax.map(
+            one, (pos, q_cls, q_s, q_p))
+        global_max = jax.lax.pmax(best.max(axis=-1), TARGET_AXIS)
+        return best, mirrored, pair_flags, global_max
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, TARGET_AXIS), P(None, TARGET_AXIS),
+                  P(None, None, None), P(None, None), P(None, None),
+                  P(None, None)),
+        out_specs=(P(None, TARGET_AXIS), P(None, TARGET_AXIS),
+                   P(None, TARGET_AXIS), P(None)),
+        check_rep=False)
+    return jax.jit(step)
+
+
 def make_sharded_shape_step(mesh: Mesh):
     """Multi-device shape (gradient-area-gap) pass: packed target planes
     [P, T] sharded on T, the packed query plane replicated; every device

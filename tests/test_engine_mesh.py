@@ -152,3 +152,31 @@ def test_cli_streaming_flushes_match_one_shot(tmp_path):
     streamed = run(tmp_path / "out_stream", 1)
     oneshot = run(tmp_path / "out_oneshot", 10 ** 9)
     assert streamed == oneshot and streamed
+
+
+def test_split_planes_engine_equality(tmp_path, monkeypatch):
+    """CDS_SPLIT_PLANES: the 3-byte split-plane kernel path produces the
+    same matches as the packed path, on the mesh and single-device."""
+    from colormipsearch_tpu.engine import cds as cds_mod
+    from colormipsearch_tpu.engine.cds import CDSParams, CDSearchEngine
+
+    rng = np.random.default_rng(11)
+    (tmp_path / "m").mkdir()
+    (tmp_path / "t").mkdir()
+    masks = _neurons(tmp_path / "m", rng, 2)
+    targets = _neurons(tmp_path / "t", rng, 9)
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=2.0, xy_shift=2,
+                       mirror_mask=True)
+
+    def key(ms):
+        return sorted((m.mask_image.mip_id, m.matched_image.mip_id,
+                       m.matching_pixels, m.mirrored) for m in ms)
+
+    baseline = key(CDSearchEngine(params).find_all_matches(masks, targets))
+    assert baseline, "expected some matches"
+    monkeypatch.setattr(cds_mod, "_USE_SPLIT", True)
+    assert key(CDSearchEngine(params).find_all_matches(
+        masks, targets)) == baseline
+    assert key(CDSearchEngine(params, use_mesh=False).find_all_matches(
+        masks, targets)) == baseline
