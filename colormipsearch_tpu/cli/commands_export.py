@@ -522,11 +522,30 @@ def _validate_for_export(m) -> list[str]:
 
 def _export_mips(args, out_dir: Path, pretty: bool) -> int:
     """by_body / by_line MIP export (cmd/dataexport/MIPsExporter)."""
+    if args.resultsStorage == "DB":
+        from colormipsearch_tpu.persist import Config, DaosProvider
+        from colormipsearch_tpu.persist.requests import NeuronSelector
+
+        daos = DaosProvider(Config(args.configFile))
+        neurons = daos.neuron_metadata_dao.find_neurons(NeuronSelector(
+            alignment_space=args.alignment_space,
+            libraries=list(args.libraries or ()),
+            names=list(args.exported_names or ()),
+            tags=list(args.neuron_tags or ())))
+        for doc in daos.store.collection("publishedURL").find({}):
+            try:
+                args._published_urls_by_id[int(doc["_id"])] = \
+                    doc.get("uploaded") or {}
+            except (KeyError, TypeError, ValueError):
+                continue
+    else:
+        neurons = []
+        for src in args.mips:
+            neurons.extend(read_neurons_json(src))
     by_name: dict[str, list] = {}
-    for src in args.mips:
-        for n in read_neurons_json(src):
-            name = n.published_name or n.mip_id
-            by_name.setdefault(name, []).append(n)
+    for n in neurons:
+        name = n.published_name or n.mip_id
+        by_name.setdefault(name, []).append(n)
     for name, neurons in by_name.items():
         metas = []
         for n in neurons:
@@ -546,7 +565,7 @@ def _export_mips(args, out_dir: Path, pretty: bool) -> int:
 
 
 def configure_import_ppp(sp):
-    sp.add_argument("--results-dir", "-rd", nargs="+", required=True,
+    sp.add_argument("--results-dir", "-rd", nargs="*", default=[],
                     help="PPP results dirs (em subdirs w/ cov_scores_*.json)")
     sp.add_argument("--em-library", default=None)
     sp.add_argument("--lm-library", default=None)
@@ -606,6 +625,8 @@ def cmd_import_ppp(args) -> int:
     (rank < 500) from the sibling screenshots dir, and writes grouped
     JSON or DB rows."""
     gen = TimebasedIdGenerator()
+    if not args.results_dir and not args.results_file:
+        raise SystemExit("no inputs: use -rd / -rf")
     if args.results_file:
         # -rf takes precedence over -rd (ImportPPPResultsCmd:157-162)
         files = [Path(f) for f in args.results_file]

@@ -687,3 +687,67 @@ def test_reverse_transfer_top_flags_keep_all_rows(tmp_path):
     assert by_id["EM1"]["gradientAreaGap"] == 2438   # top line updated
     assert "gradientAreaGap" not in by_id["EM2"] or \
         by_id["EM2"].get("gradientAreaGap") in (None, -1)
+
+
+def test_export_lm_cd_matches(tmp_path):
+    """LM_CD_MATCHES: LM masks export against EM targets (the reverse
+    direction, LMCDMatchesExporter)."""
+    from colormipsearch_tpu.model import CDMatch, EMNeuron, LMNeuron
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+
+    lm = LMNeuron(mip_id="lm1", published_name="R99X99",
+                  library_name="MCFO", slide_code="sc1", gender="f",
+                  alignment_space="AS")
+    em = EMNeuron(mip_id="em1", published_name="12345",
+                  library_name="FlyEM", alignment_space="AS")
+    m = CDMatch(mask_image=lm, matched_image=em, matching_pixels=87,
+                matching_pixels_ratio=0.05, normalized_score=2801.1)
+    matches_dir = tmp_path / "m"
+    JSONMatchesWriter(per_masks_dir=matches_dir).write([m])
+
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "LM_CD_MATCHES",
+            "--ignore-grad-scores", "-md", matches_dir, "-od", out)
+    doc = json.loads((out / "R99X99.json").read_text())
+    assert doc["inputImage"]["type"] == "LMImage"
+    assert doc["inputImage"]["slideCode"] == "sc1"
+    [res] = doc["results"]
+    assert res["image"]["type"] == "EMImage"
+    assert res["image"]["publishedName"] == "12345"
+
+
+def test_export_mips_fs_and_db(tmp_path):
+    """EM_MIPS export groups per published name; the DB path reads the
+    store and merges publishedURL uploads (MIPsExporter)."""
+    from colormipsearch_tpu.dataio.json_io import write_neurons_json
+    from colormipsearch_tpu.model import EMNeuron
+    from colormipsearch_tpu.persist import Config, DaosProvider
+
+    a = EMNeuron(mip_id="em1", published_name="777",
+                 library_name="emlib", alignment_space="AS")
+    b = EMNeuron(mip_id="em2", published_name="777",
+                 library_name="emlib", alignment_space="AS")
+    src = tmp_path / "mips.json"
+    write_neurons_json([a, b], src)
+    out = tmp_path / "mips_pub"
+    run_cli("exportData", "--exported-result-type", "EM_MIPS",
+            "--mips", src, "-od", out)
+    doc = json.loads((out / "777.json").read_text())
+    assert len(doc["results"]) == 2
+    assert all(r["type"] == "EMImage" for r in doc["results"])
+
+    cfg = tmp_path / "c.properties"
+    cfg.write_text(f"Store.Path={tmp_path}/db.sqlite\n")
+    daos = DaosProvider(Config(str(cfg)))
+    daos.neuron_metadata_dao.create_or_update(a)
+    daos.store.collection("publishedURL").insert_many([
+        {"_id": a.entity_id,
+         "uploaded": {"cdm": "https://s3/em1-cdm.png"}}])
+    daos.store.close()
+    out2 = tmp_path / "mips_db"
+    run_cli("exportData", "--exported-result-type", "EM_MIPS",
+            "--results-storage", "DB", "--config", cfg,
+            "-l", "emlib", "-od", out2)
+    doc = json.loads((out2 / "777.json").read_text())
+    [r] = doc["results"]
+    assert r["files"]["CDM"] == "https://s3/em1-cdm.png"
