@@ -275,24 +275,50 @@ def _finalize_neuron_files(meta, neuron, args) -> None:
 
 def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
     """Per-EM PPP publish files (cmd/dataexport/EMPPPMatchesExporter):
-    reads importPPPResults output (grouped per EM) and maps to the
-    PPPMatchedTarget dto shape."""
+    reads importPPPResults output — grouped files, or pppMatches store
+    rows with --results-storage DB — and maps to the PPPMatchedTarget
+    dto shape."""
     from colormipsearch_tpu.model.entities import PPPMatch
 
-    n = 0
-    for f in JSONMatchesReader.list_matches_locations(args.matches):
-        with open(f) as fh:
-            doc = json.load(fh)
+    groups: list[tuple] = []  # (em neuron, [PPPMatch], fallback name)
+    if args.resultsStorage == "DB":
+        from colormipsearch_tpu.persist import Config, DaosProvider
+
+        daos = DaosProvider(Config(args.configFile))
+        by_em: dict[str, list] = {}
+        for m in daos.ppp_matches_dao.find_all():
+            em = m.mask_image
+            name = (em.published_name if em is not None else None) \
+                or m.source_em_name or ""
+            by_em.setdefault(name, []).append(m)
+        for name, ms in sorted(by_em.items()):
+            em = next((m.mask_image for m in ms
+                       if m.mask_image is not None), None)
+            if em is None:
+                continue
+            ms.sort(key=lambda m: m.rank if m.rank is not None else 1e9)
+            groups.append((em, ms, name))
+    else:
         from colormipsearch_tpu.model import neuron_from_json
 
-        em = neuron_from_json(doc["inputImage"]) \
-            if doc.get("inputImage") else None
-        if em is None:
-            continue
+        for f in JSONMatchesReader.list_matches_locations(args.matches):
+            with open(f) as fh:
+                doc = json.load(fh)
+            em = neuron_from_json(doc["inputImage"]) \
+                if doc.get("inputImage") else None
+            if em is None:
+                continue
+            ms = []
+            for rd in doc.get("results", ()):
+                m = PPPMatch.from_json(rd)
+                m.mask_image = em
+                ms.append(m)
+            groups.append((em, ms, Path(f).stem))
+
+    n = 0
+    for em, ms, fallback in groups:
         results = []
-        for rd in doc.get("results", ()):
-            m = PPPMatch.from_json(rd)
-            m.mask_image = em
+        for m in ms:
             row = dto.ppp_match_to_dto(m)
             if hasattr(row, "files") and row.files:
                 row.files = {ft: args._url_transformer(ft, url)
@@ -301,7 +327,7 @@ def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
         em_meta = dto.neuron_metadata(em)
         _finalize_neuron_files(em_meta, em, args)
         publish = dto.result_matches_json(em_meta, results)
-        name = em.published_name or em.mip_id or Path(f).stem
+        name = em.published_name or em.mip_id or fallback
         with open(out_dir / f"{name}.json", "w") as fh:
             json.dump(publish, fh, indent=2 if pretty else None)
         n += 1

@@ -751,3 +751,26 @@ def test_export_mips_fs_and_db(tmp_path):
     doc = json.loads((out2 / "777.json").read_text())
     [r] = doc["results"]
     assert r["files"]["CDM"] == "https://s3/em1-cdm.png"
+
+
+def test_export_ppp_matches_db(tmp_path):
+    """EM_PPP_MATCHES --results-storage DB: rows come from the
+    pppMatches store collection (EMPPPMatchesExporter DB path)."""
+    cfg = tmp_path / "c.properties"
+    cfg.write_text(f"Store.Path={tmp_path}/db.sqlite\n")
+    run_cli("importPPPResults", "-rd", PPP_FIXTURES,
+            "--em-library", "flyem_hemibrain_1_2_1",
+            "--lm-library", "FlyLight Gen1 MCFO",
+            "--alignment-space", "JRC2018_Unisex_20x_HR",
+            "--mips-storage", "DB", "--results-storage", "DB",
+            "--config", cfg)
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_PPP_MATCHES",
+            "--results-storage", "DB", "--config", cfg, "-od", out)
+    files = sorted(out.glob("*.json"))
+    assert files, "expected per-EM publish files from the store"
+    doc = json.loads((out / "1599747200.json").read_text())
+    assert doc["inputImage"]["publishedName"] == "1599747200"
+    assert doc["results"]
+    ranks = [r.get("pppmRank") for r in doc["results"]]
+    assert ranks == sorted(ranks)
