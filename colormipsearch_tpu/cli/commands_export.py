@@ -273,6 +273,37 @@ def _finalize_neuron_files(meta, neuron, args) -> None:
                   for ft, url in meta.files.items()}
 
 
+# PPP screenshot type -> (publish FileType, thumbnail FileType)
+# (model/PPPScreenshotType.java:5-10)
+_PPP_SCREENSHOT_FILETYPES = {
+    "RAW": ("SignalMip", None),
+    "MASKED_RAW": ("SignalMipMasked", None),
+    "SKEL": ("SignalMipMaskedSkel", None),
+    "CH": ("CDMBest", "CDMBestThumbnail"),
+    "CH_SKEL": ("CDMSkel", None),
+}
+
+
+def _ppp_match_files(m, pppm_urls: dict, transform) -> dict:
+    """Publish files for one PPP match row: uploaded URLs from the
+    pppmURL collection when available, else the raw screenshot file
+    names (EMPPPMatchesExporter:213-227)."""
+    if not m.source_image_files:
+        return {}
+    urls = pppm_urls.get(m.entity_id) or {}
+    uploaded = urls.get("uploadedFiles") or {}
+    thumbs = urls.get("uploadedThumbnails") or {}
+    files = {}
+    for stype, fname in m.source_image_files.items():
+        ft, thumb_ft = _PPP_SCREENSHOT_FILETYPES.get(stype, (None, None))
+        if ft is None:
+            continue
+        files[ft] = transform(ft, uploaded.get(stype) or fname)
+        if thumb_ft and thumbs.get(stype):
+            files[thumb_ft] = transform(thumb_ft, thumbs[stype])
+    return files
+
+
 def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
     """Per-EM PPP publish files (cmd/dataexport/EMPPPMatchesExporter):
     reads importPPPResults output — grouped files, or pppMatches store
@@ -280,11 +311,19 @@ def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
     dto shape."""
     from colormipsearch_tpu.model.entities import PPPMatch
 
+    pppm_urls: dict = {}
     groups: list[tuple] = []  # (em neuron, [PPPMatch], fallback name)
     if args.resultsStorage == "DB":
         from colormipsearch_tpu.persist import Config, DaosProvider
 
         daos = DaosProvider(Config(args.configFile))
+        # uploaded screenshot URLs per match internal id
+        # (model/PPPmURLs.java storeName pppmURL)
+        for doc in daos.store.collection("pppmURL").find({}):
+            try:
+                pppm_urls[int(doc["_id"])] = doc
+            except (KeyError, TypeError, ValueError):
+                continue
         by_em: dict[str, list] = {}
         for m in daos.ppp_matches_dao.find_all():
             em = m.mask_image
@@ -320,9 +359,10 @@ def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
         results = []
         for m in ms:
             row = dto.ppp_match_to_dto(m)
-            if hasattr(row, "files") and row.files:
-                row.files = {ft: args._url_transformer(ft, url)
-                             for ft, url in row.files.items()}
+            row.files = {
+                **_ppp_match_files(m, pppm_urls, args._url_transformer),
+                **{ft: args._url_transformer(ft, url)
+                   for ft, url in (row.files or {}).items()}}
             results.append(row)
         em_meta = dto.neuron_metadata(em)
         _finalize_neuron_files(em_meta, em, args)

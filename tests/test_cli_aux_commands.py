@@ -774,3 +774,38 @@ def test_export_ppp_matches_db(tmp_path):
     assert doc["results"]
     ranks = [r.get("pppmRank") for r in doc["results"]]
     assert ranks == sorted(ranks)
+
+
+def test_export_ppp_screenshot_files(tmp_path):
+    """PPP screenshot types map to publish FileTypes; uploaded URLs from
+    the pppmURL collection take precedence over raw file names
+    (PPPScreenshotType.java:5-10, EMPPPMatchesExporter:213-227)."""
+    from colormipsearch_tpu.model import EMNeuron, PPPMatch
+    from colormipsearch_tpu.persist import Config, DaosProvider
+
+    cfg = tmp_path / "c.properties"
+    cfg.write_text(f"Store.Path={tmp_path}/db.sqlite\n")
+    daos = DaosProvider(Config(str(cfg)))
+    em = EMNeuron(mip_id="em1", published_name="999",
+                  library_name="emlib", alignment_space="AS")
+    m = PPPMatch(mask_image=em, source_em_name="999-PFNp-RT",
+                 source_lm_name="L1-sc_REG_UNISEX_40x", rank=1.0,
+                 coverage_score=-50.0,
+                 source_image_files={"CH": "999-L1_5_ch.png",
+                                     "RAW": "999-L1_1_raw.png"})
+    daos.ppp_matches_dao.save_all([m])
+    daos.store.collection("pppmURL").insert_many([
+        {"_id": m.entity_id,
+         "uploadedFiles": {"CH": "https://s3/ch.png"},
+         "uploadedThumbnails": {"CH": "https://s3/ch.jpg"}}])
+    daos.store.close()
+
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_PPP_MATCHES",
+            "--results-storage", "DB", "--config", cfg, "-od", out)
+    doc = json.loads((out / "999.json").read_text())
+    [r] = doc["results"]
+    assert r["files"]["CDMBest"] == "https://s3/ch.png"
+    assert r["files"]["CDMBestThumbnail"] == "https://s3/ch.jpg"
+    # no uploaded URL for RAW -> raw file name is used
+    assert r["files"]["SignalMip"] == "999-L1_1_raw.png"
