@@ -289,26 +289,26 @@ def strip_gather_experiment(t_width=2048, q=2048, repeats=300):
         rng.integers(2, p_rows - 3, (q,)).astype(np.int32))
     w = 566
 
-    def make(pl):
-        @jax.jit
-        def f(pos):
-            acc = jnp.zeros((pl.shape[1],), jnp.uint32)
-            for dy in (-2 * w, 0, 2 * w):
-                for dx in (-2, 0, 2):
-                    g = jnp.take(pl, pos + (dy + dx), axis=0)
-                    acc = acc + g.sum(axis=0, dtype=jnp.uint32)
-            return acc
-        return f
+    # planes passed as ARGUMENTS: closing over a device array embeds it
+    # as a lowered constant, which the remote-compile tunnel would
+    # re-upload (GBs at ~10 MB/s)
+    @jax.jit
+    def rows9(pl, pos):
+        acc = jnp.zeros((pl.shape[1],), jnp.uint32)
+        for dy in (-2 * w, 0, 2 * w):
+            for dx in (-2, 0, 2):
+                g = jnp.take(pl, pos + (dy + dx), axis=0)
+                acc = acc + g.sum(axis=0, dtype=jnp.uint32)
+        return acc
 
     for name, pl, bytes_px in (("rows9_u32", planes, 4),
                                ("rows9_u16", planes16, 2),
                                ("rows9_u8", planes8, 1)):
-        fn = make(pl)
-        np.asarray(fn(pos))
+        np.asarray(rows9(pl, pos))
         t0 = time.perf_counter()
         out = None
         for _ in range(repeats):
-            out = fn(pos)
+            out = rows9(pl, pos)
         np.asarray(out)
         dt = time.perf_counter() - t0
         print(json.dumps({
