@@ -215,3 +215,24 @@ def test_create_data_input_for_update(tmp_path):
     ids = sorted(d["mipId"] for d in docs)
     assert len(ids) == len(set(ids)) and len(ids) >= 2
     assert any("LPLC2" in i for i in ids)
+
+
+def test_v2_group_mips_custom_dirs_and_library_map(tmp_path, jacs_dump):
+    """--lines-directory renames the LM grouping subdir; --config-url
+    maps the library display name on the grouped MIPs."""
+    from colormipsearch_tpu.dataio import v2_io
+
+    cfg = tmp_path / "cdm_library.json"
+    cfg.write_text(json.dumps({"config": {
+        "FlyLight Gen1 MCFO": {"name": "FlyLight Gen1 MCFO Published"},
+    }}))
+    out = tmp_path / "grouped"
+    run_cli("groupMIPsByPublishedName",
+            "--jacs-url", f"file://{jacs_dump}",
+            "--config-url", f"file://{cfg}",
+            "-l", "FlyLight Gen1 MCFO",
+            "--lines-directory", "lines", "-od", out)
+    files = sorted((out / "lines").glob("*.json"))
+    assert [f.stem for f in files] == ["R00A01", "R01A01", "R02A01"]
+    mips = v2_io.read_mips_json(files[0])
+    assert mips[0].libraryName == "FlyLight Gen1 MCFO Published"
