@@ -94,8 +94,6 @@ def _neuron_name_filter(neurons, patterns):
     pats = [p.lower() for p in patterns if p]
 
     def hit(n):
-        from colormipsearch_tpu.model.entities import ComputeFileType
-
         fd = n.compute_file(ComputeFileType.InputColorDepthImage)
         hay = " ".join(filter(None, (
             n.mip_id, n.published_name,

@@ -301,18 +301,26 @@ def cmd_validate(args) -> int:
     if daos is not None and error_neuron_ids and (
             args.apply_error_tag_to_em_cdmatches
             or args.apply_error_tag_to_lm_cdmatches):
-        bad = set(error_neuron_ids)
-        for doc in daos.cd_matches_dao._col.find({}):
-            hit = (args.apply_error_tag_to_em_cdmatches
-                   and str(doc.get("maskImageRefId")) in bad) or \
-                  (args.apply_error_tag_to_lm_cdmatches
-                   and str(doc.get("matchedImageRefId")) in bad)
-            if hit:
-                tags = set(doc.get("tags") or ())
-                tags.add(args.error_tag)
-                daos.cd_matches_dao._col.update_fields(
-                    doc["_id"], {"tags": sorted(tags)})
-                n_tagged_matches += 1
+        # indexed ref-id lookups instead of a full-collection scan
+        sides = []
+        if args.apply_error_tag_to_em_cdmatches:
+            sides.append("maskImageRefId")
+        if args.apply_error_tag_to_lm_cdmatches:
+            sides.append("matchedImageRefId")
+        seen_match_ids = set()
+        for side in sides:
+            for i in range(0, len(error_neuron_ids), 500):
+                chunk = error_neuron_ids[i:i + 500]
+                for doc in daos.cd_matches_dao._col.find(
+                        {side: {"$in": chunk}}):
+                    if doc["_id"] in seen_match_ids:
+                        continue
+                    seen_match_ids.add(doc["_id"])
+                    tags = set(doc.get("tags") or ())
+                    tags.add(args.error_tag)
+                    daos.cd_matches_dao._col.update_fields(
+                        doc["_id"], {"tags": sorted(tags)})
+                    n_tagged_matches += 1
     print(json.dumps({"neuronsChecked": sum(len(v) for v in
                                             sources.values()),
                       "neuronsWithErrors": total_errors,

@@ -394,25 +394,30 @@ def _read_db_matches(args):
             NeuronSelector(mip_ids=[mip_id])))
     LOG.info("read %d matches for %d masks from the DB store",
              len(out), len(mip_ids))
-    # uploaded-file URLs live in the publishedURL collection keyed by
-    # neuron internal id; only the ids present in the exported matches
-    # are fetched (CachedDataHelper.retrievePublishedURLs queries per
-    # neuron batch, not the whole collection)
-    needed = sorted({n.entity_id for m in out
-                     for n in (m.mask_image, m.matched_image)
+    neurons = [n for m in out for n in (m.mask_image, m.matched_image)]
+    args._published_urls_by_id = _load_published_urls(daos, neurons)
+    return out
+
+
+def _load_published_urls(daos, neurons) -> dict:
+    """{neuron internal id: uploaded urls} from the publishedURL
+    collection, fetched only for the given neurons
+    (CachedDataHelper.retrievePublishedURLs queries per neuron batch,
+    not the whole collection)."""
+    needed = sorted({n.entity_id for n in neurons
                      if n is not None and n.entity_id is not None})
     coll = daos.store.collection("publishedURL")
+    urls: dict = {}
     for i in range(0, len(needed), 500):
         for doc in coll.find({"_id": {"$in": needed[i:i + 500]}}):
             try:
-                key = int(doc["_id"])
+                urls[int(doc["_id"])] = doc.get("uploaded") or {}
             except (KeyError, TypeError, ValueError):
                 continue
-            args._published_urls_by_id[key] = doc.get("uploaded") or {}
-    if args._published_urls_by_id:
+    if urls:
         LOG.info("loaded published URLs for %d of %d exported neurons",
-                 len(args._published_urls_by_id), len(needed))
-    return out
+                 len(urls), len(needed))
+    return urls
 
 
 def _export_cd_matches(args, out_dir: Path, pretty: bool) -> int:
@@ -598,12 +603,7 @@ def _export_mips(args, out_dir: Path, pretty: bool) -> int:
             libraries=list(args.libraries or ()),
             names=list(args.exported_names or ()),
             tags=list(args.neuron_tags or ())))
-        for doc in daos.store.collection("publishedURL").find({}):
-            try:
-                args._published_urls_by_id[int(doc["_id"])] = \
-                    doc.get("uploaded") or {}
-            except (KeyError, TypeError, ValueError):
-                continue
+        args._published_urls_by_id = _load_published_urls(daos, neurons)
     else:
         neurons = []
         for src in args.mips:
