@@ -220,10 +220,16 @@ def main():
 
 
 
-def split_kernel_experiment(t_width=4096, b=8, repeats_pairs=4e6):
+def split_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
     """A/B: packed-u32 kernel vs the 3-byte split-plane kernel
     (u16 (p<<8)|s + u8 cls), both with the data threshold folded into
-    the pack (the engine's production configuration)."""
+    the pack (the engine's production configuration).
+
+    t_width 2048 keeps u32 (5.6 GB) + split (4.2 GB) planes co-resident
+    in the 16 GB HBM; the threshold fold donates the source planes to
+    avoid a 2x peak."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     from colormipsearch_tpu.ops import common as ops_common
@@ -232,9 +238,13 @@ def split_kernel_experiment(t_width=4096, b=8, repeats_pairs=4e6):
     plan, target_rgb = build_plan()
     v, q = plan.positions.shape
     planes = build_planes(target_rgb, t_width)
-    # re-fold the threshold and derive the split pair on device
-    folded = jnp.where(
-        (planes & 0xFF) > 20, planes, 0).astype(jnp.uint32)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fold(pl):
+        return jnp.where((pl & 0xFF) > 20, pl, 0).astype(jnp.uint32)
+
+    folded = jax.block_until_ready(fold(planes))
+    del planes
     t_sp, t_c8 = ops_common.split_planes_from_packed(folded)
     t_sp, t_c8 = jax.block_until_ready((t_sp, t_c8))
 
