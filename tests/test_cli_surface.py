@@ -134,3 +134,24 @@ def test_ga_batch_launcher(tmp_path, capsys):
     assert len(out) == 3                      # ceil(5/2) jobs
     assert all("gradientScores" in line for line in out)
     assert "mask4.json" in out[-1]
+
+
+def test_cds_batch_launcher(tmp_path, capsys):
+    """scripts/cds_batch.py tiles the (masks x targets) matrix into jobs
+    (submitCDSBatch.sh equivalent)."""
+    import sys
+    sys.path.insert(0, "/root/repo/scripts")
+    import cds_batch
+
+    rc = cds_batch.main(["--masks", "m.json", "--targets", "t.json",
+                         "--total-masks", "10", "--total-targets", "7",
+                         "--masks-per-job", "5", "--targets-per-job", "4",
+                         "-od", str(tmp_path), "--print"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # 2 mask tiles x 2 target tiles
+    assert len(out) == 4
+    assert "--masks-index 0" in out[0] and "--targets-index 0" in out[0]
+    assert "--masks-index 5" in out[-1] and "--targets-index 4" in out[-1]
+    # boundary tiles get clipped lengths
+    assert "--targets-length 3" in out[-1]
