@@ -170,38 +170,41 @@ def bench_tpu(mask_rgb, target_rgb, region):
 
 def bench_shape_tpu(mask_rgb, target_rgb, region):
     """Shape (gradient-area-gap) pass rate: one mask vs SHAPE_TARGETS
-    rolled targets with on-the-fly zgap synthesis equivalents, both
-    orientations (the production mirror config)."""
+    synthesized targets, both orientations (the production mirror
+    config), through the engine's sparse support-row form: only rows
+    with a nonzero query word (~5% of the plane incl. the r=60 ring)
+    are packed and scored (ops/shape_score.pack_target_rows)."""
     import jax
     import jax.numpy as jnp
 
     from colormipsearch_tpu.ops import shape_score
 
-    h, w = target_rgb.shape[:2]
     q_pack = shape_score.pack_query(mask_rgb, excluded_region=region,
                                     negative_radius=20)
+    pos = shape_score.support_positions(q_pack)
+    n_pad = shape_score.support_bucket(pos.size)
+    q_sp = jnp.asarray(shape_score.sparse_query(q_pack, pos, n_pad))
 
-    # synthesize packed target planes on device: realistic field sparsity
+    # synthesize packed support rows on device: realistic field sparsity
     # without uploading SHAPE_TARGETS full images over the tunnel
-    p = h * w
-
     @jax.jit
     def make(key):
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        grad = jax.random.randint(k1, (p, SHAPE_TARGETS), 0, 1 << 16)
-        sl = jax.random.randint(k2, (p, SHAPE_TARGETS), 0, 257)
-        znz = (jax.random.uniform(k3, (p, SHAPE_TARGETS)) < 0.06)
-        tfg = (jax.random.uniform(k4, (p, SHAPE_TARGETS)) < 0.06)
-        return (grad | (sl << 16) | (znz.astype(jnp.int32) << 25)
+        grad = jax.random.randint(k1, (n_pad, SHAPE_TARGETS), 0, 1 << 16)
+        sl = jax.random.randint(k2, (n_pad, SHAPE_TARGETS), 0, 257)
+        znz = (jax.random.uniform(k3, (n_pad, SHAPE_TARGETS)) < 0.06)
+        tfg = (jax.random.uniform(k4, (n_pad, SHAPE_TARGETS)) < 0.06)
+        word = (grad | (sl << 16) | (znz.astype(jnp.int32) << 25)
                 | (tfg.astype(jnp.int32) << 26)).astype(jnp.uint32)
+        return jnp.where((jnp.arange(n_pad) < pos.size)[:, None],
+                         word, jnp.uint32(0))
 
     t_pack = jax.block_until_ready(make(jax.random.PRNGKey(0)))
-    qj = jnp.asarray(q_pack)
 
     def run_once():
         # mirror config scores straight AND mirror planes per pair
-        a = shape_score.shape_score_pairs(t_pack, qj)
-        b = shape_score.shape_score_pairs(t_pack, qj)
+        a = shape_score.shape_score_pairs(t_pack, q_sp)
+        b = shape_score.shape_score_pairs(t_pack, q_sp)
         return a, b
 
     np.asarray(run_once()[0][0])  # compile + warm

@@ -181,23 +181,31 @@ class GradScoreEngine:
             q_pack_m = shape_score.pack_query(
                 mask_rgb, excluded_region=region, roi_keep=roi_keep_m,
                 negative_radius=p.negative_radius)
+        # sparse support rows: only pixels with a nonzero query word can
+        # contribute to any score term (~5% of the plane incl. the r=60
+        # ring) — pack/ship/score only those (ops/shape_score.py)
+        pos = shape_score.support_positions(q_pack, q_pack_m)
+        n_pad = shape_score.support_bucket(pos.size)
+        q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
+        q_sp_m = (shape_score.sparse_query(q_pack_m, pos, n_pad)
+                  if q_pack_m is not None else None)
         n = 0
         for i in range(0, len(loaded), self.GROUP_TILE):
             n += self._score_group_tile(
-                region, q_pack, q_pack_m, loaded[i:i + self.GROUP_TILE])
+                region, pos, n_pad, q_sp, q_sp_m,
+                loaded[i:i + self.GROUP_TILE])
         return n
 
-    def _score_group_tile(self, region, q_pack, q_pack_m, loaded) -> int:
+    def _score_group_tile(self, region, pos, n_pad,
+                          q_pack, q_pack_m, loaded) -> int:
         from colormipsearch_tpu.ops import shape_score
-        from colormipsearch_tpu.oracle.shape import clear_region
 
         p = self.params
-        t_stack = np.stack([clear_region(t, region)
-                            for _, t, _, _ in loaded])
-        g_stack = np.stack([g for _, _, g, _ in loaded])
-        z_stack = np.stack([z for _, _, _, z in loaded])
-        t_pack, t_pack_m = shape_score.pack_targets(
-            t_stack, g_stack, z_stack, mask_threshold=p.mask_threshold)
+        t_pack, t_pack_m = shape_score.pack_target_rows(
+            [t for _, t, _, _ in loaded],
+            [g for _, _, g, _ in loaded],
+            [z for _, _, _, z in loaded], pos, n_pad,
+            mask_threshold=p.mask_threshold, excluded=region)
         n_real = t_pack.shape[1]
         if self._mesh is not None:
             # pad T to the device count so the mesh path always applies

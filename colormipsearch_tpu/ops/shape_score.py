@@ -200,6 +200,100 @@ def pack_query(q_rgb: np.ndarray, *, excluded_region=None,
 
 
 # -------------------------------------------------------------------------
+# sparse (support-row) packing
+# -------------------------------------------------------------------------
+#
+# Every term of the shape score has a query-side factor: the gap value is
+# zero unless the query pixel is nonzero (overlap) or carries signal
+# (gradient term), and the high-expression term needs the ring bit — so
+# rows whose packed query word is 0 can NEVER contribute.  On fixture
+# masks the support is ~5% of the plane (r=60 ring included), so packing
+# ONLY the support rows cuts device ops, HBM traffic, and host->device
+# upload ~20x.  The target pack runs per mask group anyway (the zgap
+# fallback depends on the mask's params), so the host slices support
+# columns during packing and the device kernel stays a dense
+# elementwise+reduce over [S, T] — shape_score_pairs works unchanged.
+
+
+def support_positions(q_pack: np.ndarray,
+                      q_pack_mirror: np.ndarray | None = None) -> np.ndarray:
+    """int32 flat pixel indices whose query word is nonzero (union with
+    the mirror-ROI pack when given) — the only rows that can contribute
+    to any score term."""
+    word = q_pack if q_pack_mirror is None else (q_pack | q_pack_mirror)
+    return np.flatnonzero(word).astype(np.int32)
+
+
+def sparse_query(q_pack: np.ndarray, pos: np.ndarray,
+                 n_pad: int) -> np.ndarray:
+    """Query plane sliced to the padded support rows (pad word = 0, which
+    zeroes every contribution of the pad rows)."""
+    out = np.zeros(n_pad, np.int32)
+    out[:pos.size] = q_pack[pos]
+    return out
+
+
+def support_bucket(s: int, minimum: int = 4096) -> int:
+    """Support sizes pad to the {1,1.25,1.5,1.75} x 2^k ladder so kernel
+    shapes (and XLA compilations) are reused across masks."""
+    from colormipsearch_tpu.ops.pixel_match import _bucket
+
+    return _bucket(s, minimum=minimum)
+
+
+def pack_target_rows(t_rgbs, grads, zgap_rgbs, pos: np.ndarray,
+                     n_pad: int, *, mask_threshold: int,
+                     excluded: np.ndarray | None = None):
+    """Column-sliced pack_targets: (straight, mirror) uint32 [S_pad, T]
+    device planes holding only the query-support rows `pos`.
+
+    Accepts sequences (or stacks) of per-target [H, W(, 3)] images and
+    slices the support columns per image, so no full-size [T, H, W]
+    stack is materialized.  The mirror plane keeps z-gap fields in place
+    and takes gradient/foreground from the horizontally mirrored pixel
+    (same formulation as pack_targets), so the mirrored fields are
+    sliced at the mirrored column indices.
+
+    `excluded`: optional bool [H, W] ignored-region mask.  The dense
+    path clears the target CDM in that region before packing, which
+    only affects the foreground bit (grad/zgap are packed uncleaned),
+    so here the tfg columns are masked directly — no per-image copy.
+    """
+    from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
+
+    t = len(t_rgbs)
+    w = t_rgbs[0].shape[1]
+    y, x = pos // w, pos % w
+    pos_m = y * w + (w - 1 - x)
+    both = np.concatenate([pos, pos_m])
+
+    zsel = np.stack([z.reshape(-1, 3)[pos] for z in zgap_rgbs])
+    sl = slice_numbers_lut(zsel).astype(np.uint32)
+    znz = (zsel.astype(np.int32).sum(axis=-1) > 0).astype(np.uint32)
+    z_part = (sl << _SL_SHIFT) | (znz << _ZNZ_SHIFT)   # [T, S]
+
+    # straight + mirrored gradient/foreground columns in one slice pass
+    tsel = np.stack([i.reshape(-1, 3)[both] for i in t_rgbs])
+    gsel = np.stack([g.reshape(-1)[both] for g in grads])
+    tfg = (tsel > mask_threshold).any(axis=-1).astype(np.uint32)
+    if excluded is not None:
+        tfg &= (~excluded.reshape(-1)[both]).astype(np.uint32)
+    g_thr = np.where(gsel > GAP_THRESHOLD, gsel, 0).astype(np.uint32)
+    grad_fg = g_thr | (tfg << _TFG_SHIFT)              # [T, 2S]
+
+    s = pos.size
+    straight = z_part | grad_fg[:, :s]
+    mirror = z_part | grad_fg[:, s:]
+
+    def to_plane(a):
+        out = np.zeros((n_pad, t), np.uint32)
+        out[:s] = a.T
+        return jnp.asarray(out)
+
+    return to_plane(straight), to_plane(mirror)
+
+
+# -------------------------------------------------------------------------
 # pair scoring
 # -------------------------------------------------------------------------
 

@@ -1,9 +1,14 @@
 """Shape (gradient-area-gap) pass throughput on the real TPU.
 
-Measures the fused XLA kernel (ops/shape_score.shape_score_pairs) on
-production-sized packed planes, reporting shape-scored pairs/s (both
-orientations, the mirror-enabled production config) and the effective
-HBM read bandwidth.
+Measures the fused XLA kernel (ops/shape_score.shape_score_pairs) in two
+forms, reporting shape-scored pairs/s (both orientations, the
+mirror-enabled production config) and the effective HBM read bandwidth:
+
+  * dense — full [P, T] packed planes (the round-2 engine form),
+  * sparse — only the query-support rows [S_pad, T] (the production
+    engine form since round 2b: every score term has a query-side
+    factor, so rows with a zero query word cannot contribute; the
+    fixture mask's support incl. the r=60 ring is ~5% of the plane).
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/shape_bench.py
 
@@ -35,6 +40,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 H, W = 1210, 566          # production CDM shape
 T = int(os.environ.get("SHAPE_BENCH_TARGETS", 256))
 REPEATS = int(os.environ.get("SHAPE_BENCH_REPEATS", 20))
+SPARSE_REPEATS = int(os.environ.get("SHAPE_BENCH_SPARSE_REPEATS",
+                                    REPEATS * 10))
+RUN_DENSE = os.environ.get("SHAPE_BENCH_DENSE", "1") == "1"
+
+FIX = ("/root/reference/colormipsearch-api/src/test/resources/"
+       "colormipsearch/api/cdsearch")
+MASK_TIF = f"{FIX}/1752016801-LPLC2-RT_18U.tif"
 
 
 def log(msg):
@@ -42,53 +54,84 @@ def log(msg):
 
 
 def build_planes():
-    """Device-synthesized packed planes with realistic field content."""
+    """Device-synthesized packed target planes with realistic field
+    content, plus the REAL fixture query pack (so the sparse support
+    size is the production one, ~5% of the plane)."""
     p = H * W
 
     @jax.jit
     def make(key):
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         grad = jax.random.randint(k1, (p, T), 0, 1 << 16)
         sl = jax.random.randint(k2, (p, T), 0, 257)
         znz = (jax.random.uniform(k3, (p, T)) < 0.06).astype(jnp.int32)
         tfg = (jax.random.uniform(k4, (p, T)) < 0.06).astype(jnp.int32)
         word = (grad | (sl << 16) | (znz << 25) | (tfg << 26))
-        q_sl = jax.random.randint(k5, (p,), 0, 257)
-        q_bits = jax.random.randint(k5, (p, 3), 0, 2)
-        q = (q_sl | (q_bits[:, 0] << 9) | (q_bits[:, 1] << 10)
-             | (q_bits[:, 2] << 11))
-        return word.astype(jnp.uint32), q.astype(jnp.int32)
+        return word.astype(jnp.uint32)
 
-    t_pack, q_pack = make(jax.random.PRNGKey(0))
-    return jax.block_until_ready(t_pack), jax.block_until_ready(q_pack)
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.pixel import label_regions_mask
+    from colormipsearch_tpu.ops import shape_score
+
+    mask_rgb = read_image(MASK_TIF).as_rgb()
+    assert mask_rgb.shape[:2] == (H, W)
+    region = label_regions_mask(W, H)
+    q_pack = shape_score.pack_query(mask_rgb, excluded_region=region,
+                                    negative_radius=20)
+
+    t_pack = jax.block_until_ready(make(jax.random.PRNGKey(0)))
+    return t_pack, q_pack
 
 
-def time_fn(fn, t_pack, q_pack):
+def time_fn(fn, t_pack, q_pack, repeats):
     np.asarray(fn(t_pack, q_pack)[0])  # compile + warm
     t0 = time.perf_counter()
     out = None
-    for _ in range(REPEATS):
+    for _ in range(repeats):
         out = fn(t_pack, q_pack)
     np.asarray(out[0])
     dt = time.perf_counter() - t0
     # production mirror config reads the straight AND mirror planes:
     # 2 plane passes per scored pair
-    pairs = REPEATS * T / 2
-    read_gb = REPEATS * t_pack.nbytes / dt / 1e9
+    pairs = repeats * T / 2
+    read_gb = repeats * t_pack.nbytes / dt / 1e9
     return pairs / dt, read_gb
 
 
 def main():
     log(f"devices: {jax.devices()}  T={T}  plane={H}x{W}")
     t_pack, q_pack = build_planes()
-    log(f"planes: {t_pack.nbytes / 1e9:.1f} GB")
+    log(f"dense planes: {t_pack.nbytes / 1e9:.1f} GB")
 
     from colormipsearch_tpu.ops import shape_score
 
-    rate, gbs = time_fn(shape_score.shape_score_pairs, t_pack, q_pack)
-    print(json.dumps({"kind": "xla", "pairs_per_s": round(rate, 1),
-                      "read_gb_per_s": round(gbs, 1)}), flush=True)
+    if RUN_DENSE:
+        qj = jnp.asarray(q_pack)
+        rate, gbs = time_fn(shape_score.shape_score_pairs, t_pack, qj,
+                            REPEATS)
+        print(json.dumps({"kind": "xla-dense", "pairs_per_s": round(rate, 1),
+                          "read_gb_per_s": round(gbs, 1)}), flush=True)
 
+    # sparse: support rows of the real fixture query
+    pos = shape_score.support_positions(q_pack)
+    n_pad = shape_score.support_bucket(pos.size)
+    log(f"support {pos.size} rows ({100 * pos.size / (H * W):.1f}% of "
+        f"plane), padded {n_pad}")
+    q_sp = jnp.asarray(shape_score.sparse_query(q_pack, pos, n_pad))
+    # slice the same synthesized planes (device gather, untimed) so the
+    # sparse pass sees identical field content
+    idx = np.zeros(n_pad, np.int32)
+    idx[:pos.size] = pos
+    t_rows = jax.block_until_ready(
+        jnp.where((jnp.arange(n_pad) < pos.size)[:, None],
+                  jnp.take(t_pack, jnp.asarray(idx), axis=0),
+                  jnp.uint32(0)))
+    rate, gbs = time_fn(shape_score.shape_score_pairs, t_rows, q_sp,
+                        SPARSE_REPEATS)
+    print(json.dumps({"kind": "xla-sparse", "pairs_per_s": round(rate, 1),
+                      "read_gb_per_s": round(gbs, 1),
+                      "support_rows": int(pos.size),
+                      "padded_rows": int(n_pad)}), flush=True)
     return 0
 
 

@@ -72,6 +72,73 @@ def test_shape_score_pairs_match_oracle(mirror):
         assert bool(mirrored[i]) == ref.mirrored, i
 
 
+@pytest.mark.parametrize("mirror", [False, True])
+def test_sparse_pack_equals_dense(mirror):
+    """Support-row packing (pack_target_rows) must reproduce the dense
+    pack's scores exactly — dropped rows provably contribute zero."""
+    rng = np.random.default_rng(7)
+    h, w = 48, 64
+    query = _mk_cdm(rng, h, w, 350)
+    targets = [_mk_cdm(rng, h, w, 500) for _ in range(3)] + [query]
+    grads = [rng.integers(0, 300, (h, w)).astype(np.uint16)
+             for _ in targets]
+    zgaps = [dilate_rgb(mask_rgb(t, 20), 20) for t in targets]
+
+    q_pack = shape_score.pack_query(query)
+    t_pack, t_pack_m = shape_score.pack_targets(
+        np.stack(targets), np.stack(grads), np.stack(zgaps),
+        mask_threshold=20)
+    dense = shape_score.score_shape_batch(
+        t_pack, t_pack_m, q_pack, mirror=mirror)
+
+    pos = shape_score.support_positions(q_pack)
+    assert 0 < pos.size < h * w  # genuinely sparse on this workload
+    n_pad = shape_score.support_bucket(pos.size, minimum=256)
+    q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
+    t_rows, t_rows_m = shape_score.pack_target_rows(
+        np.stack(targets), np.stack(grads), np.stack(zgaps), pos, n_pad,
+        mask_threshold=20)
+    assert t_rows.shape == (n_pad, len(targets))
+    sparse = shape_score.score_shape_batch(
+        t_rows, t_rows_m, q_sp, mirror=mirror)
+
+    for d, s in zip(dense, sparse):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(s))
+
+
+def test_sparse_pack_equals_dense_with_roi_mirror():
+    """With an ROI the mirror orientation uses a different query pack;
+    the support union must cover both orientations."""
+    rng = np.random.default_rng(9)
+    h, w = 40, 56
+    query = _mk_cdm(rng, h, w, 300)
+    target = _mk_cdm(rng, h, w, 400)
+    grad = rng.integers(0, 250, (h, w)).astype(np.uint16)
+    zgap = dilate_rgb(mask_rgb(target, 20), 20)
+    roi_keep = np.zeros((h, w), bool)
+    roi_keep[:, : w // 2] = True
+
+    q_pack = shape_score.pack_query(query, roi_keep=roi_keep)
+    q_pack_m = shape_score.pack_query(query, roi_keep=roi_keep[:, ::-1])
+    t_pack, t_pack_m = shape_score.pack_targets(
+        target[None], grad[None], zgap[None], mask_threshold=20)
+    dense = shape_score.score_shape_batch(
+        t_pack, t_pack_m, q_pack, mirror=True, q_pack_mirror=q_pack_m)
+
+    pos = shape_score.support_positions(q_pack, q_pack_m)
+    n_pad = shape_score.support_bucket(pos.size, minimum=256)
+    q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
+    q_sp_m = shape_score.sparse_query(q_pack_m, pos, n_pad)
+    t_rows, t_rows_m = shape_score.pack_target_rows(
+        target[None], grad[None], zgap[None], pos, n_pad,
+        mask_threshold=20)
+    sparse = shape_score.score_shape_batch(
+        t_rows, t_rows_m, q_sp, mirror=True, q_pack_mirror=q_sp_m)
+
+    for d, s in zip(dense, sparse):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(s))
+
+
 def test_shape_score_with_region_exclusion():
     rng = np.random.default_rng(5)
     h, w = 40, 50
@@ -98,3 +165,17 @@ def test_shape_score_with_region_exclusion():
     assert gap[0] == ref.gradient_area_gap
     assert he[0] == ref.high_expression_area
     assert bool(mirrored[0]) == ref.mirrored
+
+    # sparse path: UNCLEANED target + excluded= must match (the engine
+    # no longer copies/clears each target image)
+    pos = shape_score.support_positions(q_pack)
+    n_pad = shape_score.support_bucket(pos.size, minimum=256)
+    q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
+    t_rows, t_rows_m = shape_score.pack_target_rows(
+        target[None], grad[None], zgap[None], pos, n_pad,
+        mask_threshold=20, excluded=region)
+    gap_s, he_s, mirrored_s = shape_score.score_shape_batch(
+        t_rows, t_rows_m, q_sp, mirror=True)
+    assert gap_s[0] == ref.gradient_area_gap
+    assert he_s[0] == ref.high_expression_area
+    assert bool(mirrored_s[0]) == ref.mirrored
