@@ -91,13 +91,13 @@ class GradScoreEngine:
             mask_rgb = mask_mip.image.as_rgb()
             h, w = mask_rgb.shape[:2]
             region = self.params.shape_excluded_region(h, w)
-            loaded = self._load_group_targets(group, (h, w), region)
+            tiles = self._iter_group_tiles(group, (h, w), region)
             if self.use_device:
                 n_ok = self._score_group_device(
-                    mask_rgb, region, roi_rgb, loaded)
+                    mask_rgb, region, roi_rgb, tiles)
             else:
                 n_ok = self._score_group_oracle(
-                    mask_rgb, region, roi_rgb, loaded)
+                    mask_rgb, region, roi_rgb, tiles)
             ok = [m for m in group if m.has_grad_score()]
             scored.extend(ok)
             LOG.info("grad-scored %d/%d matches of %s in %.1fs",
@@ -105,6 +105,30 @@ class GradScoreEngine:
 
         update_normalized_scores([m for m in scored])
         return scored
+
+    def _iter_group_tiles(self, group, mask_shape, region):
+        """Stream GROUP_TILE-sized lists of loaded targets with one-tile
+        lookahead: while the device scores tile i, a worker thread
+        decodes tile i+1 (same double-buffering as the CDS pass's
+        iter_target_shards), so host image memory stays bounded at two
+        tiles regardless of group size."""
+        import concurrent.futures
+
+        chunks = [group[i:i + self.GROUP_TILE]
+                  for i in range(0, len(group), self.GROUP_TILE)]
+        if len(chunks) <= 1:
+            for c in chunks:
+                yield self._load_group_targets(c, mask_shape, region)
+            return
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(self._load_group_targets, chunks[0],
+                              mask_shape, region)
+            for nxt in chunks[1:]:
+                loaded = fut.result()
+                fut = pool.submit(self._load_group_targets, nxt,
+                                  mask_shape, region)
+                yield loaded
+            yield fut.result()
 
     def _load_group_targets(self, group, mask_shape, region):
         """Load target/gradient/zgap images for each match; matches with
@@ -154,16 +178,15 @@ class GradScoreEngine:
             loaded.append((m, t_rgb, grad.astype(np.uint16), zgap))
         return loaded
 
-    # targets per device batch: bounds host stacks (~0.7 GB RGB+grad+
-    # zgap) and the packed planes (2 x [P, 256] uint32) per dispatch
+    # targets per device batch: bounds the in-flight host images
+    # (~2 x 1.4 GB RGB+grad+zgap with the prefetch tile) per dispatch;
+    # the packed planes are support-row sparse and much smaller
     GROUP_TILE = 256
 
-    def _score_group_device(self, mask_rgb, region, roi_rgb, loaded) -> int:
+    def _score_group_device(self, mask_rgb, region, roi_rgb, tiles) -> int:
         from colormipsearch_tpu.ops import shape_score
         from colormipsearch_tpu.oracle.shape import clear_region
 
-        if not loaded:
-            return 0
         # per-mask query packing (r=60/r=20 dilations) happens ONCE,
         # then the group's targets stream through in bounded tiles
         p = self.params
@@ -190,10 +213,10 @@ class GradScoreEngine:
         q_sp_m = (shape_score.sparse_query(q_pack_m, pos, n_pad)
                   if q_pack_m is not None else None)
         n = 0
-        for i in range(0, len(loaded), self.GROUP_TILE):
-            n += self._score_group_tile(
-                region, pos, n_pad, q_sp, q_sp_m,
-                loaded[i:i + self.GROUP_TILE])
+        for loaded in tiles:
+            if loaded:
+                n += self._score_group_tile(
+                    region, pos, n_pad, q_sp, q_sp_m, loaded)
         return n
 
     def _score_group_tile(self, region, pos, n_pad,
@@ -229,18 +252,21 @@ class GradScoreEngine:
             # `mirrored` flag on the entity (reference keeps the CDS one)
         return len(loaded)
 
-    def _score_group_oracle(self, mask_rgb, region, roi_rgb, loaded) -> int:
+    def _score_group_oracle(self, mask_rgb, region, roi_rgb, tiles) -> int:
         oracle = ShapeMatchOracle(
             mask_rgb, self.params.mask_threshold,
             mirror=self.params.mirror_mask,
             negative_radius=self.params.negative_radius,
             excluded_region=region,
             roi_mask_rgb=roi_rgb)
-        for m, t_rgb, grad, zgap in loaded:
-            res = oracle.score(t_rgb, grad, zgap)
-            m.gradient_area_gap = res.gradient_area_gap
-            m.high_expression_area = res.high_expression_area
-        return len(loaded)
+        n = 0
+        for loaded in tiles:
+            for m, t_rgb, grad, zgap in loaded:
+                res = oracle.score(t_rgb, grad, zgap)
+                m.gradient_area_gap = res.gradient_area_gap
+                m.high_expression_area = res.high_expression_area
+            n += len(loaded)
+        return n
 
 
 def update_normalized_scores(matches: list[CDMatch]) -> None:

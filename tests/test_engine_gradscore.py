@@ -1,0 +1,76 @@
+"""Direct GradScoreEngine tests: streamed multi-tile groups vs oracle."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from colormipsearch_tpu.engine.cds import CDSParams
+from colormipsearch_tpu.engine.gradscore import GradScoreEngine
+from colormipsearch_tpu.model import CDMatch, ComputeFileType
+from colormipsearch_tpu.model.entities import Neuron
+from colormipsearch_tpu.oracle.shape import (
+    ShapeMatchOracle,
+    dilate_rgb,
+    mask_rgb,
+)
+
+
+def _mk_cdm(rng, h, w, n):
+    img = np.zeros((h, w, 3), np.uint8)
+    ys = rng.integers(0, h, n)
+    xs = rng.integers(0, w, n)
+    img[ys, xs] = rng.integers(0, 256, (n, 3))
+    return img
+
+
+@pytest.mark.parametrize("with_zgap", [True, False])
+def test_streamed_tiles_match_oracle(tmp_path, monkeypatch, with_zgap):
+    """A group larger than GROUP_TILE streams through the prefetch
+    iterator; scores must equal the float64 oracle per match (zgap
+    variant present, and the on-the-fly dilation fallback)."""
+    rng = np.random.default_rng(21)
+    h, w = 60, 80
+    mask_img = _mk_cdm(rng, h, w, 400)
+    Image.fromarray(mask_img).save(tmp_path / "mask.png")
+    mask_neuron = Neuron(mip_id="mask-1")
+    mask_neuron.set_compute_file(
+        ComputeFileType.InputColorDepthImage, str(tmp_path / "mask.png"))
+
+    n_targets = 5
+    matches, expected = [], []
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       mirror_mask=True, negative_radius=20)
+    region = params.shape_excluded_region(h, w)
+    oracle = ShapeMatchOracle(mask_img, 20, mirror=True, negative_radius=20,
+                              excluded_region=region)
+    for i in range(n_targets):
+        t_img = _mk_cdm(rng, h, w, 500)
+        grad = rng.integers(0, 300, (h, w)).astype(np.uint16)
+        Image.fromarray(t_img).save(tmp_path / f"t{i}.png")
+        Image.fromarray(grad.astype(np.int32), mode="I").save(
+            tmp_path / f"t{i}_grad.png")
+        target = Neuron(mip_id=f"t-{i}")
+        target.set_compute_file(
+            ComputeFileType.InputColorDepthImage, str(tmp_path / f"t{i}.png"))
+        target.set_compute_file(
+            ComputeFileType.GradientImage, str(tmp_path / f"t{i}_grad.png"))
+        from colormipsearch_tpu.oracle.shape import clear_region
+        if with_zgap:
+            zgap = dilate_rgb(mask_rgb(t_img, 20), 20)
+            Image.fromarray(zgap).save(tmp_path / f"t{i}_zgap.png")
+            target.set_compute_file(
+                ComputeFileType.ZGapImage, str(tmp_path / f"t{i}_zgap.png"))
+        else:
+            # fallback dilates the region-cleared masked target
+            zgap = dilate_rgb(mask_rgb(clear_region(t_img, region), 20), 20)
+        matches.append(CDMatch(mask_image=mask_neuron, matched_image=target,
+                               matching_pixels=40 + i))
+        expected.append(oracle.score(t_img, grad, zgap))
+
+    monkeypatch.setattr(GradScoreEngine, "GROUP_TILE", 2)
+    engine = GradScoreEngine(params, use_device=True)
+    scored = engine.score_matches(matches)
+    assert len(scored) == n_targets
+    for m, exp in zip(matches, expected):
+        assert m.gradient_area_gap == exp.gradient_area_gap
+        assert m.high_expression_area == exp.high_expression_area
