@@ -40,8 +40,8 @@ _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 N_TARGETS = int(_os.environ.get("CDS_BENCH_TARGETS", 4096))
 N_MASK_REPEATS = int(_os.environ.get("CDS_BENCH_REPEATS", 24))
 MASK_BATCH = int(_os.environ.get("CDS_BENCH_MASK_BATCH", 8))
-SHAPE_TARGETS = int(_os.environ.get("CDS_BENCH_SHAPE_TARGETS", 256))
-SHAPE_REPEATS = int(_os.environ.get("CDS_BENCH_SHAPE_REPEATS", 10))
+SHAPE_TARGETS = int(_os.environ.get("CDS_BENCH_SHAPE_TARGETS", 512))
+SHAPE_REPEATS = int(_os.environ.get("CDS_BENCH_SHAPE_REPEATS", 100))
 BASELINE_ORACLE_TARGETS = 24
 REFERENCE_NODE_THREADS = 39  # submitCDSJob.sh:13-18 (2*20 cores - 1)
 HBM_PEAK_GB_S = 819  # TPU v5e HBM bandwidth (public spec)
@@ -189,23 +189,23 @@ def bench_shape_tpu(mask_rgb, target_rgb, region):
     # without uploading SHAPE_TARGETS full images over the tunnel
     @jax.jit
     def make(key):
+        shape = (2, n_pad, SHAPE_TARGETS)
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        grad = jax.random.randint(k1, (n_pad, SHAPE_TARGETS), 0, 1 << 16)
-        sl = jax.random.randint(k2, (n_pad, SHAPE_TARGETS), 0, 257)
-        znz = (jax.random.uniform(k3, (n_pad, SHAPE_TARGETS)) < 0.06)
-        tfg = (jax.random.uniform(k4, (n_pad, SHAPE_TARGETS)) < 0.06)
+        grad = jax.random.randint(k1, shape, 0, 1 << 16)
+        sl = jax.random.randint(k2, shape, 0, 257)
+        znz = (jax.random.uniform(k3, shape) < 0.06)
+        tfg = (jax.random.uniform(k4, shape) < 0.06)
         word = (grad | (sl << 16) | (znz.astype(jnp.int32) << 25)
                 | (tfg.astype(jnp.int32) << 26)).astype(jnp.uint32)
-        return jnp.where((jnp.arange(n_pad) < pos.size)[:, None],
+        return jnp.where((jnp.arange(n_pad) < pos.size)[None, :, None],
                          word, jnp.uint32(0))
 
-    t_pack = jax.block_until_ready(make(jax.random.PRNGKey(0)))
+    t_rows = jax.block_until_ready(make(jax.random.PRNGKey(0)))
+    q2 = jnp.stack([q_sp, q_sp])
 
     def run_once():
-        # mirror config scores straight AND mirror planes per pair
-        a = shape_score.shape_score_pairs(t_pack, q_sp)
-        b = shape_score.shape_score_pairs(t_pack, q_sp)
-        return a, b
+        # mirror config: straight AND mirror planes in one dispatch
+        return shape_score.shape_score_pairs_both(t_rows, q2)
 
     np.asarray(run_once()[0][0])  # compile + warm
     t0 = time.perf_counter()

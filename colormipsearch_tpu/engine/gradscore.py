@@ -46,10 +46,12 @@ class GradScoreEngine:
 
             self._mesh = create_mesh()
             self._shape_step = make_sharded_shape_step(self._mesh)
+            self._shape_step_both = make_sharded_shape_step(
+                self._mesh, both=True)
             LOG.info("shape scoring over a %d-device mesh",
                      len(self._mesh.devices.ravel()))
 
-    def _pairs_fn(self, n_targets: int):
+    def _pairs_fn(self, n_targets: int, *, both: bool = False):
         """Mesh-sharded pairs step when it divides the batch, else the
         single-device jit (score_shape_batch default)."""
         if self._mesh is None:
@@ -59,7 +61,7 @@ class GradScoreEngine:
             return None
         from colormipsearch_tpu.parallel.mesh import shard_target_planes
 
-        step = self._shape_step
+        step = self._shape_step_both if both else self._shape_step
 
         def fn(t_pack, q_pack):
             return step(shard_target_planes(self._mesh, t_pack), q_pack)
@@ -179,9 +181,9 @@ class GradScoreEngine:
         return loaded
 
     # targets per device batch: bounds the in-flight host images
-    # (~2 x 1.4 GB RGB+grad+zgap with the prefetch tile) per dispatch;
+    # (~2 x 2.8 GB RGB+grad+zgap with the prefetch tile) per dispatch;
     # the packed planes are support-row sparse and much smaller
-    GROUP_TILE = 256
+    GROUP_TILE = 512
 
     def _score_group_device(self, mask_rgb, region, roi_rgb, tiles) -> int:
         from colormipsearch_tpu.ops import shape_score
@@ -224,12 +226,13 @@ class GradScoreEngine:
         from colormipsearch_tpu.ops import shape_score
 
         p = self.params
-        t_pack, t_pack_m = shape_score.pack_target_rows(
+        t_rows = shape_score.pack_target_rows(
             [t for _, t, _, _ in loaded],
             [g for _, _, g, _ in loaded],
             [z for _, _, _, z in loaded], pos, n_pad,
-            mask_threshold=p.mask_threshold, excluded=region)
-        n_real = t_pack.shape[1]
+            mask_threshold=p.mask_threshold, excluded=region,
+            mirror=p.mirror_mask)
+        n_real = t_rows.shape[2]
         if self._mesh is not None:
             # pad T to the device count so the mesh path always applies
             # (zero columns are neutral: no foreground, zero gaps)
@@ -238,12 +241,12 @@ class GradScoreEngine:
             n_dev = len(self._mesh.devices.ravel())
             pad = (-n_real) % n_dev
             if pad:
-                t_pack = jnp.pad(t_pack, ((0, 0), (0, pad)))
-                t_pack_m = jnp.pad(t_pack_m, ((0, 0), (0, pad)))
-        gap, he, mirrored = shape_score.score_shape_batch(
-            t_pack, t_pack_m, q_pack, mirror=p.mirror_mask,
+                t_rows = jnp.pad(t_rows, ((0, 0), (0, 0), (0, pad)))
+        gap, he, mirrored = shape_score.score_shape_batch_stacked(
+            t_rows, q_pack, mirror=p.mirror_mask,
             q_pack_mirror=q_pack_m,
-            pairs_fn=self._pairs_fn(t_pack.shape[1]))
+            pairs_both_fn=self._pairs_fn(t_rows.shape[2], both=True),
+            pairs_fn=self._pairs_fn(t_rows.shape[2]))
         gap, he = gap[:n_real], he[:n_real]
         for i, (m, _, _, _) in enumerate(loaded):
             m.gradient_area_gap = int(gap[i])

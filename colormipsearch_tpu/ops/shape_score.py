@@ -243,9 +243,13 @@ def support_bucket(s: int, minimum: int = 4096) -> int:
 
 def pack_target_rows(t_rgbs, grads, zgap_rgbs, pos: np.ndarray,
                      n_pad: int, *, mask_threshold: int,
-                     excluded: np.ndarray | None = None):
-    """Column-sliced pack_targets: (straight, mirror) uint32 [S_pad, T]
-    device planes holding only the query-support rows `pos`.
+                     excluded: np.ndarray | None = None,
+                     mirror: bool = True):
+    """Column-sliced pack_targets: ONE uint32 [2, S_pad, T] device plane
+    (index 0 straight, 1 mirror; [1, S_pad, T] when mirror=False)
+    holding only the query-support rows `pos` — stacked so both
+    orientations upload and score in a single dispatch
+    (shape_score_pairs_both).
 
     Accepts sequences (or stacks) of per-target [H, W(, 3)] images and
     slices the support columns per image, so no full-size [T, H, W]
@@ -263,9 +267,11 @@ def pack_target_rows(t_rgbs, grads, zgap_rgbs, pos: np.ndarray,
 
     t = len(t_rgbs)
     w = t_rgbs[0].shape[1]
-    y, x = pos // w, pos % w
-    pos_m = y * w + (w - 1 - x)
-    both = np.concatenate([pos, pos_m])
+    if mirror:
+        y, x = pos // w, pos % w
+        both = np.concatenate([pos, y * w + (w - 1 - x)])
+    else:
+        both = pos
 
     zsel = np.stack([z.reshape(-1, 3)[pos] for z in zgap_rgbs])
     sl = slice_numbers_lut(zsel).astype(np.uint32)
@@ -279,18 +285,15 @@ def pack_target_rows(t_rgbs, grads, zgap_rgbs, pos: np.ndarray,
     if excluded is not None:
         tfg &= (~excluded.reshape(-1)[both]).astype(np.uint32)
     g_thr = np.where(gsel > GAP_THRESHOLD, gsel, 0).astype(np.uint32)
-    grad_fg = g_thr | (tfg << _TFG_SHIFT)              # [T, 2S]
+    grad_fg = g_thr | (tfg << _TFG_SHIFT)              # [T, (1|2)S]
 
     s = pos.size
-    straight = z_part | grad_fg[:, :s]
-    mirror = z_part | grad_fg[:, s:]
-
-    def to_plane(a):
-        out = np.zeros((n_pad, t), np.uint32)
-        out[:s] = a.T
-        return jnp.asarray(out)
-
-    return to_plane(straight), to_plane(mirror)
+    n_or = 2 if mirror else 1
+    out = np.zeros((n_or, n_pad, t), np.uint32)
+    out[0, :s] = (z_part | grad_fg[:, :s]).T
+    if mirror:
+        out[1, :s] = (z_part | grad_fg[:, s:]).T
+    return jnp.asarray(out)
 
 
 # -------------------------------------------------------------------------
@@ -340,6 +343,16 @@ def shape_score_pairs_raw(t_pack: jax.Array, q_pack: jax.Array):
 shape_score_pairs = jax.jit(shape_score_pairs_raw)
 
 
+def shape_score_pairs_both_raw(t_pack2: jax.Array, q_pack2: jax.Array):
+    """Both orientations in ONE dispatch: uint32 [2, S, T] stacked
+    (straight, mirror) planes x int32 [2, S] query planes ->
+    (gap_hi, gap_lo, high_expr) int32 [2, T] each."""
+    return jax.vmap(shape_score_pairs_raw)(t_pack2, q_pack2)
+
+
+shape_score_pairs_both = jax.jit(shape_score_pairs_both_raw)
+
+
 def combine_gap(gap_hi: np.ndarray, gap_lo: np.ndarray) -> np.ndarray:
     return gap_hi.astype(np.int64) * 1024 + gap_lo.astype(np.int64)
 
@@ -380,3 +393,34 @@ def score_shape_batch(t_pack, t_pack_mirror, q_pack, *, mirror: bool,
     use_m = neg_m < neg_s
     return (np.where(use_m, gap_m, gap_s), np.where(use_m, he_m, he_s),
             use_m)
+
+
+def score_shape_batch_stacked(t_rows, q_pack, *, mirror: bool,
+                              q_pack_mirror=None, pairs_both_fn=None,
+                              pairs_fn=None):
+    """Stacked-plane form of score_shape_batch: t_rows is the
+    [2, S, T] (or [1, S, T] when mirror=False) output of
+    pack_target_rows; both orientations score in ONE device dispatch
+    (shape_score_pairs_both).  Same mirror selection semantics: lower
+    negative score wins, straight on ties
+    (ShapeMatchColorDepthSearchAlgorithm:172-179).
+    """
+    if not mirror:
+        if pairs_fn is None:
+            pairs_fn = shape_score_pairs
+        hi, lo, he = pairs_fn(t_rows[0], jnp.asarray(q_pack))
+        gap_s = combine_gap(np.asarray(hi), np.asarray(lo))
+        he_s = np.asarray(he).astype(np.int64)
+        return gap_s, he_s, np.zeros(gap_s.shape, bool)
+    if pairs_both_fn is None:
+        pairs_both_fn = shape_score_pairs_both
+    if q_pack_mirror is None:
+        q_pack_mirror = q_pack
+    q2 = jnp.asarray(np.stack([q_pack, q_pack_mirror]))
+    hi, lo, he = (np.asarray(a) for a in pairs_both_fn(t_rows, q2))
+    gap = combine_gap(hi, lo)
+    he = he.astype(np.int64)
+    neg = gap + he // 2
+    use_m = neg[1] < neg[0]
+    return (np.where(use_m, gap[1], gap[0]),
+            np.where(use_m, he[1], he[0]), use_m)

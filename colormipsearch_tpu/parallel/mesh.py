@@ -36,9 +36,11 @@ def create_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def shard_target_planes(mesh: Mesh, planes) -> jax.Array:
-    """Place packed [P, T] planes with T sharded across the mesh."""
-    sharding = NamedSharding(mesh, P(None, TARGET_AXIS))
-    return jax.device_put(planes, sharding)
+    """Place packed [..., P, T] planes with the trailing T axis sharded
+    across the mesh (works for [P, T] planes and the shape pass's
+    stacked [2, S, T] orientation planes)."""
+    spec = P(*([None] * (planes.ndim - 1)), TARGET_AXIS)
+    return jax.device_put(planes, NamedSharding(mesh, spec))
 
 
 def make_sharded_search_step(mesh: Mesh, *, target_threshold: int,
@@ -122,16 +124,32 @@ def make_sharded_batch_step_split(mesh: Mesh, *, ztol_num: int,
     return jax.jit(step)
 
 
-def make_sharded_shape_step(mesh: Mesh):
+def make_sharded_shape_step(mesh: Mesh, *, both: bool = False):
     """Multi-device shape (gradient-area-gap) pass: packed target planes
-    [P, T] sharded on T, the packed query plane replicated; every device
+    sharded on T, the packed query plane replicated; every device
     scores its target shard with the fused elementwise+reduce kernel
     (ops/shape_score.py).  No cross-device reduction is needed — scores
     are per (query, target) — so the outputs stay T-sharded and the
     per-mask normalization max happens host-side over the gathered
     values, mirroring CalculateGradientScoresCmd.updateNormalizedScores.
+
+    both=False: fn(t_pack[P, T], q[P]) -> 3 x [T].
+    both=True:  fn(t_pack2[2, S, T], q2[2, S]) -> 3 x [2, T] — straight
+    and mirror orientations in one dispatch (shape_score_pairs_both).
     """
     from colormipsearch_tpu.ops import shape_score
+
+    if both:
+        def local_step(t_pack2, q_pack2):
+            return shape_score.shape_score_pairs_both_raw(t_pack2, q_pack2)
+
+        step = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(None, None, TARGET_AXIS), P(None, None)),
+            out_specs=(P(None, TARGET_AXIS), P(None, TARGET_AXIS),
+                       P(None, TARGET_AXIS)),
+            check_rep=False)
+        return jax.jit(step)
 
     def local_step(t_pack, q_pack):
         return shape_score.shape_score_pairs_raw(t_pack, q_pack)

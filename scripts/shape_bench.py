@@ -27,6 +27,7 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/colormipsearch_tpu/jax"))
 
@@ -37,7 +38,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-H, W = 1210, 566          # production CDM shape
+H, W = 566, 1210          # production CDM shape (rows x cols)
 T = int(os.environ.get("SHAPE_BENCH_TARGETS", 256))
 REPEATS = int(os.environ.get("SHAPE_BENCH_REPEATS", 20))
 SPARSE_REPEATS = int(os.environ.get("SHAPE_BENCH_SPARSE_REPEATS",
@@ -132,6 +133,27 @@ def main():
                       "read_gb_per_s": round(gbs, 1),
                       "support_rows": int(pos.size),
                       "padded_rows": int(n_pad)}), flush=True)
+
+    # production form: both orientations stacked in one dispatch
+    t2 = jax.block_until_ready(jnp.stack([t_rows, t_rows]))
+    q2 = jnp.stack([q_sp, q_sp])
+
+    def both_fn(t, q):
+        return shape_score.shape_score_pairs_both(t, q)
+
+    np.asarray(both_fn(t2, q2)[0])
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(SPARSE_REPEATS):
+        out = both_fn(t2, q2)
+    np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    rate = SPARSE_REPEATS * T / dt
+    print(json.dumps({"kind": "xla-sparse-both",
+                      "pairs_per_s": round(rate, 1),
+                      "read_gb_per_s": round(
+                          SPARSE_REPEATS * t2.nbytes / dt / 1e9, 1)}),
+          flush=True)
     return 0
 
 

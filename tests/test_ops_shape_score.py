@@ -95,12 +95,12 @@ def test_sparse_pack_equals_dense(mirror):
     assert 0 < pos.size < h * w  # genuinely sparse on this workload
     n_pad = shape_score.support_bucket(pos.size, minimum=256)
     q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
-    t_rows, t_rows_m = shape_score.pack_target_rows(
+    t_rows = shape_score.pack_target_rows(
         np.stack(targets), np.stack(grads), np.stack(zgaps), pos, n_pad,
-        mask_threshold=20)
-    assert t_rows.shape == (n_pad, len(targets))
-    sparse = shape_score.score_shape_batch(
-        t_rows, t_rows_m, q_sp, mirror=mirror)
+        mask_threshold=20, mirror=mirror)
+    assert t_rows.shape == (2 if mirror else 1, n_pad, len(targets))
+    sparse = shape_score.score_shape_batch_stacked(
+        t_rows, q_sp, mirror=mirror)
 
     for d, s in zip(dense, sparse):
         np.testing.assert_array_equal(np.asarray(d), np.asarray(s))
@@ -129,11 +129,11 @@ def test_sparse_pack_equals_dense_with_roi_mirror():
     n_pad = shape_score.support_bucket(pos.size, minimum=256)
     q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
     q_sp_m = shape_score.sparse_query(q_pack_m, pos, n_pad)
-    t_rows, t_rows_m = shape_score.pack_target_rows(
+    t_rows = shape_score.pack_target_rows(
         target[None], grad[None], zgap[None], pos, n_pad,
         mask_threshold=20)
-    sparse = shape_score.score_shape_batch(
-        t_rows, t_rows_m, q_sp, mirror=True, q_pack_mirror=q_sp_m)
+    sparse = shape_score.score_shape_batch_stacked(
+        t_rows, q_sp, mirror=True, q_pack_mirror=q_sp_m)
 
     for d, s in zip(dense, sparse):
         np.testing.assert_array_equal(np.asarray(d), np.asarray(s))
@@ -171,11 +171,11 @@ def test_shape_score_with_region_exclusion():
     pos = shape_score.support_positions(q_pack)
     n_pad = shape_score.support_bucket(pos.size, minimum=256)
     q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
-    t_rows, t_rows_m = shape_score.pack_target_rows(
+    t_rows = shape_score.pack_target_rows(
         target[None], grad[None], zgap[None], pos, n_pad,
         mask_threshold=20, excluded=region)
-    gap_s, he_s, mirrored_s = shape_score.score_shape_batch(
-        t_rows, t_rows_m, q_sp, mirror=True)
+    gap_s, he_s, mirrored_s = shape_score.score_shape_batch_stacked(
+        t_rows, q_sp, mirror=True)
     assert gap_s[0] == ref.gradient_area_gap
     assert he_s[0] == ref.high_expression_area
     assert bool(mirrored_s[0]) == ref.mirrored
