@@ -131,3 +131,21 @@ def test_sharded_shape_step_equals_single_device():
     assert (np.asarray(hi0) == np.asarray(hi1)).all()
     assert (np.asarray(lo0) == np.asarray(lo1)).all()
     assert (np.asarray(he0) == np.asarray(he1)).all()
+
+    # stacked both-orientation step (the gradscore engine's mesh path):
+    # two distinct planes so orientation mixups can't cancel out
+    t_pack_m = jnp.asarray(
+        rng.integers(0, 1 << 27, (p, t), dtype=np.int64).astype(np.uint32))
+    q_pack_m = jnp.asarray(
+        rng.integers(0, 1 << 12, p, dtype=np.int64).astype(np.int32))
+    hi0m, lo0m, he0m = shape_score.shape_score_pairs(t_pack_m, q_pack_m)
+    both = make_sharded_shape_step(mesh, both=True)
+    t2 = jnp.stack([t_pack, t_pack_m])
+    q2 = jnp.stack([q_pack, q_pack_m])
+    hi2, lo2, he2 = both(shard_target_planes(mesh, t2), q2)
+    assert (np.asarray(hi2) == np.stack(
+        [np.asarray(hi0), np.asarray(hi0m)])).all()
+    assert (np.asarray(lo2) == np.stack(
+        [np.asarray(lo0), np.asarray(lo0m)])).all()
+    assert (np.asarray(he2) == np.stack(
+        [np.asarray(he0), np.asarray(he0m)])).all()
