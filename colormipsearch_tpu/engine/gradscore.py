@@ -93,13 +93,13 @@ class GradScoreEngine:
             mask_rgb = mask_mip.image.as_rgb()
             h, w = mask_rgb.shape[:2]
             region = self.params.shape_excluded_region(h, w)
-            tiles = self._iter_group_tiles(group, (h, w), region)
             if self.use_device:
                 n_ok = self._score_group_device(
-                    mask_rgb, region, roi_rgb, tiles)
+                    mask_rgb, region, roi_rgb, group, (h, w))
             else:
                 n_ok = self._score_group_oracle(
-                    mask_rgb, region, roi_rgb, tiles)
+                    mask_rgb, region, roi_rgb,
+                    self._iter_group_tiles(group, (h, w), region))
             ok = [m for m in group if m.has_grad_score()]
             scored.extend(ok)
             LOG.info("grad-scored %d/%d matches of %s in %.1fs",
@@ -108,27 +108,34 @@ class GradScoreEngine:
         update_normalized_scores([m for m in scored])
         return scored
 
-    def _iter_group_tiles(self, group, mask_shape, region):
+    def _iter_group_tiles(self, group, mask_shape, region, prep=None):
         """Stream GROUP_TILE-sized lists of loaded targets with one-tile
         lookahead: while the device scores tile i, a worker thread
         decodes tile i+1 (same double-buffering as the CDS pass's
         iter_target_shards), so host image memory stays bounded at two
-        tiles regardless of group size."""
+        tiles regardless of group size.
+
+        `prep` (optional) runs on the loaded tile INSIDE the worker
+        thread and its result is what gets yielded — the device path
+        passes the host-side pack here so decode+pack both overlap the
+        previous tile's device dispatch (numpy releases the GIL)."""
         import concurrent.futures
+
+        def load(chunk):
+            loaded = self._load_group_targets(chunk, mask_shape, region)
+            return prep(loaded) if prep is not None else loaded
 
         chunks = [group[i:i + self.GROUP_TILE]
                   for i in range(0, len(group), self.GROUP_TILE)]
         if len(chunks) <= 1:
             for c in chunks:
-                yield self._load_group_targets(c, mask_shape, region)
+                yield load(c)
             return
         with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(self._load_group_targets, chunks[0],
-                              mask_shape, region)
+            fut = pool.submit(load, chunks[0])
             for nxt in chunks[1:]:
                 loaded = fut.result()
-                fut = pool.submit(self._load_group_targets, nxt,
-                                  mask_shape, region)
+                fut = pool.submit(load, nxt)
                 yield loaded
             yield fut.result()
 
@@ -185,7 +192,8 @@ class GradScoreEngine:
     # the packed planes are support-row sparse and much smaller
     GROUP_TILE = 512
 
-    def _score_group_device(self, mask_rgb, region, roi_rgb, tiles) -> int:
+    def _score_group_device(self, mask_rgb, region, roi_rgb,
+                            group, mask_shape) -> int:
         from colormipsearch_tpu.ops import shape_score
         from colormipsearch_tpu.oracle.shape import clear_region
 
@@ -214,24 +222,33 @@ class GradScoreEngine:
         q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
         q_sp_m = (shape_score.sparse_query(q_pack_m, pos, n_pad)
                   if q_pack_m is not None else None)
+
+        def pack_tile(loaded):
+            # runs inside the prefetch worker: decode+pack of tile i+1
+            # overlaps the device scoring of tile i, and the multi-MB
+            # per-target images are dropped here, so only the small
+            # packed support-row planes cross the thread boundary
+            if not loaded:
+                return [], None
+            t_rows = shape_score.pack_target_rows(
+                [t for _, t, _, _ in loaded],
+                [g for _, _, g, _ in loaded],
+                [z for _, _, _, z in loaded], pos, n_pad,
+                mask_threshold=p.mask_threshold, excluded=region,
+                mirror=p.mirror_mask)
+            return [m for m, _, _, _ in loaded], t_rows
+
         n = 0
-        for loaded in tiles:
-            if loaded:
-                n += self._score_group_tile(
-                    region, pos, n_pad, q_sp, q_sp_m, loaded)
+        for matches, t_rows in self._iter_group_tiles(
+                group, mask_shape, region, prep=pack_tile):
+            if matches:
+                n += self._score_group_tile(q_sp, q_sp_m, matches, t_rows)
         return n
 
-    def _score_group_tile(self, region, pos, n_pad,
-                          q_pack, q_pack_m, loaded) -> int:
+    def _score_group_tile(self, q_pack, q_pack_m, matches, t_rows) -> int:
         from colormipsearch_tpu.ops import shape_score
 
         p = self.params
-        t_rows = shape_score.pack_target_rows(
-            [t for _, t, _, _ in loaded],
-            [g for _, _, g, _ in loaded],
-            [z for _, _, _, z in loaded], pos, n_pad,
-            mask_threshold=p.mask_threshold, excluded=region,
-            mirror=p.mirror_mask)
         n_real = t_rows.shape[2]
         if self._mesh is not None:
             # pad T to the device count so the mesh path always applies
@@ -248,12 +265,12 @@ class GradScoreEngine:
             pairs_both_fn=self._pairs_fn(t_rows.shape[2], both=True),
             pairs_fn=self._pairs_fn(t_rows.shape[2]))
         gap, he = gap[:n_real], he[:n_real]
-        for i, (m, _, _, _) in enumerate(loaded):
+        for i, m in enumerate(matches):
             m.gradient_area_gap = int(gap[i])
             m.high_expression_area = int(he[i])
             # note: the shape pass does not change the pixel-match
             # `mirrored` flag on the entity (reference keeps the CDS one)
-        return len(loaded)
+        return len(matches)
 
     def _score_group_oracle(self, mask_rgb, region, roi_rgb, tiles) -> int:
         oracle = ShapeMatchOracle(
