@@ -171,9 +171,10 @@ def bench_tpu(mask_rgb, target_rgb, region):
 def bench_shape_tpu(mask_rgb, target_rgb, region):
     """Shape (gradient-area-gap) pass rate: one mask vs SHAPE_TARGETS
     synthesized targets, both orientations (the production mirror
-    config), through the engine's sparse support-row form: only rows
-    with a nonzero query word (~5% of the plane incl. the r=60 ring)
-    are packed and scored (ops/shape_score.pack_target_rows)."""
+    config), through the engine's split support-row form: gap rows
+    (query non-black, grad|slice words) and he rows (r=60 ring, one
+    foreground byte) scored by dedicated kernels
+    (ops/shape_score.pack_target_rows_split)."""
     import jax
     import jax.numpy as jnp
 
@@ -181,31 +182,39 @@ def bench_shape_tpu(mask_rgb, target_rgb, region):
 
     q_pack = shape_score.pack_query(mask_rgb, excluded_region=region,
                                     negative_radius=20)
-    pos = shape_score.support_positions(q_pack)
-    n_pad = shape_score.support_bucket(pos.size)
-    q_sp = jnp.asarray(shape_score.sparse_query(q_pack, pos, n_pad))
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
+    n_he = shape_score.support_bucket(pos_he.size)
+    qg, qh = shape_score.sparse_query_split(q_pack, pos_gap, n_gap,
+                                            pos_he, n_he)
+    q_gap = jnp.asarray(np.stack([qg, qg]))
+    q_he = jnp.asarray(np.stack([qh, qh]))
 
     # synthesize packed support rows on device: realistic field sparsity
     # without uploading SHAPE_TARGETS full images over the tunnel
     @jax.jit
     def make(key):
-        shape = (2, n_pad, SHAPE_TARGETS)
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        grad = jax.random.randint(k1, shape, 0, 1 << 16)
-        sl = jax.random.randint(k2, shape, 0, 257)
-        znz = (jax.random.uniform(k3, shape) < 0.06)
-        tfg = (jax.random.uniform(k4, shape) < 0.06)
-        word = (grad | (sl << 16) | (znz.astype(jnp.int32) << 25)
-                | (tfg.astype(jnp.int32) << 26)).astype(jnp.uint32)
-        return jnp.where((jnp.arange(n_pad) < pos.size)[None, :, None],
-                         word, jnp.uint32(0))
+        k1, k2, k3 = jax.random.split(key, 3)
+        gshape = (2, n_gap, SHAPE_TARGETS)
+        grad = jax.random.randint(k1, gshape, 0, 1 << 16)
+        sl = jax.random.randint(k2, gshape, 0, 257)
+        word = (grad | (sl << 16)).astype(jnp.uint32)
+        t_gap = jnp.where(
+            (jnp.arange(n_gap) < pos_gap.size)[None, :, None],
+            word, jnp.uint32(0))
+        hshape = (2, n_he, SHAPE_TARGETS)
+        tfg = (jax.random.uniform(k3, hshape) < 0.06).astype(jnp.uint8)
+        t_he = jnp.where(
+            (jnp.arange(n_he) < pos_he.size)[None, :, None],
+            tfg, jnp.uint8(0))
+        return t_gap, t_he
 
-    t_rows = jax.block_until_ready(make(jax.random.PRNGKey(0)))
-    q2 = jnp.stack([q_sp, q_sp])
+    t_gap, t_he = jax.block_until_ready(make(jax.random.PRNGKey(0)))
 
     def run_once():
-        # mirror config: straight AND mirror planes in one dispatch
-        return shape_score.shape_score_pairs_both(t_rows, q2)
+        # mirror config: both orientations, both row classes, 1 dispatch
+        return shape_score.shape_score_pairs_split(t_gap, q_gap,
+                                                   t_he, q_he)
 
     np.asarray(run_once()[0][0])  # compile + warm
     t0 = time.perf_counter()

@@ -48,6 +48,12 @@ class GradScoreEngine:
             self._shape_step = make_sharded_shape_step(self._mesh)
             self._shape_step_both = make_sharded_shape_step(
                 self._mesh, both=True)
+            from colormipsearch_tpu.parallel.mesh import (
+                make_sharded_shape_split_step,
+            )
+
+            self._shape_split_step = make_sharded_shape_split_step(
+                self._mesh)
             LOG.info("shape scoring over a %d-device mesh",
                      len(self._mesh.devices.ravel()))
 
@@ -65,6 +71,22 @@ class GradScoreEngine:
 
         def fn(t_pack, q_pack):
             return step(shard_target_planes(self._mesh, t_pack), q_pack)
+
+        return fn
+
+    def _pairs_split_fn(self, n_targets: int):
+        """Mesh-sharded split-row step (same divisibility gate)."""
+        if self._mesh is None:
+            return None
+        n_dev = len(self._mesh.devices.ravel())
+        if n_targets % n_dev != 0:
+            return None
+        from colormipsearch_tpu.parallel.mesh import shard_target_planes
+
+        def fn(t_gap, q_gap, t_he, q_he):
+            return self._shape_split_step(
+                shard_target_planes(self._mesh, t_gap), q_gap,
+                shard_target_planes(self._mesh, t_he), q_he)
 
         return fn
 
@@ -214,14 +236,20 @@ class GradScoreEngine:
             q_pack_m = shape_score.pack_query(
                 mask_rgb, excluded_region=region, roi_keep=roi_keep_m,
                 negative_radius=p.negative_radius)
-        # sparse support rows: only pixels with a nonzero query word can
-        # contribute to any score term (~5% of the plane incl. the r=60
-        # ring) — pack/ship/score only those (ops/shape_score.py)
-        pos = shape_score.support_positions(q_pack, q_pack_m)
-        n_pad = shape_score.support_bucket(pos.size)
-        q_sp = shape_score.sparse_query(q_pack, pos, n_pad)
-        q_sp_m = (shape_score.sparse_query(q_pack_m, pos, n_pad)
-                  if q_pack_m is not None else None)
+        # split support rows: gap rows (query non-black — grad|slice
+        # data) and he rows (r=60 ring — one foreground bit); disjoint
+        # by construction, so each row runs only the term it can affect
+        # (ops/shape_score.py "split packing")
+        pos_gap, pos_he = shape_score.support_split(q_pack, q_pack_m)
+        n_gap_pad = shape_score.support_bucket(pos_gap.size, minimum=1024)
+        n_he_pad = shape_score.support_bucket(pos_he.size)
+        packs = [q_pack] + ([q_pack_m] if q_pack_m is not None
+                            else [q_pack] if p.mirror_mask else [])
+        qs = [shape_score.sparse_query_split(qp, pos_gap, n_gap_pad,
+                                             pos_he, n_he_pad)
+              for qp in packs]
+        q_gap = np.stack([g for g, _ in qs])
+        q_he = np.stack([h for _, h in qs])
 
         def pack_tile(loaded):
             # runs inside the prefetch worker: decode+pack of tile i+1
@@ -230,26 +258,27 @@ class GradScoreEngine:
             # packed support-row planes cross the thread boundary
             if not loaded:
                 return [], None
-            t_rows = shape_score.pack_target_rows(
+            t_gap, t_he = shape_score.pack_target_rows_split(
                 [t for _, t, _, _ in loaded],
                 [g for _, _, g, _ in loaded],
-                [z for _, _, _, z in loaded], pos, n_pad,
+                [z for _, _, _, z in loaded],
+                pos_gap, n_gap_pad, pos_he, n_he_pad,
                 mask_threshold=p.mask_threshold, excluded=region,
                 mirror=p.mirror_mask)
-            return [m for m, _, _, _ in loaded], t_rows
+            return [m for m, _, _, _ in loaded], (t_gap, t_he)
 
         n = 0
-        for matches, t_rows in self._iter_group_tiles(
+        for matches, planes in self._iter_group_tiles(
                 group, mask_shape, region, prep=pack_tile):
             if matches:
-                n += self._score_group_tile(q_sp, q_sp_m, matches, t_rows)
+                n += self._score_group_tile(q_gap, q_he, matches, planes)
         return n
 
-    def _score_group_tile(self, q_pack, q_pack_m, matches, t_rows) -> int:
+    def _score_group_tile(self, q_gap, q_he, matches, planes) -> int:
         from colormipsearch_tpu.ops import shape_score
 
-        p = self.params
-        n_real = t_rows.shape[2]
+        t_gap, t_he = planes
+        n_real = t_gap.shape[2]
         if self._mesh is not None:
             # pad T to the device count so the mesh path always applies
             # (zero columns are neutral: no foreground, zero gaps)
@@ -258,12 +287,11 @@ class GradScoreEngine:
             n_dev = len(self._mesh.devices.ravel())
             pad = (-n_real) % n_dev
             if pad:
-                t_rows = jnp.pad(t_rows, ((0, 0), (0, 0), (0, pad)))
-        gap, he, mirrored = shape_score.score_shape_batch_stacked(
-            t_rows, q_pack, mirror=p.mirror_mask,
-            q_pack_mirror=q_pack_m,
-            pairs_both_fn=self._pairs_fn(t_rows.shape[2], both=True),
-            pairs_fn=self._pairs_fn(t_rows.shape[2]))
+                t_gap = jnp.pad(t_gap, ((0, 0), (0, 0), (0, pad)))
+                t_he = jnp.pad(t_he, ((0, 0), (0, 0), (0, pad)))
+        gap, he, mirrored = shape_score.score_shape_batch_split(
+            t_gap, t_he, q_gap, q_he,
+            pairs_split_fn=self._pairs_split_fn(t_gap.shape[2]))
         gap, he = gap[:n_real], he[:n_real]
         for i, m in enumerate(matches):
             m.gradient_area_gap = int(gap[i])

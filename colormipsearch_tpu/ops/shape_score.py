@@ -297,6 +297,112 @@ def pack_target_rows(t_rgbs, grads, zgap_rgbs, pos: np.ndarray,
 
 
 # -------------------------------------------------------------------------
+# split (gap-row / he-row) packing
+# -------------------------------------------------------------------------
+#
+# The support rows partition into two DISJOINT classes:
+#   * gap rows — query pixel non-black (q_sl != 0): the only rows where
+#     the slice-gap / gradient term can be nonzero.  They never carry
+#     the high-expression bit, because the HE ring is d60 MINUS d20 and
+#     d20 contains every non-black query pixel.
+#   * he rows — ring bit set (necessarily q_sl == 0): contribute only
+#     `targetIsFG` to highExpressionArea; the gap term is identically 0
+#     there (no overlap, no signal).
+# Scoring them with two dedicated kernels removes the HE machinery from
+# the gap rows and the whole 27-bit field extraction + select chain from
+# the ring rows (whose per-target datum collapses to ONE uint8), cutting
+# VPU ops and HBM traffic several-fold — the ring is usually the larger
+# share of the support (r=60 disc vs the thin neuron mask).
+# Reference semantics unchanged: ShapeMatchColorDepthSearchAlgorithm
+# :191-240 (gap fold) and :221-238 (high-expression fold).
+#
+# Field layout (gap planes):
+#   target uint32: bits 0..15 gradient (pre-thresholded), 16..24 z-gap
+#                  slice number.  z_nz is implied by slice != 0 (the
+#                  slice LUT maps exactly the black pixel to 0).
+#   query  int32:  bits 0..8 slice, 9 nz, 10 signal (same as pack_query
+#                  minus the he bit).
+
+
+def support_split(q_pack: np.ndarray,
+                  q_pack_mirror: np.ndarray | None = None):
+    """(pos_gap, pos_he) int32 flat indices: rows with a nonzero query
+    slice (gap rows) and rows with the high-expression ring bit in
+    either pack (he rows).  Disjoint by construction (see above)."""
+    word = q_pack if q_pack_mirror is None else (q_pack | q_pack_mirror)
+    sl = word & _Q_SL_MASK
+    he = (word >> _Q_HE_SHIFT) & 1
+    pos_gap = np.flatnonzero(sl).astype(np.int32)
+    pos_he = np.flatnonzero(he & (sl == 0)).astype(np.int32)
+    return pos_gap, pos_he
+
+
+def sparse_query_split(q_pack: np.ndarray, pos_gap: np.ndarray,
+                       n_gap_pad: int, pos_he: np.ndarray,
+                       n_he_pad: int):
+    """(q_gap int32 [n_gap_pad], q_he uint8 [n_he_pad]) query-side planes
+    for the split kernel.  Pad rows are 0 (neutral for both terms)."""
+    q_gap = np.zeros(n_gap_pad, np.int32)
+    q_gap[:pos_gap.size] = q_pack[pos_gap] & ~(1 << _Q_HE_SHIFT)
+    q_he = np.zeros(n_he_pad, np.uint8)
+    q_he[:pos_he.size] = ((q_pack[pos_he] >> _Q_HE_SHIFT) & 1)
+    return q_gap, q_he
+
+
+def pack_target_rows_split(t_rgbs, grads, zgap_rgbs,
+                           pos_gap: np.ndarray, n_gap_pad: int,
+                           pos_he: np.ndarray, n_he_pad: int, *,
+                           mask_threshold: int,
+                           excluded: np.ndarray | None = None,
+                           mirror: bool = True):
+    """Split-plane target pack: (t_gap uint32 [n_or, Sg_pad, T],
+    t_he uint8 [n_or, Sh_pad, T]) with n_or = 2 (straight, mirror) or 1.
+
+    Gap rows carry gradient|slice (z-gap fields stay in place across
+    orientations; gradient comes from the mirrored column for the mirror
+    plane).  He rows carry ONLY the target-foreground bit (straight and
+    mirrored columns), masked by the excluded region like the dense
+    pack.  Device arrays, ready for shape_score_pairs_split."""
+    from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
+
+    t = len(t_rgbs)
+    w = t_rgbs[0].shape[1]
+
+    def mirror_of(pos):
+        y, x = pos // w, pos % w
+        return y * w + (w - 1 - x)
+
+    # gap rows: slice part once, gradient per orientation
+    zsel = np.stack([z.reshape(-1, 3)[pos_gap] for z in zgap_rgbs])
+    sl = slice_numbers_lut(zsel).astype(np.uint32)
+    g_pos = (np.concatenate([pos_gap, mirror_of(pos_gap)]) if mirror
+             else pos_gap)
+    gsel = np.stack([g.reshape(-1)[g_pos] for g in grads])
+    g_thr = np.where(gsel > GAP_THRESHOLD, gsel, 0).astype(np.uint32)
+    sg = pos_gap.size
+    n_or = 2 if mirror else 1
+    t_gap = np.zeros((n_or, n_gap_pad, t), np.uint32)
+    z_part = sl << _SL_SHIFT
+    t_gap[0, :sg] = (z_part | g_thr[:, :sg]).T
+    if mirror:
+        t_gap[1, :sg] = (z_part | g_thr[:, sg:]).T
+
+    # he rows: foreground bit only
+    h_pos = (np.concatenate([pos_he, mirror_of(pos_he)]) if mirror
+             else pos_he)
+    tsel = np.stack([i.reshape(-1, 3)[h_pos] for i in t_rgbs])
+    tfg = (tsel > mask_threshold).any(axis=-1)
+    if excluded is not None:
+        tfg &= ~excluded.reshape(-1)[h_pos]
+    sh = pos_he.size
+    t_he = np.zeros((n_or, n_he_pad, t), np.uint8)
+    t_he[0, :sh] = tfg[:, :sh].astype(np.uint8).T
+    if mirror:
+        t_he[1, :sh] = tfg[:, sh:].astype(np.uint8).T
+    return jnp.asarray(t_gap), jnp.asarray(t_he)
+
+
+# -------------------------------------------------------------------------
 # pair scoring
 # -------------------------------------------------------------------------
 
@@ -351,6 +457,54 @@ def shape_score_pairs_both_raw(t_pack2: jax.Array, q_pack2: jax.Array):
 
 
 shape_score_pairs_both = jax.jit(shape_score_pairs_both_raw)
+
+
+def shape_score_pairs_split_raw(t_gap: jax.Array, q_gap: jax.Array,
+                                t_he: jax.Array, q_he: jax.Array):
+    """Split-row scoring, both orientations in one dispatch.
+
+    Args (see pack_target_rows_split / sparse_query_split):
+      t_gap: uint32 [n_or, Sg, T] gradient|slice gap-row planes.
+      q_gap: int32 [n_or, Sg] query slice|nz|sig.
+      t_he:  uint8 [n_or, Sh, T] ring-row target-foreground bits.
+      q_he:  uint8 [n_or, Sh] ring-row gates (ROI-masked he bit).
+    Returns (gap_hi, gap_lo, high_expr) int32 [n_or, T].
+
+    The gap-row kernel drops the HE machinery and the z_nz/tfg field
+    extractions of shape_score_pairs (z_nz == (z_sl != 0): the slice
+    LUT maps exactly black to 0); the he-row kernel is a gated popcount.
+    Semantics equal the dense kernel's — proven row-partition-exact in
+    tests/test_ops_shape_score.py.
+    """
+
+    def gap_one(t_p, q_p):
+        w = t_p.astype(jnp.int32)
+        grad = w & 0xFFFF
+        z_sl = w >> _SL_SHIFT           # nothing packed above the slice
+        q = q_p[:, None]
+        q_sl = q & _Q_SL_MASK
+        q_nz = (q >> _Q_NZ_SHIFT) & 1
+        q_sig = (q >> _Q_SIG_SHIFT) & 1
+        d = jnp.abs(q_sl - z_sl)
+        # overlap ⇒ q_sl != 0 and z_sl != 0 ⇒ sg = |q_sl − z_sl|; the
+        # slice-gap branch needs sg >= 2*flux (AbstractGradientBased…
+        # pixel gap op); q_nz gate carries the ROI mask
+        cond = (q_nz == 1) & (z_sl > 0) & (d >= 2 * DEFAULT_COLOR_FLUX)
+        val = jnp.where(cond, d - DEFAULT_COLOR_FLUX,
+                        jnp.where(q_sig == 1, grad, 0))
+        return ((val & 0x3FF).sum(axis=0, dtype=jnp.int32),
+                (val >> 10).sum(axis=0, dtype=jnp.int32))
+
+    def he_one(t_h, q_h):
+        gated = t_h * q_h[:, None]
+        return gated.sum(axis=0, dtype=jnp.int32)
+
+    gap_hi_lo = jax.vmap(gap_one)(t_gap, q_gap)
+    high_expr = jax.vmap(he_one)(t_he, q_he)
+    return gap_hi_lo[1], gap_hi_lo[0], high_expr
+
+
+shape_score_pairs_split = jax.jit(shape_score_pairs_split_raw)
 
 
 def combine_gap(gap_hi: np.ndarray, gap_lo: np.ndarray) -> np.ndarray:
@@ -418,9 +572,31 @@ def score_shape_batch_stacked(t_rows, q_pack, *, mirror: bool,
         q_pack_mirror = q_pack
     q2 = jnp.asarray(np.stack([q_pack, q_pack_mirror]))
     hi, lo, he = (np.asarray(a) for a in pairs_both_fn(t_rows, q2))
+    return _select_orientation(hi, lo, he)
+
+
+def _select_orientation(hi, lo, he):
+    """Reference mirror selection on stacked [2, T] (or [1, T]) scores:
+    lower negative score wins, straight on ties
+    (ShapeMatchColorDepthSearchAlgorithm:172-179)."""
     gap = combine_gap(hi, lo)
     he = he.astype(np.int64)
+    if gap.shape[0] == 1:
+        return gap[0], he[0], np.zeros(gap.shape[1], bool)
     neg = gap + he // 2
     use_m = neg[1] < neg[0]
     return (np.where(use_m, gap[1], gap[0]),
             np.where(use_m, he[1], he[0]), use_m)
+
+
+def score_shape_batch_split(t_gap, t_he, q_gap, q_he, *,
+                            pairs_split_fn=None):
+    """Split-row scoring of one query vs T targets with the reference's
+    mirror selection.  q_gap / q_he are the stacked [n_or, ...] query
+    planes (n_or matches the packs: 2 with mirror, 1 without)."""
+    if pairs_split_fn is None:
+        pairs_split_fn = shape_score_pairs_split
+    hi, lo, he = (np.asarray(a) for a in
+                  pairs_split_fn(t_gap, jnp.asarray(q_gap),
+                                 t_he, jnp.asarray(q_he)))
+    return _select_orientation(hi, lo, he)

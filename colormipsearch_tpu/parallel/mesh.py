@@ -162,6 +162,28 @@ def make_sharded_shape_step(mesh: Mesh, *, both: bool = False):
     return jax.jit(step)
 
 
+def make_sharded_shape_split_step(mesh: Mesh):
+    """Sharded form of the split-row shape kernel
+    (ops/shape_score.shape_score_pairs_split): gap and he planes both
+    sharded on the trailing target axis, query planes replicated;
+    fn(t_gap[n_or, Sg, T], q_gap[n_or, Sg], t_he[n_or, Sh, T],
+    q_he[n_or, Sh]) -> 3 x [n_or, T]."""
+    from colormipsearch_tpu.ops import shape_score
+
+    def local_step(t_gap, q_gap, t_he, q_he):
+        return shape_score.shape_score_pairs_split_raw(
+            t_gap, q_gap, t_he, q_he)
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, None, TARGET_AXIS), P(None, None),
+                  P(None, None, TARGET_AXIS), P(None, None)),
+        out_specs=(P(None, TARGET_AXIS), P(None, TARGET_AXIS),
+                   P(None, TARGET_AXIS)),
+        check_rep=False)
+    return jax.jit(step)
+
+
 def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
                             ztol_num: int, ztol_den: int, n_straight: int,
                             top_k: int = 0):

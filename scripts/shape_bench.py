@@ -154,6 +154,52 @@ def main():
                       "read_gb_per_s": round(
                           SPARSE_REPEATS * t2.nbytes / dt / 1e9, 1)}),
           flush=True)
+
+    # split (gap-row / he-row) production form: gap rows keep the
+    # grad|slice word, ring rows collapse to one foreground byte
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
+    n_he = shape_score.support_bucket(pos_he.size)
+    log(f"split: {pos_gap.size} gap rows (pad {n_gap}), "
+        f"{pos_he.size} he rows (pad {n_he})")
+    qg, qh = shape_score.sparse_query_split(q_pack, pos_gap, n_gap,
+                                            pos_he, n_he)
+    q_gap2 = jnp.asarray(np.stack([qg, qg]))
+    q_he2 = jnp.asarray(np.stack([qh, qh]))
+
+    def slice_rows(pos, n_pad, fn):
+        idx = np.zeros(n_pad, np.int32)
+        idx[:pos.size] = pos
+        rows = jnp.where((jnp.arange(n_pad) < pos.size)[:, None],
+                         fn(jnp.take(t_pack, jnp.asarray(idx), axis=0)),
+                         0)
+        return jnp.stack([rows, rows])
+
+    t_gap2 = jax.block_until_ready(slice_rows(
+        pos_gap, n_gap,
+        lambda w: (w & jnp.uint32((0x1FF << 16) | 0xFFFF))))
+    t_he2 = jax.block_until_ready(slice_rows(
+        pos_he, n_he,
+        lambda w: ((w >> 26) & 1).astype(jnp.uint8)))
+
+    def split_fn():
+        return shape_score.shape_score_pairs_split(t_gap2, q_gap2,
+                                                   t_he2, q_he2)
+
+    np.asarray(split_fn()[0])
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(SPARSE_REPEATS):
+        out = split_fn()
+    np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    rate = SPARSE_REPEATS * T / dt
+    read_gb = (t_gap2.nbytes + t_he2.nbytes) * SPARSE_REPEATS / dt / 1e9
+    print(json.dumps({"kind": "xla-split",
+                      "pairs_per_s": round(rate, 1),
+                      "read_gb_per_s": round(read_gb, 1),
+                      "gap_rows": int(pos_gap.size),
+                      "he_rows": int(pos_he.size)}), flush=True)
     return 0
 
 

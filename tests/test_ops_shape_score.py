@@ -105,6 +105,25 @@ def test_sparse_pack_equals_dense(mirror):
     for d, s in zip(dense, sparse):
         np.testing.assert_array_equal(np.asarray(d), np.asarray(s))
 
+    # split (gap-row / he-row) path: same scores again
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    assert np.intersect1d(pos_gap, pos_he).size == 0
+    assert np.array_equal(np.sort(np.concatenate([pos_gap, pos_he])), pos)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=128)
+    n_he = shape_score.support_bucket(pos_he.size, minimum=128)
+    q_gap, q_he = shape_score.sparse_query_split(
+        q_pack, pos_gap, n_gap, pos_he, n_he)
+    n_or = 2 if mirror else 1
+    t_gap, t_he = shape_score.pack_target_rows_split(
+        np.stack(targets), np.stack(grads), np.stack(zgaps),
+        pos_gap, n_gap, pos_he, n_he, mask_threshold=20, mirror=mirror)
+    assert t_gap.shape == (n_or, n_gap, len(targets))
+    assert t_he.shape == (n_or, n_he, len(targets))
+    split = shape_score.score_shape_batch_split(
+        t_gap, t_he, np.stack([q_gap] * n_or), np.stack([q_he] * n_or))
+    for d, s in zip(dense, split):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(s))
+
 
 def test_sparse_pack_equals_dense_with_roi_mirror():
     """With an ROI the mirror orientation uses a different query pack;
@@ -136,6 +155,22 @@ def test_sparse_pack_equals_dense_with_roi_mirror():
         t_rows, q_sp, mirror=True, q_pack_mirror=q_sp_m)
 
     for d, s in zip(dense, sparse):
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(s))
+
+    # split path with per-orientation ROI query packs
+    pos_gap, pos_he = shape_score.support_split(q_pack, q_pack_m)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=128)
+    n_he = shape_score.support_bucket(pos_he.size, minimum=128)
+    qg0, qh0 = shape_score.sparse_query_split(
+        q_pack, pos_gap, n_gap, pos_he, n_he)
+    qg1, qh1 = shape_score.sparse_query_split(
+        q_pack_m, pos_gap, n_gap, pos_he, n_he)
+    t_gap, t_he = shape_score.pack_target_rows_split(
+        target[None], grad[None], zgap[None],
+        pos_gap, n_gap, pos_he, n_he, mask_threshold=20)
+    split = shape_score.score_shape_batch_split(
+        t_gap, t_he, np.stack([qg0, qg1]), np.stack([qh0, qh1]))
+    for d, s in zip(dense, split):
         np.testing.assert_array_equal(np.asarray(d), np.asarray(s))
 
 
@@ -179,3 +214,18 @@ def test_shape_score_with_region_exclusion():
     assert gap_s[0] == ref.gradient_area_gap
     assert he_s[0] == ref.high_expression_area
     assert bool(mirrored_s[0]) == ref.mirrored
+
+    # split path with excluded-region masking of the he rows
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=128)
+    n_he = shape_score.support_bucket(pos_he.size, minimum=128)
+    q_gap, q_he = shape_score.sparse_query_split(
+        q_pack, pos_gap, n_gap, pos_he, n_he)
+    t_gap, t_he = shape_score.pack_target_rows_split(
+        target[None], grad[None], zgap[None],
+        pos_gap, n_gap, pos_he, n_he, mask_threshold=20, excluded=region)
+    gap_p, he_p, mirrored_p = shape_score.score_shape_batch_split(
+        t_gap, t_he, np.stack([q_gap, q_gap]), np.stack([q_he, q_he]))
+    assert gap_p[0] == ref.gradient_area_gap
+    assert he_p[0] == ref.high_expression_area
+    assert bool(mirrored_p[0]) == ref.mirrored

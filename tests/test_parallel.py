@@ -149,3 +149,19 @@ def test_sharded_shape_step_equals_single_device():
         [np.asarray(lo0), np.asarray(lo0m)])).all()
     assert (np.asarray(he2) == np.stack(
         [np.asarray(he0), np.asarray(he0m)])).all()
+
+    # split (gap-row / he-row) sharded step == single-device split jit
+    from colormipsearch_tpu.parallel.mesh import (
+        make_sharded_shape_split_step,
+    )
+
+    t_gap = t2 & jnp.uint32((0x1FF << 16) | 0xFFFF)
+    t_he = ((t2 >> 26) & 1).astype(jnp.uint8)
+    q_gap = q2 & jnp.int32(0x7FF)
+    q_he = ((q2 >> 11) & 1).astype(jnp.uint8)
+    ref = shape_score.shape_score_pairs_split(t_gap, q_gap, t_he, q_he)
+    splitstep = make_sharded_shape_split_step(mesh)
+    got = splitstep(shard_target_planes(mesh, t_gap), q_gap,
+                    shard_target_planes(mesh, t_he), q_he)
+    for r, g in zip(ref, got):
+        assert (np.asarray(r) == np.asarray(g)).all()
