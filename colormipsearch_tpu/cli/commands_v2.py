@@ -141,6 +141,42 @@ def configure_gradient_score_v2(sp):
     sp.add_argument("-od", "--outputDir", "--output-dir", required=True)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")
+    sp.add_argument("--use-device", action="store_true", default=True,
+                    help="use the TPU split shape kernel (default)")
+    sp.add_argument("--no-use-device", dest="use_device",
+                    action="store_false")
+
+
+def _score_rows_device(mask_rgb, region, args, rows):
+    """Batched device scoring of one mask's selected v2 rows via the
+    split (gap-row / he-row) kernel — same kernels as the v3
+    GradScoreEngine.  rows: [(r, t_rgb, grad, zgap)] with mask-shaped
+    images; mutates r.gradientAreaGap / r.highExpressionArea."""
+    from colormipsearch_tpu.ops import shape_score
+
+    q_pack = shape_score.pack_query(
+        mask_rgb, excluded_region=region,
+        negative_radius=args.negativeRadius)
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
+    n_he = shape_score.support_bucket(pos_he.size)
+    qg, qh = shape_score.sparse_query_split(q_pack, pos_gap, n_gap,
+                                            pos_he, n_he)
+    n_or = 2 if args.mirrorMask else 1
+    q_gap = np.stack([qg] * n_or)
+    q_he = np.stack([qh] * n_or)
+    t_gap, t_he = shape_score.pack_target_rows_split(
+        [t for _, t, _, _ in rows],
+        [g for _, _, g, _ in rows],
+        [z for _, _, _, z in rows],
+        pos_gap, n_gap, pos_he, n_he,
+        mask_threshold=args.maskThreshold, excluded=region,
+        mirror=args.mirrorMask)
+    gap, he, _ = shape_score.score_shape_batch_split(
+        t_gap, t_he, q_gap, q_he)
+    for i, (r, _, _, _) in enumerate(rows):
+        r.gradientAreaGap = int(gap[i])
+        r.highExpressionArea = int(he[i])
 
 
 def cmd_gradient_score_v2(args) -> int:
@@ -172,10 +208,14 @@ def cmd_gradient_score_v2(args) -> int:
             b = args.border
             border[b:h - b, b:w - b] = False
             region = border if region is None else (region | border)
-        oracle = ShapeMatchOracle(
-            mask_rgb, args.maskThreshold, mirror=args.mirrorMask,
-            negative_radius=args.negativeRadius, excluded_region=region)
-        max_pixels, max_neg = -1, -1
+        use_device = getattr(args, "use_device", True)
+        oracle = None
+        if not use_device:
+            oracle = ShapeMatchOracle(
+                mask_rgb, args.maskThreshold, mirror=args.mirrorMask,
+                negative_radius=args.negativeRadius,
+                excluded_region=region)
+        rows = []
         for r in selected:
             t_fd = r.target.file_data()
             grad_fd = mips_io.find_variant(
@@ -190,6 +230,8 @@ def cmd_gradient_score_v2(args) -> int:
                 continue
             if grad_img.ndim == 3:
                 grad_img = grad_img.astype(np.int32).max(axis=-1)
+            if t_rgb.shape[:2] != (h, w) or grad_img.shape != (h, w):
+                continue
             zgap_rgb = None
             z_fd = mips_io.find_variant(t_fd, args.zgapPath, args.zgapSuffix)
             if z_fd is not None:
@@ -197,12 +239,28 @@ def cmd_gradient_score_v2(args) -> int:
                     zgap_rgb = mips_io.load_image(z_fd).as_rgb()
                 except (OSError, FileNotFoundError):
                     zgap_rgb = None
-            res = oracle.score(t_rgb, grad_img, zgap_rgb)
-            r.gradientAreaGap = res.gradient_area_gap
-            r.highExpressionArea = res.high_expression_area
+            if zgap_rgb is None or zgap_rgb.shape[:2] != (h, w):
+                # on-the-fly dilation fallback
+                # (ShapeMatchColorDepthSearchAlgorithm:166-168)
+                from colormipsearch_tpu.oracle.shape import (
+                    clear_region, dilate_rgb, mask_rgb as mask_fn)
+
+                zgap_rgb = dilate_rgb(
+                    mask_fn(clear_region(t_rgb, region),
+                            args.maskThreshold), args.negativeRadius)
+            rows.append((r, t_rgb, grad_img.astype(np.uint16), zgap_rgb))
+        max_pixels, max_neg = -1, -1
+        if rows and use_device:
+            _score_rows_device(mask_rgb, region, args, rows)
+        elif rows:
+            for r, t_rgb, grad_img, zgap_rgb in rows:
+                res = oracle.score(t_rgb, grad_img, zgap_rgb)
+                r.gradientAreaGap = res.gradient_area_gap
+                r.highExpressionArea = res.high_expression_area
+        for r, _, _, _ in rows:
             max_pixels = max(max_pixels, r.matchingPixels)
-            neg = res.gradient_area_gap + res.high_expression_area // 2
-            max_neg = max(max_neg, neg)
+            max_neg = max(max_neg,
+                          r.gradientAreaGap + r.highExpressionArea // 2)
         for r in selected:
             if r.gradientAreaGap is not None and r.gradientAreaGap >= 0:
                 r.normalizedGapScore = normalized_score(

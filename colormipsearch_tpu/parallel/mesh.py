@@ -19,8 +19,14 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+if hasattr(jax, "shard_map"):           # jax >= 0.8 public API
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_rep)
+else:                                   # pre-0.8 experimental module
+    from jax.experimental.shard_map import shard_map
 
 from colormipsearch_tpu.ops import pixel_match
 

@@ -809,3 +809,69 @@ def test_export_ppp_screenshot_files(tmp_path):
     assert r["files"]["CDMBestThumbnail"] == "https://s3/ch.jpg"
     # no uploaded URL for RAW -> raw file name is used
     assert r["files"]["SignalMip"] == "999-L1_1_raw.png"
+
+
+def test_v2_gradient_score_device_equals_oracle(tmp_path):
+    """v2 gradientScore through the split device kernel == the float64
+    oracle (and the --no-use-device oracle path), zgap fallback incl.
+    (cmd_v2/CalculateNegativeScoresCmd.java:107-331)."""
+    import shutil
+
+    import numpy as np
+    from PIL import Image
+
+    from tests.conftest import MASK_TIF, TARGET_TIF
+
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    shutil.copy(MASK_TIF, lib / Path(MASK_TIF).name)
+    shutil.copy(TARGET_TIF, lib / Path(TARGET_TIF).name)
+    out = tmp_path / "v2res"
+    run_cli("searchLocalFiles", "-m", f"{lib}:0:1", "-i", lib,
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask",
+            "-od", out)
+    [res_file] = [f for f in sorted(out.glob("*.json"))
+                  if not f.name.endswith("cdsparams.json")]
+
+    # synthesized 16-bit gradient variant; NO zgap -> dilation fallback
+    from colormipsearch_tpu.io.image import read_image
+
+    grad_dir = tmp_path / "grad"
+    grad_dir.mkdir()
+    rng = np.random.default_rng(1)
+    t_rgb = read_image(TARGET_TIF).as_rgb()
+    h, w = t_rgb.shape[:2]
+    grad = rng.integers(0, 500, (h, w)).astype(np.uint16)
+    for stem in (Path(TARGET_TIF).stem, Path(MASK_TIF).stem):
+        Image.fromarray(grad).save(grad_dir / f"{stem}_gradient.png")
+
+    gs_dev = tmp_path / "gs_dev"
+    gs_orc = tmp_path / "gs_orc"
+    common = ("-rf", res_file, "--gradientPath", grad_dir,
+              "--maskThreshold", 20, "--mirrorMask")
+    run_cli("gradientScore", *common, "-od", gs_dev)
+    run_cli("gradientScore", *common, "--no-use-device", "-od", gs_orc)
+
+    dev = json.loads((gs_dev / res_file.name).read_text())["results"]
+    orc = json.loads((gs_orc / res_file.name).read_text())["results"]
+    assert len(dev) == len(orc) == 2
+    key = lambda r: r["id"]
+    for d, o in zip(sorted(dev, key=key), sorted(orc, key=key)):
+        assert d["gradientAreaGap"] == o["gradientAreaGap"]
+        assert d["highExpressionArea"] == o["highExpressionArea"]
+        assert d["gradientAreaGap"] >= 0
+
+    # spot-check one pair against the oracle directly
+    from colormipsearch_tpu.oracle.pixel import label_regions_mask
+    from colormipsearch_tpu.oracle.shape import ShapeMatchOracle
+
+    mask_rgb = read_image(MASK_TIF).as_rgb()
+    region = label_regions_mask(w, h)
+    oracle = ShapeMatchOracle(mask_rgb, 20, mirror=True,
+                              excluded_region=region)
+    ref = oracle.score(t_rgb, grad, None)
+    by_target = {r["imageName"]: r for r in dev}
+    row = by_target[str(lib / Path(TARGET_TIF).name)]
+    assert row["gradientAreaGap"] == ref.gradient_area_gap
+    assert row["highExpressionArea"] == ref.high_expression_area
