@@ -184,7 +184,7 @@ def bench_shape_tpu(mask_rgb, target_rgb, region):
                                     negative_radius=20)
     pos_gap, pos_he = shape_score.support_split(q_pack)
     n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
-    n_he = shape_score.support_bucket(pos_he.size)
+    n_he = shape_score.he_words(pos_he.size)
     qg, qh = shape_score.sparse_query_split(q_pack, pos_gap, n_gap,
                                             pos_he, n_he)
     q_gap = jnp.asarray(np.stack([qg, qg]))
@@ -202,11 +202,13 @@ def bench_shape_tpu(mask_rgb, target_rgb, region):
         t_gap = jnp.where(
             (jnp.arange(n_gap) < pos_gap.size)[None, :, None],
             word, jnp.uint32(0))
+        # bitpacked ring-row fg: AND of 4 uniform words gives ~6.25%
+        # bit density, matching realistic CDM foreground
         hshape = (2, n_he, SHAPE_TARGETS)
-        tfg = (jax.random.uniform(k3, hshape) < 0.06).astype(jnp.uint8)
+        bits = jax.random.bits(k3, (4,) + hshape, jnp.uint32)
         t_he = jnp.where(
-            (jnp.arange(n_he) < pos_he.size)[None, :, None],
-            tfg, jnp.uint8(0))
+            (jnp.arange(n_he) * 32 < pos_he.size)[None, :, None],
+            bits[0] & bits[1] & bits[2] & bits[3], jnp.uint32(0))
         return t_gap, t_he
 
     t_gap, t_he = jax.block_until_ready(make(jax.random.PRNGKey(0)))

@@ -159,7 +159,7 @@ def _score_rows_device(mask_rgb, region, args, rows):
         negative_radius=args.negativeRadius)
     pos_gap, pos_he = shape_score.support_split(q_pack)
     n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
-    n_he = shape_score.support_bucket(pos_he.size)
+    n_he = shape_score.he_words(pos_he.size)
     qg, qh = shape_score.sparse_query_split(q_pack, pos_gap, n_gap,
                                             pos_he, n_he)
     n_or = 2 if args.mirrorMask else 1

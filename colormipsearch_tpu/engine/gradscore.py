@@ -242,11 +242,11 @@ class GradScoreEngine:
         # (ops/shape_score.py "split packing")
         pos_gap, pos_he = shape_score.support_split(q_pack, q_pack_m)
         n_gap_pad = shape_score.support_bucket(pos_gap.size, minimum=1024)
-        n_he_pad = shape_score.support_bucket(pos_he.size)
+        n_he_w = shape_score.he_words(pos_he.size)
         packs = [q_pack] + ([q_pack_m] if q_pack_m is not None
                             else [q_pack] if p.mirror_mask else [])
         qs = [shape_score.sparse_query_split(qp, pos_gap, n_gap_pad,
-                                             pos_he, n_he_pad)
+                                             pos_he, n_he_w)
               for qp in packs]
         q_gap = np.stack([g for g, _ in qs])
         q_he = np.stack([h for _, h in qs])
@@ -262,7 +262,7 @@ class GradScoreEngine:
                 [t for _, t, _, _ in loaded],
                 [g for _, _, g, _ in loaded],
                 [z for _, _, _, z in loaded],
-                pos_gap, n_gap_pad, pos_he, n_he_pad,
+                pos_gap, n_gap_pad, pos_he, n_he_w,
                 mask_threshold=p.mask_threshold, excluded=region,
                 mirror=p.mirror_mask)
             return [m for m, _, _, _ in loaded], (t_gap, t_he)

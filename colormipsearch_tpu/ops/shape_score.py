@@ -337,32 +337,53 @@ def support_split(q_pack: np.ndarray,
     return pos_gap, pos_he
 
 
+def he_words(n_he_rows: int, minimum: int = 128) -> int:
+    """Padded uint32 word count for n_he_rows bitpacked ring rows."""
+    return support_bucket(-(-n_he_rows // 32), minimum=minimum)
+
+
+def _packbits32(bits: np.ndarray, n_words: int) -> np.ndarray:
+    """bool [..., S] -> uint32 [..., n_words]: bit b of word w is row
+    32*w + b (little-endian packbits), zero-padded."""
+    b = np.packbits(bits, axis=-1, bitorder="little")
+    pad = n_words * 4 - b.shape[-1]
+    if pad < 0:
+        raise ValueError(f"{bits.shape[-1]} rows exceed {n_words} words")
+    if pad:
+        b = np.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
+    return np.ascontiguousarray(b).view(np.uint32)
+
+
 def sparse_query_split(q_pack: np.ndarray, pos_gap: np.ndarray,
                        n_gap_pad: int, pos_he: np.ndarray,
-                       n_he_pad: int):
-    """(q_gap int32 [n_gap_pad], q_he uint8 [n_he_pad]) query-side planes
-    for the split kernel.  Pad rows are 0 (neutral for both terms)."""
+                       n_he_words: int):
+    """(q_gap int32 [n_gap_pad], q_he uint32 [n_he_words]) query-side
+    planes for the split kernel.  Gap pad rows are 0 (neutral); he rows
+    bitpack 32 ring-row gates per word (see he_words)."""
     q_gap = np.zeros(n_gap_pad, np.int32)
     q_gap[:pos_gap.size] = q_pack[pos_gap] & ~(1 << _Q_HE_SHIFT)
-    q_he = np.zeros(n_he_pad, np.uint8)
-    q_he[:pos_he.size] = ((q_pack[pos_he] >> _Q_HE_SHIFT) & 1)
+    q_he = _packbits32(
+        ((q_pack[pos_he] >> _Q_HE_SHIFT) & 1).astype(bool), n_he_words)
     return q_gap, q_he
 
 
 def pack_target_rows_split(t_rgbs, grads, zgap_rgbs,
                            pos_gap: np.ndarray, n_gap_pad: int,
-                           pos_he: np.ndarray, n_he_pad: int, *,
+                           pos_he: np.ndarray, n_he_words: int, *,
                            mask_threshold: int,
                            excluded: np.ndarray | None = None,
                            mirror: bool = True):
     """Split-plane target pack: (t_gap uint32 [n_or, Sg_pad, T],
-    t_he uint8 [n_or, Sh_pad, T]) with n_or = 2 (straight, mirror) or 1.
+    t_he uint32 [n_or, n_he_words, T]) with n_or = 2 (straight,
+    mirror) or 1.
 
     Gap rows carry gradient|slice (z-gap fields stay in place across
     orientations; gradient comes from the mirrored column for the mirror
     plane).  He rows carry ONLY the target-foreground bit (straight and
-    mirrored columns), masked by the excluded region like the dense
-    pack.  Device arrays, ready for shape_score_pairs_split."""
+    mirrored columns, masked by the excluded region like the dense
+    pack), BITPACKED 32 ring rows per uint32 word — the he term is a
+    popcount of t & q words.  Device arrays, ready for
+    shape_score_pairs_split."""
     from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
 
     t = len(t_rgbs)
@@ -387,7 +408,7 @@ def pack_target_rows_split(t_rgbs, grads, zgap_rgbs,
     if mirror:
         t_gap[1, :sg] = (z_part | g_thr[:, sg:]).T
 
-    # he rows: foreground bit only
+    # he rows: foreground bit only, bitpacked 32 rows/word
     h_pos = (np.concatenate([pos_he, mirror_of(pos_he)]) if mirror
              else pos_he)
     tsel = np.stack([i.reshape(-1, 3)[h_pos] for i in t_rgbs])
@@ -395,10 +416,10 @@ def pack_target_rows_split(t_rgbs, grads, zgap_rgbs,
     if excluded is not None:
         tfg &= ~excluded.reshape(-1)[h_pos]
     sh = pos_he.size
-    t_he = np.zeros((n_or, n_he_pad, t), np.uint8)
-    t_he[0, :sh] = tfg[:, :sh].astype(np.uint8).T
+    t_he = np.empty((n_or, n_he_words, t), np.uint32)
+    t_he[0] = _packbits32(tfg[:, :sh], n_he_words).T
     if mirror:
-        t_he[1, :sh] = tfg[:, sh:].astype(np.uint8).T
+        t_he[1] = _packbits32(tfg[:, sh:], n_he_words).T
     return jnp.asarray(t_gap), jnp.asarray(t_he)
 
 
@@ -466,14 +487,16 @@ def shape_score_pairs_split_raw(t_gap: jax.Array, q_gap: jax.Array,
     Args (see pack_target_rows_split / sparse_query_split):
       t_gap: uint32 [n_or, Sg, T] gradient|slice gap-row planes.
       q_gap: int32 [n_or, Sg] query slice|nz|sig.
-      t_he:  uint8 [n_or, Sh, T] ring-row target-foreground bits.
-      q_he:  uint8 [n_or, Sh] ring-row gates (ROI-masked he bit).
+      t_he:  uint32 [n_or, W, T] bitpacked ring-row foreground bits
+             (32 rows per word).
+      q_he:  uint32 [n_or, W] bitpacked ring-row gates (ROI-masked).
     Returns (gap_hi, gap_lo, high_expr) int32 [n_or, T].
 
     The gap-row kernel drops the HE machinery and the z_nz/tfg field
     extractions of shape_score_pairs (z_nz == (z_sl != 0): the slice
-    LUT maps exactly black to 0); the he-row kernel is a gated popcount.
-    Semantics equal the dense kernel's — proven row-partition-exact in
+    LUT maps exactly black to 0); the he-row kernel is
+    popcount(t & q) — 32 ring rows per VPU op.  Semantics equal the
+    dense kernel's — proven row-partition-exact in
     tests/test_ops_shape_score.py.
     """
 
@@ -496,7 +519,7 @@ def shape_score_pairs_split_raw(t_gap: jax.Array, q_gap: jax.Array,
                 (val >> 10).sum(axis=0, dtype=jnp.int32))
 
     def he_one(t_h, q_h):
-        gated = t_h * q_h[:, None]
+        gated = jax.lax.population_count(t_h & q_h[:, None])
         return gated.sum(axis=0, dtype=jnp.int32)
 
     gap_hi_lo = jax.vmap(gap_one)(t_gap, q_gap)

@@ -156,12 +156,12 @@ def main():
           flush=True)
 
     # split (gap-row / he-row) production form: gap rows keep the
-    # grad|slice word, ring rows collapse to one foreground byte
+    # grad|slice word, ring rows bitpack to 32 fg bits per uint32
     pos_gap, pos_he = shape_score.support_split(q_pack)
     n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
-    n_he = shape_score.support_bucket(pos_he.size)
+    n_he = shape_score.he_words(pos_he.size)
     log(f"split: {pos_gap.size} gap rows (pad {n_gap}), "
-        f"{pos_he.size} he rows (pad {n_he})")
+        f"{pos_he.size} he rows ({n_he} packed words)")
     qg, qh = shape_score.sparse_query_split(q_pack, pos_gap, n_gap,
                                             pos_he, n_he)
     q_gap2 = jnp.asarray(np.stack([qg, qg]))
@@ -178,9 +178,14 @@ def main():
     t_gap2 = jax.block_until_ready(slice_rows(
         pos_gap, n_gap,
         lambda w: (w & jnp.uint32((0x1FF << 16) | 0xFFFF))))
-    t_he2 = jax.block_until_ready(slice_rows(
-        pos_he, n_he,
-        lambda w: ((w >> 26) & 1).astype(jnp.uint8)))
+    # he bits come to the host for packing (small: Sh x T bools)
+    tfg_host = np.asarray(
+        (jnp.take(t_pack, jnp.asarray(pos_he), axis=0) >> 26) & 1
+    ).astype(bool).T                                  # [T, Sh]
+    t_he_1 = jnp.asarray(
+        np.ascontiguousarray(
+            shape_score._packbits32(tfg_host, n_he).T))
+    t_he2 = jax.block_until_ready(jnp.stack([t_he_1, t_he_1]))
 
     def split_fn():
         return shape_score.shape_score_pairs_split(t_gap2, q_gap2,

@@ -110,7 +110,7 @@ def test_sparse_pack_equals_dense(mirror):
     assert np.intersect1d(pos_gap, pos_he).size == 0
     assert np.array_equal(np.sort(np.concatenate([pos_gap, pos_he])), pos)
     n_gap = shape_score.support_bucket(pos_gap.size, minimum=128)
-    n_he = shape_score.support_bucket(pos_he.size, minimum=128)
+    n_he = shape_score.he_words(pos_he.size, minimum=4)
     q_gap, q_he = shape_score.sparse_query_split(
         q_pack, pos_gap, n_gap, pos_he, n_he)
     n_or = 2 if mirror else 1
@@ -160,7 +160,7 @@ def test_sparse_pack_equals_dense_with_roi_mirror():
     # split path with per-orientation ROI query packs
     pos_gap, pos_he = shape_score.support_split(q_pack, q_pack_m)
     n_gap = shape_score.support_bucket(pos_gap.size, minimum=128)
-    n_he = shape_score.support_bucket(pos_he.size, minimum=128)
+    n_he = shape_score.he_words(pos_he.size, minimum=4)
     qg0, qh0 = shape_score.sparse_query_split(
         q_pack, pos_gap, n_gap, pos_he, n_he)
     qg1, qh1 = shape_score.sparse_query_split(
@@ -218,7 +218,7 @@ def test_shape_score_with_region_exclusion():
     # split path with excluded-region masking of the he rows
     pos_gap, pos_he = shape_score.support_split(q_pack)
     n_gap = shape_score.support_bucket(pos_gap.size, minimum=128)
-    n_he = shape_score.support_bucket(pos_he.size, minimum=128)
+    n_he = shape_score.he_words(pos_he.size, minimum=4)
     q_gap, q_he = shape_score.sparse_query_split(
         q_pack, pos_gap, n_gap, pos_he, n_he)
     t_gap, t_he = shape_score.pack_target_rows_split(

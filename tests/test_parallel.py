@@ -156,9 +156,12 @@ def test_sharded_shape_step_equals_single_device():
     )
 
     t_gap = t2 & jnp.uint32((0x1FF << 16) | 0xFFFF)
-    t_he = ((t2 >> 26) & 1).astype(jnp.uint8)
     q_gap = q2 & jnp.int32(0x7FF)
-    q_he = ((q2 >> 11) & 1).astype(jnp.uint8)
+    n_w = p // 32
+    t_he = jnp.asarray(rng.integers(
+        0, 1 << 32, (2, n_w, t), dtype=np.uint64).astype(np.uint32))
+    q_he = jnp.asarray(rng.integers(
+        0, 1 << 32, (2, n_w), dtype=np.uint64).astype(np.uint32))
     ref = shape_score.shape_score_pairs_split(t_gap, q_gap, t_he, q_he)
     splitstep = make_sharded_shape_split_step(mesh)
     got = splitstep(shard_target_planes(mesh, t_gap), q_gap,
