@@ -40,8 +40,8 @@ _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 N_TARGETS = int(_os.environ.get("CDS_BENCH_TARGETS", 4096))
 N_MASK_REPEATS = int(_os.environ.get("CDS_BENCH_REPEATS", 24))
 MASK_BATCH = int(_os.environ.get("CDS_BENCH_MASK_BATCH", 8))
-SHAPE_TARGETS = int(_os.environ.get("CDS_BENCH_SHAPE_TARGETS", 512))
-SHAPE_REPEATS = int(_os.environ.get("CDS_BENCH_SHAPE_REPEATS", 100))
+SHAPE_TARGETS = int(_os.environ.get("CDS_BENCH_SHAPE_TARGETS", 4096))
+SHAPE_REPEATS = int(_os.environ.get("CDS_BENCH_SHAPE_REPEATS", 50))
 BASELINE_ORACLE_TARGETS = 24
 REFERENCE_NODE_THREADS = 39  # submitCDSJob.sh:13-18 (2*20 cores - 1)
 HBM_PEAK_GB_S = 819  # TPU v5e HBM bandwidth (public spec)

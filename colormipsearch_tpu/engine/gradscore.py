@@ -209,10 +209,13 @@ class GradScoreEngine:
             loaded.append((m, t_rgb, grad.astype(np.uint16), zgap))
         return loaded
 
-    # targets per device batch: bounds the in-flight host images
-    # (~2 x 2.8 GB RGB+grad+zgap with the prefetch tile) per dispatch;
-    # the packed planes are support-row sparse and much smaller
+    # targets per decode/pack chunk: bounds the in-flight host images
+    # (~2 x 2.8 GB RGB+grad+zgap with the prefetch tile); the packed
+    # planes are support-row sparse and much smaller
     GROUP_TILE = 512
+    # targets per device dispatch: packed chunks accumulate to this
+    # width before scoring (wide columns amortize dispatch overhead)
+    DISPATCH_TILE = 4096
 
     def _score_group_device(self, mask_rgb, region, roi_rgb,
                             group, mask_shape) -> int:
@@ -267,11 +270,38 @@ class GradScoreEngine:
                 mirror=p.mirror_mask)
             return [m for m, _, _, _ in loaded], (t_gap, t_he)
 
+        # decode/pack streams in GROUP_TILE chunks (host-image bound),
+        # but the packed planes are small (~16 KB gap + ~10 KB he per
+        # target), so accumulate them and dispatch DISPATCH_TILE-wide —
+        # wide columns amortize per-dispatch overhead on the device
+        import jax.numpy as jnp
+
         n = 0
+        acc: list[tuple[list, object, object]] = []
+        acc_t = 0
+
+        def flush():
+            nonlocal n, acc, acc_t
+            if not acc:
+                return
+            if len(acc) == 1:
+                matches, t_gap, t_he = acc[0]
+            else:
+                matches = [m for ms, _, _ in acc for m in ms]
+                t_gap = jnp.concatenate([g for _, g, _ in acc], axis=2)
+                t_he = jnp.concatenate([h for _, _, h in acc], axis=2)
+            n += self._score_group_tile(q_gap, q_he, matches,
+                                        (t_gap, t_he))
+            acc, acc_t = [], 0
+
         for matches, planes in self._iter_group_tiles(
                 group, mask_shape, region, prep=pack_tile):
             if matches:
-                n += self._score_group_tile(q_gap, q_he, matches, planes)
+                acc.append((matches, planes[0], planes[1]))
+                acc_t += len(matches)
+                if acc_t >= self.DISPATCH_TILE:
+                    flush()
+        flush()
         return n
 
     def _score_group_tile(self, q_gap, q_he, matches, planes) -> int:

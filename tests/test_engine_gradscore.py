@@ -68,6 +68,9 @@ def test_streamed_tiles_match_oracle(tmp_path, monkeypatch, with_zgap):
         expected.append(oracle.score(t_img, grad, zgap))
 
     monkeypatch.setattr(GradScoreEngine, "GROUP_TILE", 2)
+    # force a mid-stream flush (2 chunks accumulate, then 1 remains)
+    # so both the concat flush and the tail flush run
+    monkeypatch.setattr(GradScoreEngine, "DISPATCH_TILE", 3)
     engine = GradScoreEngine(params, use_device=True)
     scored = engine.score_matches(matches)
     assert len(scored) == n_targets
