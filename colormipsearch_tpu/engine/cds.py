@@ -108,11 +108,15 @@ class CDSParams:
 
 @dataclasses.dataclass
 class TargetShard:
-    """Packed targets of one image shape, device-resident."""
+    """Packed targets of one image shape, device-resident.
+
+    Raw pixels are NOT retained (a 4096-target production shard would
+    hold ~8 GB of host RAM): the rare ambiguity-flagged pairs re-decode
+    their one target through host_rgb() / the MIP cache."""
     neurons: list[Neuron]
     shape: tuple[int, int]           # (H, W)
     planes: jax.Array                # uint32 [P, T]
-    host_rgb: np.ndarray             # uint8 [T, H, W, 3] for oracle rescore
+    file_type: ComputeFileType = ComputeFileType.InputColorDepthImage
     device_planes: jax.Array | None = None  # mesh-sharded copy (lazy)
     # when set, below-threshold pixels are packed as zero words and the
     # kernels run with target_threshold=-1 (the test is folded away)
@@ -123,6 +127,13 @@ class TargetShard:
     @property
     def count(self) -> int:
         return len(self.neurons)
+
+    def host_rgb(self, t_idx: int) -> np.ndarray:
+        """Re-decode one target's RGB (ambiguity-flagged rescore only)."""
+        from colormipsearch_tpu.io import cache as mips_cache
+
+        mip = mips_cache.load_mip(self.neurons[t_idx], self.file_type)
+        return mip.image.as_rgb()
 
 
 def load_target_shards(targets: Sequence[Neuron], *,
@@ -212,7 +223,7 @@ def load_target_shards(targets: Sequence[Neuron], *,
             if t_pad != t:
                 planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
             shards.append(TargetShard(neurons[i:i + tile_size], shape,
-                                      planes, stack,
+                                      planes, file_type=file_type,
                                       packed_threshold=pack_threshold))
     return shards
 
@@ -629,7 +640,7 @@ class CDSearchEngine:
                         neg_query_rgb=self.neg_query_rgb,
                         neg_query_threshold=self.neg_query_threshold,
                         mirror_neg_query=self.mirror_neg_query)
-                res = oracle.score(shard.host_rgb[t_idx])
+                res = oracle.score(shard.host_rgb(t_idx))
                 score, is_mirrored = res.matching_pixels, res.mirrored
                 ratio = res.matching_pixels_ratio
                 if score <= 0:

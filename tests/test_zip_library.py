@@ -50,3 +50,32 @@ def test_create_input_from_zip(tmp_path):
     cf = data[0]["computeFiles"]["InputColorDepthImage"]
     assert cf["dataType"] == "zipEntry"
     assert cf["fileName"] == str(zpath)
+
+
+def test_target_shard_lazy_host_rgb(tmp_path):
+    """TargetShard retains no raw pixel stacks; host_rgb(t) re-decodes
+    a single target (file AND zip-entry backed) bit-identically."""
+    from colormipsearch_tpu.engine.cds import load_target_shards
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.io.mips import (
+        list_image_files,
+        neurons_from_image_files,
+    )
+
+    zpath = tmp_path / "lib.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.write(TARGET_TIF, Path(TARGET_TIF).name)
+    files = list_image_files(str(zpath)) + [
+        f for f in list_image_files(str(Path(TARGET_TIF).parent))
+        if "GMR" in f.name or "LPLC2" in f.name]
+    neurons = neurons_from_image_files(files)
+    assert len(neurons) >= 2
+    [shard] = load_target_shards(neurons)
+    for i, n in enumerate(shard.neurons):
+        rgb = shard.host_rgb(i)
+        assert rgb.ndim == 3 and rgb.shape[2] == 3
+        assert rgb.max() > 0
+    # file-backed target must equal a direct decode
+    direct = read_image(TARGET_TIF).as_rgb()
+    idx = [i for i, n in enumerate(shard.neurons) if "GMR" in n.mip_id]
+    assert any((shard.host_rgb(i) == direct).all() for i in idx)
