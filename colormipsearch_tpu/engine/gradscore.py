@@ -130,17 +130,23 @@ class GradScoreEngine:
         update_normalized_scores([m for m in scored])
         return scored
 
+    # decode+pack worker threads: PIL/zlib decode and numpy packing all
+    # release the GIL, so a small pool pipelines well; host image memory
+    # is bounded at (PREFETCH_WORKERS + 1) in-flight tiles
+    PREFETCH_WORKERS = 2
+
     def _iter_group_tiles(self, group, mask_shape, region, prep=None):
-        """Stream GROUP_TILE-sized lists of loaded targets with one-tile
-        lookahead: while the device scores tile i, a worker thread
-        decodes tile i+1 (same double-buffering as the CDS pass's
-        iter_target_shards), so host image memory stays bounded at two
-        tiles regardless of group size.
+        """Stream GROUP_TILE-sized lists of loaded targets with
+        PREFETCH_WORKERS-deep lookahead (in-order yield): while the
+        device scores tile i, worker threads decode tiles i+1..i+N
+        (the CDS pass's double-buffering, widened — the split kernel is
+        fast enough that decode+pack is the shape pass's bottleneck).
 
         `prep` (optional) runs on the loaded tile INSIDE the worker
         thread and its result is what gets yielded — the device path
         passes the host-side pack here so decode+pack both overlap the
-        previous tile's device dispatch (numpy releases the GIL)."""
+        previous tile's device dispatch."""
+        import collections
         import concurrent.futures
 
         def load(chunk):
@@ -153,13 +159,18 @@ class GradScoreEngine:
             for c in chunks:
                 yield load(c)
             return
-        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(load, chunks[0])
-            for nxt in chunks[1:]:
-                loaded = fut.result()
-                fut = pool.submit(load, nxt)
+        n_workers = max(1, self.PREFETCH_WORKERS)
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=n_workers) as pool:
+            pending = collections.deque(
+                pool.submit(load, c) for c in chunks[:n_workers + 1])
+            nxt = n_workers + 1
+            while pending:
+                loaded = pending.popleft().result()
+                if nxt < len(chunks):
+                    pending.append(pool.submit(load, chunks[nxt]))
+                    nxt += 1
                 yield loaded
-            yield fut.result()
 
     def _load_group_targets(self, group, mask_shape, region):
         """Load target/gradient/zgap images for each match; matches with
@@ -210,8 +221,8 @@ class GradScoreEngine:
         return loaded
 
     # targets per decode/pack chunk: bounds the in-flight host images
-    # (~2 x 2.8 GB RGB+grad+zgap with the prefetch tile); the packed
-    # planes are support-row sparse and much smaller
+    # (~2.8 GB RGB+grad+zgap per tile x (PREFETCH_WORKERS + 1)); the
+    # packed planes are support-row sparse and much smaller
     GROUP_TILE = 512
     # targets per device dispatch: packed chunks accumulate to this
     # width before scoring (wide columns amortize dispatch overhead)
