@@ -145,7 +145,7 @@ def load_target_shards(targets: Sequence[Neuron], *,
     """Decode target CDMs and pack them into device planes, grouped by
     image shape and tiled to bound single-allocation size.
 
-    Same-shape RGB TIFF batches go through the native multithreaded
+    Same-shape RGB TIFF/PNG batches go through the native multithreaded
     decoder (io/native_decoder.py); everything else decodes via PIL.
     """
     try:
@@ -169,7 +169,7 @@ def load_target_shards(targets: Sequence[Neuron], *,
             except (OSError, FileNotFoundError):
                 skipped += 1
                 continue
-            info = native_decoder.tiff_info(blob)
+            info = native_decoder.img_info(blob)
             if info is not None and info[2] == 3 and info[3] == 8:
                 w, h = info[0], info[1]
                 pending.setdefault((h, w), ([], []))[0].append(n)
@@ -187,7 +187,7 @@ def load_target_shards(targets: Sequence[Neuron], *,
     # batch-decode the native-eligible groups
     for (h, w), (neurons, blobs) in pending.items():
         from colormipsearch_tpu.io import native_decoder
-        res = native_decoder.decode_tiff_batch(
+        res = native_decoder.decode_img_batch(
             blobs, width=w, height=h, channels=3)
         if res is None:
             for n, b in zip(neurons, blobs):

@@ -76,15 +76,19 @@ def _from_pil(img: Image.Image) -> ImageData:
     return ImageData(ImageType.RGB, np.asarray(img.convert("RGB"), dtype=np.uint8))
 
 
-def _try_native_tiff(data: bytes) -> ImageData | None:
-    """Decode a TIFF with the native C++ decoder when possible."""
-    if len(data) < 4 or data[:2] not in (b"II", b"MM"):
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _try_native(data: bytes) -> ImageData | None:
+    """Decode a TIFF or PNG with the native C++ decoder when possible."""
+    if len(data) < 8 or (data[:2] not in (b"II", b"MM")
+                         and not data.startswith(_PNG_MAGIC)):
         return None
     try:
         from colormipsearch_tpu.io import native_decoder
     except ImportError:
         return None
-    arr = native_decoder.decode_tiff(data)
+    arr = native_decoder.decode_img(data)
     if arr is None:
         return None
     if arr.ndim == 3 and arr.shape[-1] == 3:
@@ -101,20 +105,21 @@ def _try_native_tiff(data: bytes) -> ImageData | None:
 def read_image(path_or_bytes) -> ImageData:
     """Decode an image from a path, byte string, or file-like object.
 
-    TIFFs go through the native C++ decoder (native/cdm_decoder.cpp)
-    when it is available; everything else (and any native failure)
-    falls back to PIL.
+    TIFFs and PNGs go through the native C++ decoder
+    (native/cdm_decoder.cpp) when it is available; everything else (and
+    any native failure, e.g. palette or interlaced PNGs) falls back to
+    PIL.
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)
     elif isinstance(path_or_bytes, (str, os.PathLike)) and \
-            str(path_or_bytes).lower().endswith((".tif", ".tiff")):
+            str(path_or_bytes).lower().endswith((".tif", ".tiff", ".png")):
         with open(path_or_bytes, "rb") as f:
             data = f.read()
     else:
         data = None
     if data is not None:
-        native = _try_native_tiff(data)
+        native = _try_native(data)
         if native is not None:
             return native
         img = Image.open(_io.BytesIO(data))

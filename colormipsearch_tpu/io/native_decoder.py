@@ -38,7 +38,7 @@ def _build_lib() -> str | None:
         return so
     tmp = so + f".tmp.{os.getpid()}"
     cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
-           "-o", tmp, _SRC]
+           "-o", tmp, _SRC, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
@@ -89,6 +89,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.cdm_img_info.restype = ctypes.c_int
+        lib.cdm_img_info.argtypes = lib.cdm_tiff_info.argtypes
+        lib.cdm_img_decode.restype = ctypes.c_int
+        lib.cdm_img_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_size_t]
+        lib.cdm_img_decode_batch.restype = None
+        lib.cdm_img_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
 
@@ -149,6 +161,67 @@ def packbits_uncompress(data: bytes, out: np.ndarray, offset=0, start=0,
     return int(lib.cdm_packbits_uncompress(
         data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
         offset, start, end))
+
+
+def img_info(data: bytes):
+    """(width, height, channels, bits) for TIFF or PNG, or None.
+
+    PNG alpha channels are dropped in decode (like PIL convert("RGB")),
+    so `channels` reports the output count."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_uint32()
+    h = ctypes.c_uint32()
+    c = ctypes.c_uint32()
+    b = ctypes.c_uint32()
+    if lib.cdm_img_info(data, len(data), ctypes.byref(w), ctypes.byref(h),
+                        ctypes.byref(c), ctypes.byref(b)) != 0:
+        return None
+    return w.value, h.value, c.value, b.value
+
+
+def decode_img(data: bytes):
+    """Decode a TIFF or PNG held in memory -> numpy array, or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    info = img_info(data)
+    if info is None:
+        return None
+    w, h, c, bits = info
+    dtype = np.uint16 if bits == 16 else np.uint8
+    out = np.empty(h * w * c, dtype)
+    rc = lib.cdm_img_decode(data, len(data),
+                            out.ctypes.data_as(ctypes.c_void_p),
+                            out.nbytes)
+    if rc != 0:
+        return None
+    if c == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, c)
+
+
+def decode_img_batch(blobs: list[bytes], *, width: int, height: int,
+                     channels: int, n_threads: int = 0):
+    """Decode equal-shaped TIFF/PNG blobs into one uint8 arena in
+    parallel.  Returns (arena [N, H, W, C] uint8, ok mask [N])."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(blobs)
+    stride = height * width * channels
+    arena = np.empty((n, height, width, channels), np.uint8)
+    bufs = (ctypes.c_char_p * n)(*blobs)
+    lens = (ctypes.c_size_t * n)(*[len(b) for b in blobs])
+    results = (ctypes.c_int * n)()
+    if n_threads <= 0:
+        n_threads = min(32, os.cpu_count() or 1)
+    lib.cdm_img_decode_batch(
+        bufs, lens, n, arena.ctypes.data_as(ctypes.c_void_p), stride,
+        n_threads, results)
+    ok = np.array([results[i] == 0 for i in range(n)], bool)
+    return arena, ok
 
 
 def decode_tiff_batch(blobs: list[bytes], *, width: int, height: int,

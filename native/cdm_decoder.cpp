@@ -1,13 +1,15 @@
-// Native TIFF decoder for color depth MIPs.
+// Native TIFF + PNG decoder for color depth MIPs.
 //
 // C++ replacement of the reference's decode layer
 // (imageprocessing/LocalTiffDecoder.java — an ImageJ TiffDecoder fork
 // exposing IFD strip metadata — and ImageArrayUtils.packBitsUncompress
-// :225-254 with its partial-range semantics): baseline TIFF parsing
-// (both endiannesses), uncompressed / PackBits / LZW strips, gray8,
-// gray16 and RGB8 chunky images, full-image and row-range decodes, and a
-// multithreaded batch API that decodes many in-memory files into one
-// preallocated arena for direct upload to the device.
+// :225-254 with its partial-range semantics; ImageArrayUtils.readImageArray
+// :95 routes PNG through ImageIO): baseline TIFF parsing (both
+// endiannesses), uncompressed / PackBits / LZW strips, PNG (zlib inflate
+// + per-row unfilter; gray8/gray16/RGB8, RGBA alpha dropped like
+// PIL.convert("RGB")), gray8, gray16 and RGB8 chunky images, full-image
+// and row-range decodes, and a multithreaded batch API that decodes many
+// in-memory files into one preallocated arena for direct device upload.
 //
 // Exposed as a plain C ABI for ctypes.
 
@@ -17,6 +19,8 @@
 #include <cstring>
 #include <thread>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -288,6 +292,203 @@ int decode_rows(const Reader& r, const TiffInfo& t, uint8_t* out,
     return 0;
 }
 
+// ---------------------------------------------------------------------
+// PNG
+// ---------------------------------------------------------------------
+
+const uint8_t PNG_MAGIC[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'};
+
+struct PngInfo {
+    uint32_t width = 0, height = 0;
+    uint8_t depth = 0, color = 0, interlace = 0;
+    // channel count as stored in the file
+    int channels_in = 0;
+    // channel count after alpha drop (what we output)
+    int channels_out = 0;
+    bool ok = false;
+};
+
+uint32_t be32(const uint8_t* p) {
+    return (uint32_t)p[0] << 24 | (uint32_t)p[1] << 16 |
+           (uint32_t)p[2] << 8 | (uint32_t)p[3];
+}
+
+bool is_png(const uint8_t* p, size_t n) {
+    return n >= 8 && std::memcmp(p, PNG_MAGIC, 8) == 0;
+}
+
+PngInfo parse_png(const uint8_t* p, size_t n) {
+    PngInfo t;
+    if (!is_png(p, n) || n < 33) return t;
+    // IHDR must be the first chunk
+    if (be32(p + 8) != 13 || std::memcmp(p + 12, "IHDR", 4) != 0) return t;
+    t.width = be32(p + 16);
+    t.height = be32(p + 20);
+    t.depth = p[24];
+    t.color = p[25];
+    t.interlace = p[28];
+    switch (t.color) {
+        case 0: t.channels_in = 1; t.channels_out = 1; break;   // gray
+        case 2: t.channels_in = 3; t.channels_out = 3; break;   // rgb
+        case 4: t.channels_in = 2; t.channels_out = 1; break;   // gray+a
+        case 6: t.channels_in = 4; t.channels_out = 3; break;   // rgba
+        default: return t;                                      // palette
+    }
+    // 16-bit only for pure gray (gradient images); color stays 8-bit
+    bool depth_ok = (t.depth == 8) || (t.depth == 16 && t.color == 0);
+    t.ok = t.width > 0 && t.height > 0 && depth_ok &&
+           t.interlace == 0 && p[26] == 0 && p[27] == 0;
+    return t;
+}
+
+int paeth(int a, int b, int c) {
+    int pp = a + b - c;
+    int pa = std::abs(pp - a), pb = std::abs(pp - b), pc = std::abs(pp - c);
+    if (pa <= pb && pa <= pc) return a;
+    if (pb <= pc) return b;
+    return c;
+}
+
+// Decode a whole PNG into out (tight rows, alpha dropped, 16-bit
+// converted to host little-endian). Returns 0 on success.
+int png_decode(const uint8_t* p, size_t n, uint8_t* out, size_t out_cap) {
+    PngInfo t = parse_png(p, n);
+    if (!t.ok) return -1;
+    size_t bytes_per_sample = t.depth / 8;
+    size_t bpp = (size_t)t.channels_in * bytes_per_sample;  // filter unit
+    size_t row_raw = (size_t)t.width * bpp;
+    size_t row_out = (size_t)t.width * t.channels_out * bytes_per_sample;
+    if (out_cap < row_out * t.height) return -2;
+
+    // inflate the concatenation of all IDAT chunks
+    std::vector<uint8_t> raw((row_raw + 1) * t.height);
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit(&zs) != Z_OK) return -3;
+    zs.next_out = raw.data();
+    zs.avail_out = (uInt)raw.size();
+    size_t off = 8;
+    int zret = Z_OK;
+    while (off + 12 <= n) {
+        uint32_t len = be32(p + off);
+        const uint8_t* type = p + off + 4;
+        const uint8_t* data = p + off + 8;
+        if (off + 12 + (size_t)len > n) break;
+        if (std::memcmp(type, "IDAT", 4) == 0) {
+            zs.next_in = const_cast<uint8_t*>(data);
+            zs.avail_in = len;
+            zret = inflate(&zs, Z_NO_FLUSH);
+            if (zret != Z_OK && zret != Z_STREAM_END) {
+                inflateEnd(&zs);
+                return -3;
+            }
+        } else if (std::memcmp(type, "IEND", 4) == 0) {
+            break;
+        }
+        off += 12 + (size_t)len;
+    }
+    bool complete = (zs.avail_out == 0) || (zret == Z_STREAM_END &&
+                    zs.total_out == raw.size());
+    inflateEnd(&zs);
+    if (!complete) return -3;
+
+    // unfilter in place, then emit (dropping alpha samples if any)
+    std::vector<uint8_t> prev(row_raw, 0);
+    for (uint32_t y = 0; y < t.height; y++) {
+        uint8_t* rp = raw.data() + (size_t)y * (row_raw + 1);
+        uint8_t filter = rp[0];
+        uint8_t* row = rp + 1;
+        switch (filter) {
+            case 0: break;
+            case 1:
+                for (size_t i = bpp; i < row_raw; i++)
+                    row[i] = (uint8_t)(row[i] + row[i - bpp]);
+                break;
+            case 2:
+                for (size_t i = 0; i < row_raw; i++)
+                    row[i] = (uint8_t)(row[i] + prev[i]);
+                break;
+            case 3:
+                for (size_t i = 0; i < row_raw; i++) {
+                    int a = i >= bpp ? row[i - bpp] : 0;
+                    row[i] = (uint8_t)(row[i] + ((a + prev[i]) >> 1));
+                }
+                break;
+            case 4:
+                for (size_t i = 0; i < row_raw; i++) {
+                    int a = i >= bpp ? row[i - bpp] : 0;
+                    int c = i >= bpp ? prev[i - bpp] : 0;
+                    row[i] = (uint8_t)(row[i] + paeth(a, prev[i], c));
+                }
+                break;
+            default:
+                return -4;
+        }
+        std::memcpy(prev.data(), row, row_raw);
+        uint8_t* dst = out + (size_t)y * row_out;
+        if (t.channels_in == t.channels_out) {
+            if (t.depth == 8) {
+                std::memcpy(dst, row, row_out);
+            } else {  // 16-bit gray: big-endian samples -> host little
+                for (uint32_t x = 0; x < t.width; x++) {
+                    dst[2 * x] = row[2 * x + 1];
+                    dst[2 * x + 1] = row[2 * x];
+                }
+            }
+        } else {  // drop the trailing alpha sample per pixel
+            int ci = t.channels_in, co = t.channels_out;
+            for (uint32_t x = 0; x < t.width; x++)
+                for (int s = 0; s < co; s++)
+                    dst[x * co + s] = row[x * ci + s];
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------
+// generic (TIFF or PNG) entry helpers
+// ---------------------------------------------------------------------
+
+bool is_tiff(const uint8_t* p, size_t n, bool* little);
+
+int img_info_impl(const uint8_t* buf, size_t len, uint32_t* width,
+                  uint32_t* height, uint32_t* channels, uint32_t* bits) {
+    bool little;
+    if (is_tiff(buf, len, &little)) {
+        Reader r{buf, len, little};
+        TiffInfo t = parse_tiff(r);
+        if (!t.ok) return -1;
+        *width = t.width;
+        *height = t.height;
+        *channels = t.samples;
+        *bits = t.bits;
+        return 0;
+    }
+    if (is_png(buf, len)) {
+        PngInfo t = parse_png(buf, len);
+        if (!t.ok) return -1;
+        *width = t.width;
+        *height = t.height;
+        *channels = (uint32_t)t.channels_out;
+        *bits = t.depth;
+        return 0;
+    }
+    return -1;
+}
+
+int img_decode_impl(const uint8_t* buf, size_t len, uint8_t* out,
+                    size_t out_cap) {
+    bool little;
+    if (is_tiff(buf, len, &little)) {
+        Reader r{buf, len, little};
+        TiffInfo t = parse_tiff(r);
+        if (!t.ok) return -1;
+        return decode_rows(r, t, out, out_cap, 0, t.height);
+    }
+    if (is_png(buf, len)) return png_decode(buf, len, out, out_cap);
+    return -1;
+}
+
 bool is_tiff(const uint8_t* p, size_t n, bool* little) {
     if (n < 8) return false;
     if (p[0] == 'I' && p[1] == 'I' && p[2] == 42 && p[3] == 0) {
@@ -358,6 +559,38 @@ void cdm_tiff_decode_batch(const uint8_t** bufs, const size_t* lens,
             results[i] = cdm_tiff_decode(bufs[i], lens[i],
                                          arena + (size_t)i * stride,
                                          stride, y0, y1);
+        }
+    };
+    int nt = std::max(1, std::min(n_threads, n));
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
+// Generic (TIFF or PNG) info/decode: PNG alpha channels are dropped
+// (channels reports the OUTPUT count), 16-bit samples are host-endian.
+int cdm_img_info(const uint8_t* buf, size_t len, uint32_t* width,
+                 uint32_t* height, uint32_t* channels, uint32_t* bits) {
+    return img_info_impl(buf, len, width, height, channels, bits);
+}
+
+int cdm_img_decode(const uint8_t* buf, size_t len, uint8_t* out,
+                   size_t out_cap) {
+    return img_decode_impl(buf, len, out, out_cap);
+}
+
+// Batch decode of mixed TIFF/PNG blobs into one arena (full images).
+void cdm_img_decode_batch(const uint8_t** bufs, const size_t* lens,
+                          int n, uint8_t* arena, size_t stride,
+                          int n_threads, int* results) {
+    std::atomic<int> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int i = next.fetch_add(1);
+            if (i >= n) break;
+            results[i] = img_decode_impl(bufs[i], lens[i],
+                                         arena + (size_t)i * stride,
+                                         stride);
         }
     };
     int nt = std::max(1, std::min(n_threads, n));

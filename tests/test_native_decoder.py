@@ -96,3 +96,92 @@ def test_read_image_uses_native(tmp_path):
     img = read_image(path)
     ref = _pil_rgb(open(path, "rb").read())
     np.testing.assert_array_equal(img.as_rgb(), ref)
+
+
+def _png_bytes(img: Image.Image, **kw) -> bytes:
+    buf = io.BytesIO()
+    img.save(buf, format="PNG", **kw)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("kind", ["rgb", "gray8", "gray16", "rgba"])
+def test_png_decode_matches_pil(kind):
+    rng = np.random.default_rng(17)
+    h, w = 93, 141  # odd sizes exercise filter edge cases
+    if kind == "rgb":
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        img = Image.fromarray(arr)
+        expect = arr
+    elif kind == "gray8":
+        arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        img = Image.fromarray(arr)
+        expect = arr
+    elif kind == "gray16":
+        arr = rng.integers(0, 1 << 16, (h, w)).astype(np.uint16)
+        img = Image.fromarray(arr)
+        expect = arr
+    else:  # rgba: alpha dropped like PIL convert("RGB")
+        arr = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        img = Image.fromarray(arr, mode="RGBA")
+        expect = arr[..., :3]
+    data = _png_bytes(img)
+    got = native_decoder.decode_img(data)
+    assert got is not None
+    np.testing.assert_array_equal(got, expect)
+    info = native_decoder.img_info(data)
+    assert info[:2] == (w, h)
+
+
+def test_png_sparse_cdm_like():
+    """Sparse CDM-like content (mostly black) hits filter type 0/2 runs."""
+    rng = np.random.default_rng(3)
+    h, w = 120, 200
+    arr = np.zeros((h, w, 3), np.uint8)
+    ys, xs = rng.integers(0, h, 500), rng.integers(0, w, 500)
+    arr[ys, xs] = rng.integers(1, 256, (500, 3))
+    data = _png_bytes(Image.fromarray(arr))
+    np.testing.assert_array_equal(native_decoder.decode_img(data), arr)
+
+
+def test_png_unsupported_falls_back():
+    """Palette PNGs are not handled natively; read_image falls to PIL."""
+    from colormipsearch_tpu.io.image import read_image
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, (40, 50, 3)).astype(np.uint8)
+    pal = Image.fromarray(arr).quantize(colors=16)
+    data = _png_bytes(pal)
+    assert native_decoder.decode_img(data) is None  # palette -> None
+    img = read_image(data)  # PIL fallback path
+    np.testing.assert_array_equal(
+        img.as_rgb(), np.asarray(pal.convert("RGB")))
+
+
+def test_png_read_image_gradient_roundtrip(tmp_path):
+    """The gradientScores variant flow: 16-bit gradient PNG decodes
+    natively to the same values PIL produces."""
+    from colormipsearch_tpu.io.image import ImageType, read_image
+
+    rng = np.random.default_rng(11)
+    grad = rng.integers(0, 65536, (77, 131)).astype(np.uint16)
+    p = tmp_path / "t_gradient.png"
+    Image.fromarray(grad).save(p)
+    img = read_image(str(p))
+    assert img.type is ImageType.GRAY16
+    np.testing.assert_array_equal(img.pixels, grad)
+
+
+def test_png_batch_decode():
+    rng = np.random.default_rng(23)
+    h, w = 64, 96
+    arrs = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            for _ in range(6)]
+    blobs = [_png_bytes(Image.fromarray(a)) for a in arrs]
+    blobs.append(b"not an image")
+    res = native_decoder.decode_img_batch(
+        blobs, width=w, height=h, channels=3)
+    assert res is not None
+    arena, ok = res
+    assert ok[:6].all() and not ok[6]
+    for i, a in enumerate(arrs):
+        np.testing.assert_array_equal(arena[i], a)
