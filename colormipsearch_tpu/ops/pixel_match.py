@@ -207,181 +207,6 @@ def build_neg_query_plan(query_rgb: np.ndarray, query_threshold: int,
                      mirror_neg_query, a, b)
 
 
-@dataclasses.dataclass
-class UnionQueryPlan:
-    """Host-side precomputation for the x-union lane kernel.
-
-    The 9 xy-shift variants of the classic plan gather 9 row sets that
-    heavily overlap in x (the shifts are a {dy} x {dx} grid): for each dy
-    the three dx-shifted position sets share the x-dilated union
-    U = {q + dx}.  Gathering U once per dy-set and evaluating the dx
-    variants as masked LANES with per-lane query constants cuts gathered
-    rows/bytes ~2x (|U| ~ 1.6|Q| on real masks) at the cost of ~1.5x more
-    predicate lanes — a net win while the kernel is gather-bound
-    (docs/DESIGN.md §6).  Inactive (row, lane) elements carry zeroed
-    query constants, which can neither match nor flag (class 0 rules are
-    disabled and same_cls is -1), so scores and flags are bit-identical
-    to the classic per-variant kernel.
-    """
-    u_pos: np.ndarray     # int32 [S, U] straight dy-set positions, -1 skip
-    mu_pos: np.ndarray    # int32 [S, U] mirrored dy-set positions
-    lane_cls: np.ndarray  # int32 [L, U] per-lane query class (0 = off)
-    lane_s: np.ndarray    # int32 [L, U]
-    lane_p: np.ndarray    # int32 [L, U]
-    query_size: int       # true (unpadded) number of query positions
-    mirror: bool
-    ztol_num: int
-    ztol_den: int
-
-    @property
-    def n_sets(self) -> int:
-        return self.u_pos.shape[0]
-
-    @property
-    def n_lanes(self) -> int:
-        return self.lane_cls.shape[0]
-
-
-def build_union_query_plan(query_rgb: np.ndarray, query_threshold: int, *,
-                           mirror: bool, xy_shift: int,
-                           pix_color_fluctuation,
-                           excluded_region: np.ndarray | None = None,
-                           pad_to: int | None = None
-                           ) -> UnionQueryPlan | None:
-    """Build the x-union lane plan (see UnionQueryPlan).
-
-    Returns None when the shift offsets do not form a {dy} x {dx} grid
-    (they do for the production xy_shift in {0, 2}); callers fall back
-    to build_query_plan.
-    """
-    offsets = oracle_pixel.shift_offsets(xy_shift)
-    dxs = sorted({dx for dx, _ in offsets})
-    dys = sorted({dy for _, dy in offsets})
-    if {(dx, dy) for dx in dxs for dy in dys} != set(offsets):
-        return None
-
-    h, w = query_rgb.shape[:2]
-    fg = (query_rgb > query_threshold).any(axis=-1)
-    if excluded_region is not None:
-        fg &= ~excluded_region
-    positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
-
-    cls, s, p = oracle_pixel.classify_rgb(query_rgb.reshape(-1, 3))
-
-    # x-dilated union of the query support (flat positions; dx shifts
-    # that leave the image are skipped, like the reference's -1 sentinel)
-    x = positions % w
-    union = np.unique(np.concatenate(
-        [(positions + dx)[(x + dx >= 0) & (x + dx < w)] for dx in dxs]))
-    u_count = union.size
-    ux = union % w
-    uy = union // w
-    # per-lane activity + query constants: lane dx at union row u reads
-    # query pixel q = u - dx (same image row, must be a query position)
-    qset = np.zeros(h * w, dtype=bool)
-    qset[positions] = True
-    lane_cls = np.zeros((len(dxs), u_count), np.int32)
-    lane_s = np.zeros_like(lane_cls)
-    lane_p = np.zeros_like(lane_cls)
-    for j, dx in enumerate(dxs):
-        qx = ux - dx
-        src = union - dx
-        active = (qx >= 0) & (qx < w) & qset[np.clip(src, 0, h * w - 1)]
-        idx = np.where(active, src, 0)
-        lane_cls[j] = np.where(active, cls[idx], 0)
-        lane_s[j] = np.where(active, s[idx], 0)
-        lane_p[j] = np.where(active, p[idx], 0)
-
-    # dy row sets (straight + mirrored); y overflow -> -1 skip row
-    u_pos = np.full((len(dys), u_count), -1, np.int32)
-    mu_pos = np.full_like(u_pos, -1)
-    mirror_u = union + (w - 1) - 2 * ux
-    for i, dy in enumerate(dys):
-        ok = (uy + dy >= 0) & (uy + dy < h)
-        u_pos[i] = np.where(ok, union + dy * w, -1)
-        mu_pos[i] = np.where(ok, mirror_u + dy * w, -1)
-
-    u_pad = pad_to if pad_to is not None else _bucket(u_count)
-    if u_pad < u_count:
-        raise ValueError(f"pad_to {u_pad} < union size {u_count}")
-    if u_pad > u_count:
-        padw = (0, u_pad - u_count)
-        u_pos = np.pad(u_pos, ((0, 0), padw), constant_values=-1)
-        mu_pos = np.pad(mu_pos, ((0, 0), padw), constant_values=-1)
-        lane_cls = np.pad(lane_cls, ((0, 0), padw))
-        lane_s = np.pad(lane_s, ((0, 0), padw))
-        lane_p = np.pad(lane_p, ((0, 0), padw))
-
-    a, b = common.ztol_fraction(pix_color_fluctuation)
-    return UnionQueryPlan(u_pos, mu_pos, lane_cls, lane_s, lane_p,
-                          int(positions.size), mirror, a, b)
-
-
-def score_query_union_raw(t_planes: jax.Array, u_pos: jax.Array,
-                          mu_pos: jax.Array, lane_cls: jax.Array,
-                          lane_s: jax.Array, lane_p: jax.Array, *,
-                          target_threshold: int, ztol_num: int,
-                          ztol_den: int, mirror: bool):
-    """Union-lane scoring of one query plan (see UnionQueryPlan).
-
-    Returns (scores [S*L*(1+mirror), T], flags [same, T]) — the straight
-    variant slots first, exactly n_straight = S*L of them.
-    """
-    n_lanes = lane_cls.shape[0]
-    rules = query_side_rules(lane_cls, lane_s, lane_p, ztol_num=ztol_num,
-                             ztol_den=ztol_den)
-    same_cls, bq_s, bq_p, a_qp, tc, bound, upper = rules
-
-    scores = []
-    flags = []
-    pos_sets = [u_pos, mu_pos] if mirror else [u_pos]
-    for pos in pos_sets:
-        for i in range(pos.shape[0]):
-            pos_v = pos[i]
-            gathered = jnp.take(t_planes, jnp.maximum(pos_v, 0), axis=0)
-            t_cls, t_s, t_p, t_max = common.unpack_summary(gathered)
-            ok = (pos_v >= 0)[:, None]
-            for j in range(n_lanes):
-                rules_j = (same_cls[j][:, None], bq_s[j][:, None],
-                           bq_p[j][:, None], a_qp[j][:, None],
-                           tc[:, j, :, None], bound[:, j, :, None],
-                           upper[:, j, :, None])
-                match, flag = predicate_from_rules(
-                    rules_j, lane_s[j][:, None], lane_p[j][:, None],
-                    t_cls, t_s, t_p, t_max,
-                    target_threshold=target_threshold,
-                    ztol_num=ztol_num, ztol_den=ztol_den)
-                match &= ok
-                flag &= ok
-                scores.append(match.sum(axis=0, dtype=jnp.int32))
-                flags.append(flag.sum(axis=0, dtype=jnp.int32))
-    return jnp.stack(scores), jnp.stack(flags)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("target_threshold", "ztol_num", "ztol_den", "mirror"))
-def score_query_batch_union(t_planes: jax.Array, u_pos: jax.Array,
-                            mu_pos: jax.Array, lane_cls: jax.Array,
-                            lane_s: jax.Array, lane_p: jax.Array, *,
-                            target_threshold: int, ztol_num: int,
-                            ztol_den: int, mirror: bool):
-    """Batched union-lane scoring (args are [B, ...] stacks; see
-    score_query_batch).  Returns (best [B,T], mirrored [B,T],
-    pair_flags [B,T])."""
-    n_straight = u_pos.shape[1] * lane_cls.shape[1]
-
-    def one(args):
-        up, mp, lc, ls, lp = args
-        scores, fl = score_query_union_raw(
-            t_planes, up, mp, lc, ls, lp,
-            target_threshold=target_threshold,
-            ztol_num=ztol_num, ztol_den=ztol_den, mirror=mirror)
-        return reduce_variants_device(scores, fl, n_straight)
-
-    return jax.lax.map(one, (u_pos, mu_pos, lane_cls, lane_s, lane_p))
-
-
 def _bucket(q: int, minimum: int = 512) -> int:
     """Pad query sizes to the {1, 1.25, 1.5, 1.75} x 2^k bucket ladder
     (512, 640, 768, 896, 1024, 1280, ...): average padding waste ~11%

@@ -139,9 +139,6 @@ def main():
     ap.add_argument("--split", action="store_true",
                     help="A/B the 3-byte split-plane kernel against the "
                          "packed-u32 kernel at the widest width")
-    ap.add_argument("--union", action="store_true",
-                    help="A/B the x-union lane kernel against the classic "
-                         "per-variant kernel at the widest width")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -151,12 +148,6 @@ def main():
         return 0
     if args.split:
         split_kernel_experiment(
-            t_width=int(args.widths.split(",")[-1]),
-            b=int(args.batches.split(",")[0]),
-            repeats_pairs=args.repeats_pairs)
-        return 0
-    if args.union:
-        union_kernel_experiment(
             t_width=int(args.widths.split(",")[-1]),
             b=int(args.batches.split(",")[0]),
             repeats_pairs=args.repeats_pairs)
@@ -283,83 +274,6 @@ def split_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
             "pairs_per_s": round(repeats * b * t_width / dt),
             "gather_gb_per_s": round(
                 repeats * b * v * q * t_width * bytes_px / dt / 1e9, 1),
-            "repeats": repeats, "secs": round(dt, 2)}), flush=True)
-
-
-def union_kernel_experiment(t_width=4096, b=8, repeats_pairs=4e6):
-    """A/B: classic per-variant kernel vs the x-union lane kernel
-    (pixel_match.UnionQueryPlan), both with the data threshold folded
-    into the pack (production configuration).
-
-    The union kernel gathers 6 dy-sets x U_pad rows instead of
-    18 variants x Q_pad (0.58x the bytes on the fixture mask) but runs
-    3 masked predicate lanes per gathered row (~1.75x the VPU lanes
-    after padding) — whichever side of the 50/50 gather/VPU split wins
-    is decided here, on hardware.
-    """
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-    from colormipsearch_tpu.io.image import read_image
-    from colormipsearch_tpu.oracle.pixel import label_regions_mask
-    from colormipsearch_tpu.ops import pixel_match
-
-    plan, target_rgb = build_plan()
-    v, q = plan.positions.shape
-
-    mask_rgb = read_image(MASK_TIF).as_rgb()
-    h, w = mask_rgb.shape[:2]
-    region = label_regions_mask(w, h)
-    uplan = pixel_match.build_union_query_plan(
-        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
-        excluded_region=region)
-    s, u = uplan.u_pos.shape
-    n_lanes = uplan.lane_cls.shape[0]
-    log(f"classic: {v} variants x {q} rows = {v * q}; union: "
-        f"{2 * s} sets x {u} rows = {2 * s * u} "
-        f"({2 * s * u / (v * q):.2f}x bytes, "
-        f"{2 * s * n_lanes * u / (v * q):.2f}x lanes)")
-
-    planes = build_planes(target_rgb, t_width)
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def fold(pl):
-        return jnp.where((pl & 0xFF) > 20, pl, 0).astype(jnp.uint32)
-
-    folded = jax.block_until_ready(fold(planes))
-    del planes
-
-    pos = jax.device_put(np.stack([plan.positions] * b))
-    q_cls = jax.device_put(np.stack([plan.q_cls] * b))
-    q_s = jax.device_put(np.stack([plan.q_s] * b))
-    q_p = jax.device_put(np.stack([plan.q_p] * b))
-    u_pos = jax.device_put(np.stack([uplan.u_pos] * b))
-    mu_pos = jax.device_put(np.stack([uplan.mu_pos] * b))
-    l_cls = jax.device_put(np.stack([uplan.lane_cls] * b))
-    l_s = jax.device_put(np.stack([uplan.lane_s] * b))
-    l_p = jax.device_put(np.stack([uplan.lane_p] * b))
-    repeats = max(2, int(repeats_pairs / (b * t_width)))
-
-    def classic_once():
-        return pixel_match.score_query_batch(
-            folded, pos, q_cls, q_s, q_p, target_threshold=-1,
-            ztol_num=plan.ztol_num, ztol_den=plan.ztol_den,
-            n_straight=plan.n_straight)
-
-    def union_once():
-        return pixel_match.score_query_batch_union(
-            folded, u_pos, mu_pos, l_cls, l_s, l_p, target_threshold=-1,
-            ztol_num=uplan.ztol_num, ztol_den=uplan.ztol_den, mirror=True)
-
-    for name, fn, rows in (("classic", classic_once, v * q),
-                           ("union", union_once, 2 * s * u)):
-        dt = time_step(fn, repeats)
-        print(json.dumps({
-            "kind": name, "t_width": t_width, "mask_batch": b,
-            "pairs_per_s": round(repeats * b * t_width / dt),
-            "gather_gb_per_s": round(
-                repeats * b * rows * t_width * 4 / dt / 1e9, 1),
             "repeats": repeats, "secs": round(dt, 2)}), flush=True)
 
 

@@ -140,93 +140,6 @@ def test_threshold_folded_pack_equals_runtime_threshold():
     assert (np.asarray(f0) == np.asarray(f1)).all()
 
 
-def test_union_kernel_bit_equal():
-    """The x-union lane kernel (UnionQueryPlan) must produce bit-identical
-    (best, mirrored, flags) to the classic per-variant kernel — inactive
-    lanes carry zeroed query constants that can neither match nor flag."""
-    import jax.numpy as jnp
-
-    rng = np.random.default_rng(11)
-    h, w, t = 24, 32, 7
-    targets = np.zeros((t, h, w, 3), np.uint8)
-    for img in targets:
-        n = 250
-        img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
-            rng.integers(0, 256, (n, 3))
-    query = np.zeros((h, w, 3), np.uint8)
-    query[rng.integers(0, h, 250), rng.integers(0, w, 250)] = \
-        rng.integers(0, 256, (250, 3))
-    targets[-1] = query  # self-match lane
-
-    planes = common.pack_target_planes(jnp.asarray(targets))
-    for xy_shift, mirror in ((2, True), (2, False), (0, True)):
-        plan = pixel_match.build_query_plan(
-            query, 20, mirror=mirror, xy_shift=xy_shift,
-            pix_color_fluctuation=1.0)
-        uplan = pixel_match.build_union_query_plan(
-            query, 20, mirror=mirror, xy_shift=xy_shift,
-            pix_color_fluctuation=1.0)
-        assert uplan is not None
-        assert uplan.query_size == plan.query_size
-        best0, mir0, fl0 = pixel_match.score_query_batch(
-            planes, jnp.asarray(plan.positions)[None],
-            jnp.asarray(plan.q_cls)[None], jnp.asarray(plan.q_s)[None],
-            jnp.asarray(plan.q_p)[None], target_threshold=20,
-            ztol_num=plan.ztol_num, ztol_den=plan.ztol_den,
-            n_straight=plan.n_straight)
-        best1, mir1, fl1 = pixel_match.score_query_batch_union(
-            planes, jnp.asarray(uplan.u_pos)[None],
-            jnp.asarray(uplan.mu_pos)[None],
-            jnp.asarray(uplan.lane_cls)[None],
-            jnp.asarray(uplan.lane_s)[None],
-            jnp.asarray(uplan.lane_p)[None], target_threshold=20,
-            ztol_num=uplan.ztol_num, ztol_den=uplan.ztol_den,
-            mirror=mirror)
-        assert (np.asarray(best0) == np.asarray(best1)).all(), \
-            (xy_shift, mirror)
-        assert (np.asarray(mir0) == np.asarray(mir1)).all()
-        assert (np.asarray(fl0) == np.asarray(fl1)).all()
-        # self-match sanity (zero-secondary pixels can't match per the
-        # reference's ratio>0 rule, so allow a small deficit)
-        assert int(np.asarray(best0)[0, -1]) >= plan.query_size * 0.9
-
-    # non-grid offsets (xy_shift=4 emits dedup'd rings) -> fallback
-    assert pixel_match.build_union_query_plan(
-        query, 20, mirror=True, xy_shift=4,
-        pix_color_fluctuation=1.0) is None
-
-
-def test_union_kernel_golden_fixture(mask_rgb, target_rgb, golden_region):
-    """Union kernel on the real fixture pair reproduces the golden-87
-    score (modulo the known flagged pixel, same as the classic kernel)."""
-    import jax.numpy as jnp
-
-    plan = pixel_match.build_query_plan(
-        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
-        excluded_region=golden_region)
-    uplan = pixel_match.build_union_query_plan(
-        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
-        excluded_region=golden_region)
-    planes = common.pack_target_planes(
-        jnp.asarray(np.stack([target_rgb, mask_rgb])))
-    best0, mir0, fl0 = pixel_match.score_query_batch(
-        planes, jnp.asarray(plan.positions)[None],
-        jnp.asarray(plan.q_cls)[None], jnp.asarray(plan.q_s)[None],
-        jnp.asarray(plan.q_p)[None], target_threshold=20,
-        ztol_num=plan.ztol_num, ztol_den=plan.ztol_den,
-        n_straight=plan.n_straight)
-    best1, mir1, fl1 = pixel_match.score_query_batch_union(
-        planes, jnp.asarray(uplan.u_pos)[None],
-        jnp.asarray(uplan.mu_pos)[None], jnp.asarray(uplan.lane_cls)[None],
-        jnp.asarray(uplan.lane_s)[None], jnp.asarray(uplan.lane_p)[None],
-        target_threshold=20, ztol_num=uplan.ztol_num,
-        ztol_den=uplan.ztol_den, mirror=True)
-    assert (np.asarray(best0) == np.asarray(best1)).all()
-    assert (np.asarray(mir0) == np.asarray(mir1)).all()
-    assert (np.asarray(fl0) == np.asarray(fl1)).all()
-    assert abs(int(np.asarray(best1)[0, 0]) - 87) <= int(np.asarray(fl1)[0, 0])
-
-
 def test_split_planes_bit_equal():
     """The 3-byte split-plane kernel (u16 (p<<8)|s + u8 cls) must produce
     bit-identical scores and flags to the packed-u32 threshold-folded
