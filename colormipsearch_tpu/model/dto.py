@@ -10,6 +10,7 @@ entity->dto mapping of EMNeuronEntity.metadata()/LMNeuronEntity.metadata().
 from __future__ import annotations
 
 import dataclasses
+import re as _re
 from typing import Optional
 
 from colormipsearch_tpu.model.entities import (
@@ -171,16 +172,40 @@ def cd_match_to_dto(m: CDMatch) -> CDMatchedTarget:
     )
 
 
+_LM_REG_RE = _re.compile(r"(.+)_REG_UNISEX_(.+)", _re.IGNORECASE)
+_OBJECTIVE_RE = _re.compile(r"\d+x", _re.IGNORECASE)
+_DEFAULT_OBJECTIVE = "40x"
+
+
+def _lm_sample_info(source_lm_name: Optional[str]):
+    """PPPMatchEntity.updateLMSampleInfo (PPPMatchEntity.java:203-219):
+    strip the _REG_UNISEX_ suffix off the LM sample name; the suffix is
+    the objective when it contains NNx, else the default 40x."""
+    if not source_lm_name:
+        return source_lm_name, None
+    mt = _LM_REG_RE.match(source_lm_name)
+    if not mt:
+        return source_lm_name, _DEFAULT_OBJECTIVE
+    candidate = mt.group(2)
+    objective = candidate if _OBJECTIVE_RE.search(candidate) \
+        else _DEFAULT_OBJECTIVE
+    return mt.group(1), objective
+
+
 def ppp_match_to_dto(m: PPPMatch) -> PPPMatchedTarget:
     score = None
     if m.coverage_score is not None:
-        score = int(round(m.coverage_score))
+        # (int) Math.abs(coverageScore) — truncation, not rounding
+        # (PPPMatchEntity.java:190)
+        score = int(abs(m.coverage_score))
+    lm_name, objective = _lm_sample_info(m.source_lm_name)
     return PPPMatchedTarget(
         target=neuron_metadata(m.matched_image)
         if m.matched_image else NeuronMetadata(type="LMImage"),
         mirrored=m.mirrored,
         rank=m.rank,
         score=score,
-        source_lm_name=m.source_lm_name,
+        source_lm_name=lm_name,
+        source_objective=objective,
         source_lm_library=m.source_lm_library,
     )

@@ -875,3 +875,27 @@ def test_v2_gradient_score_device_equals_oracle(tmp_path):
     row = by_target[str(lib / Path(TARGET_TIF).name)]
     assert row["gradientAreaGap"] == ref.gradient_area_gap
     assert row["highExpressionArea"] == ref.high_expression_area
+
+
+def test_ppp_dto_sample_name_and_objective():
+    """PPPMatchEntityTest.extractSampleNameAndObjective: the publish DTO
+    strips _REG_UNISEX_ from sourceLmName, derives sourceObjective (the
+    suffix when it contains NNx, else the default 40x), and the score is
+    the truncated absolute coverage score (PPPMatchEntity.java:190-219)."""
+    from colormipsearch_tpu.model import EMNeuron, PPPMatch
+    from colormipsearch_tpu.model import dto
+
+    em = EMNeuron(mip_id="e", published_name="577720000")
+    for lm_name, want_name, want_obj in [
+            ("BJD_128D10_AE_01-20171208_61_E3_REG_UNISEX_40x",
+             "BJD_128D10_AE_01-20171208_61_E3", "40x"),
+            ("GMR_80D06_AE_01-20190426_64_C1_REG_UNISEX_VNC",
+             "GMR_80D06_AE_01-20190426_64_C1", "40x"),
+            ("no_reg_marker_name", "no_reg_marker_name", "40x")]:
+        m = PPPMatch(mask_image=em, source_em_name="577720000--RT_18U",
+                     source_lm_name=lm_name, rank=19.5,
+                     coverage_score=-83.89210580042597)
+        row = dto.ppp_match_to_dto(m)
+        assert row.source_lm_name == want_name, lm_name
+        assert row.source_objective == want_obj, lm_name
+        assert row.score == 83  # (int) Math.abs(-83.892...)

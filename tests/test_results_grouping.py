@@ -98,3 +98,22 @@ def test_group_round_trip():
     ordered = sort_matches_desc(ms)
     scores = [m.matching_pixels for m in ordered]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_eliminate_duplicates_by_id():
+    """UtilsTest.eliminateDuplicateResults: group by id with sub-limit 1
+    keeps one entry per id (api_v2 UtilsTest.java:83-103)."""
+    em = EMNeuron(mip_id="em", published_name="1")
+    rows = []
+    for tid, img in [("10", "i1.1"), ("10", "i1.2"), ("20", "i1.1"),
+                     ("30", "i1.1"), ("30", "i1.2")]:
+        lm = LMNeuron(mip_id=f"{tid}-{img}", published_name=tid)
+        rows.append(CDMatch(mask_image=em, matched_image=lm,
+                            matching_pixels=10, matching_pixels_ratio=0.01))
+    dedup = select_top_ranked(
+        rows, lambda m: m.matched_image.published_name,
+        lambda m: m.matching_pixels, -1, 1)
+    flat = [e for entry in dedup for e in entry.entry]
+    assert len(flat) == 3
+    assert sorted(e.matched_image.published_name for e in flat) == \
+        ["10", "20", "30"]
