@@ -173,11 +173,45 @@ def variant_candidates(mip_name: str, variant_suffix: str | None,
     return out
 
 
+@functools.lru_cache(maxsize=64)
+def _dir_entry_index(loc: str) -> dict[str, str]:
+    """Recursive {basename: first path} index of a variant directory.
+
+    The reference indexes variant locations recursively and caches the
+    listing (mips/FileDataUtils.getDirEntryNames / FILE_NAMES_CACHE) so
+    variants nested in sub-directories — the common production layout —
+    are found without per-lookup filesystem walks."""
+    out: dict[str, str] = {}
+    for root, dirs, files in os.walk(loc):
+        dirs.sort()
+        for f in sorted(files):
+            out.setdefault(f, os.path.join(root, f))
+    return out
+
+
+def _contains_stem_match(names, stem: str) -> Optional[str]:
+    """Variant-pattern fallback: any image entry whose file name contains
+    the full searchable stem (FileDataUtils variantPattern's
+    `.*<searchableMIPBaseName>.*` alternative,
+    cmd/CreateCDSDataInputCmd.java:418-424)."""
+    for n in sorted(names):
+        base = os.path.basename(n)
+        if stem in base and is_image_file(base):
+            return n
+    return None
+
+
 def find_variant(mip_fd: FileData, variant_locations: list[str],
                  variant_suffix: str | None,
                  cdm_suffix: str | None = None) -> Optional[FileData]:
-    """Locate a variant (gradient/zgap) image for a MIP by convention."""
+    """Locate a variant (gradient/zgap) image for a MIP by convention.
+
+    Per location: exact suffix-derived candidate names first (v2
+    MIPsUtils.getMIPVariantInfo derivation), then the reference's
+    contains-stem pattern fallback over a cached recursive index
+    (mips/FileDataUtils.lookupVariantFileData)."""
     cands = variant_candidates(mip_fd.name, variant_suffix, cdm_suffix)
+    stem = re.sub(r"\.[^.]+$", "", os.path.basename(mip_fd.name))
     for loc in variant_locations:
         p = Path(loc)
         if p.suffix.lower() == ".zip":
@@ -189,11 +223,17 @@ def find_variant(mip_fd: FileData, variant_locations: list[str],
             for c in cands:
                 if c in by_base:
                     return FileData(str(p), by_base[c])
-        else:
+            hit = _contains_stem_match(names, stem)
+            if hit is not None:
+                return FileData(str(p), hit)
+        elif p.is_dir():
+            index = _dir_entry_index(str(p))
             for c in cands:
-                f = p / c
-                if f.exists():
-                    return FileData(str(f))
+                if c in index:
+                    return FileData(index[c])
+            hit = _contains_stem_match(index.values(), stem)
+            if hit is not None:
+                return FileData(hit)
     return None
 
 

@@ -899,3 +899,28 @@ def test_ppp_dto_sample_name_and_objective():
         assert row.source_lm_name == want_name, lm_name
         assert row.source_objective == want_obj, lm_name
         assert row.score == 83  # (int) Math.abs(-83.892...)
+
+
+def test_raw_ppp_reader_both_fixtures_both_modes():
+    """RawPPPMatchesReaderTest: both cov_scores fixtures parse in best-
+    and all-skeleton modes; every row carries the file's EM neuron name
+    and a non-null LM name (RawPPPMatchesReader.java:36-79)."""
+    from colormipsearch_tpu.io.ppp import read_raw_ppp_matches
+
+    for fname in ("cov_scores_1599747200-PFNp_c-RT_18U.json",
+                  "cov_scores_484130600-SMP145-RT_18U.json"):
+        neuron = fname.replace("cov_scores_", "").replace(".json", "")
+        path = Path(PPP_FIXTURES) / fname
+        for only_best in (True, False):
+            rows = read_raw_ppp_matches(path, only_best_matches=only_best,
+                                        include_skeletons=True)
+            assert rows, (fname, only_best)
+            for m in rows:
+                assert m.source_em_name == neuron
+                assert m.source_lm_name
+            # skeleton arrays parse: at least one row has skeleton ids
+            # with aligned nblast scores
+            with_skels = [m for m in rows if m.skeleton_matches]
+            assert with_skels, (fname, only_best)
+            for m in with_skels:
+                assert all(s.id for s in m.skeleton_matches)

@@ -129,3 +129,46 @@ def test_precompute_variants_roundtrip(tmp_path):
     fg = (t_rgb > 20).any(axis=-1)
     assert (np.asarray(grad)[fg] == 0).all()   # zero on foreground
     assert np.asarray(grad)[~fg].max() > 0     # grows off-signal
+
+
+def test_find_variant_nested_and_pattern_fallback(tmp_path):
+    """Variant lookup parity with the reference's recursive location
+    index + contains-stem pattern fallback
+    (mips/FileDataUtils.lookupVariantFileData,
+    CreateCDSDataInputCmd.java:418-424): variants nested in
+    sub-directories are found, and names that only CONTAIN the
+    searchable stem still match when no suffix-derived candidate does."""
+    from colormipsearch_tpu.io import mips as mips_io
+    from colormipsearch_tpu.model import FileData
+
+    mips_io._dir_entry_index.cache_clear()
+    loc = tmp_path / "gradients"
+    nested = loc / "segmented_gradient" / "sub"
+    nested.mkdir(parents=True)
+    # exact suffix-derived candidate, but nested two levels deep
+    (nested / "n1_CDM_grad.png").write_bytes(b"x")
+    fd = mips_io.find_variant(
+        FileData("lib/n1_CDM.tif"), [str(loc)], "_grad")
+    assert fd is not None and fd.file_name.endswith(
+        "segmented_gradient/sub/n1_CDM_grad.png")
+
+    # no suffix candidate anywhere -> contains-stem fallback
+    (nested / "prefix-n2_CDM-objective.tif").write_bytes(b"x")
+    mips_io._dir_entry_index.cache_clear()
+    fd2 = mips_io.find_variant(
+        FileData("lib/n2_CDM.png"), [str(loc)], "_grad")
+    assert fd2 is not None and "prefix-n2_CDM-objective" in fd2.file_name
+
+    # zip locations: same fallback over entry names
+    import zipfile as zf
+
+    zpath = tmp_path / "grads.zip"
+    with zf.ZipFile(zpath, "w") as z:
+        z.writestr("deep/dir/xx_n3_CDM_yy.png", b"x")
+    fd3 = mips_io.find_variant(
+        FileData("lib/n3_CDM.png"), [str(zpath)], "_grad")
+    assert fd3 is not None and fd3.entry_name == "deep/dir/xx_n3_CDM_yy.png"
+
+    # a genuinely absent variant still misses
+    assert mips_io.find_variant(
+        FileData("lib/absent_CDM.png"), [str(zpath)], "_grad") is None
