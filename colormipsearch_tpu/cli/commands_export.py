@@ -142,6 +142,13 @@ def cmd_export_data(args) -> int:
     args._library_names = _load_library_name_mapping(
         getattr(args, "configURL", None))
     args._published_urls_by_id = {}
+    args._published_lm_images_by_sample = {}
+    args._as_aliases = {}
+    for spec in getattr(args, "publishedAlignmentSpaceAliases", None) or ():
+        name, sep, vals = spec.replace(":", "=", 1).partition("=")
+        if sep:
+            args._as_aliases.setdefault(name, set()).update(
+                v for v in vals.split(",") if v)
 
     if args.exported_result_type in ("EM_MIPS", "LM_MIPS"):
         return _export_mips(args, out_dir, pretty)
@@ -249,12 +256,63 @@ _UPLOADED_KEY_FILETYPES = (("cdm", "CDM"),
                            ("skeletonobj", "AlignedBodyOBJ"))
 
 
+def _apply_published_lm_images(meta, neuron, args) -> None:
+    """LM-neuron 3D-stack enrichment from the publishedLMImage
+    collection: VisuallyLosslessStack from the sample's published image
+    in the same (or aliased) alignment space, Gal4Expression from the
+    joined Gen1 rows for the anatomical area
+    (ColorDepthMIP.updateLMNeuron:212-213,
+    PublishedDataGetter.update3DStack:61-65,
+    EMPPPMatchesExporter.findPublishedLM3DStack:239-253)."""
+    by_sample = getattr(args, "_published_lm_images_by_sample", None)
+    sample_ref = getattr(neuron, "sample_ref", None)
+    if not by_sample or not sample_ref or meta.type != "LMImage":
+        return
+    aliases = getattr(args, "_as_aliases", {}).get(
+        meta.alignment_space, set())
+    sel = [im for im in by_sample.get(sample_ref, ())
+           if meta.alignment_space is None
+           or im.alignment_space == meta.alignment_space
+           or im.alignment_space in aliases]
+    files = dict(meta.files)
+    if not files.get("VisuallyLosslessStack"):
+        stack = next((im.get_file("VisuallyLosslessStack") for im in sel
+                      if im.has_file("VisuallyLosslessStack")), None)
+        if stack:
+            files["VisuallyLosslessStack"] = stack
+    if not files.get("Gal4Expression"):
+        gal4 = next((u for u in (
+            im.gal4_expression_image(meta.anatomical_area)
+            for im in sel) if u), None)
+        if gal4:
+            files["Gal4Expression"] = gal4
+    meta.files = files
+
+
+def _load_published_lm_images(daos, neurons, args) -> dict:
+    """{sampleRef: [PublishedLMImage]} for the exported LM neurons
+    (CachedDataHelper -> PublishedDataGetter.retrievePublishedImages;
+    alignment space unfiltered here, filtered per neuron at use)."""
+    refs = sorted({n.sample_ref for n in neurons
+                   if n is not None and getattr(n, "sample_ref", None)})
+    if not refs:
+        return {}
+    dao = daos.published_lm_images_dao
+    out = dao.get_published_images_with_gal4_by_sample_objectives(
+        None, refs)
+    if out:
+        LOG.info("loaded published LM images for %d of %d samples",
+                 len(out), len(refs))
+    return out
+
+
 def _finalize_neuron_files(meta, neuron, args) -> None:
-    """Per-exported-neuron enrichment: published URLs merge, image-store
-    stamp (files.store), library display-name mapping, then URL
-    transforms over every file entry
+    """Per-exported-neuron enrichment: published URLs merge, published
+    LM image 3D stacks, image-store stamp (files.store), library
+    display-name mapping, then URL transforms over every file entry
     (AbstractDataExporter.updateNeuronFiles + transformAllNeuronFiles)."""
     _apply_urls(meta, neuron, args._url_map)
+    _apply_published_lm_images(meta, neuron, args)
     uploaded = args._published_urls_by_id.get(
         getattr(neuron, "entity_id", None))
     if uploaded:
@@ -324,8 +382,11 @@ def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
                 pppm_urls[int(doc["_id"])] = doc
             except (KeyError, TypeError, ValueError):
                 continue
+        all_ppp = daos.ppp_matches_dao.find_all()
+        args._published_lm_images_by_sample = _load_published_lm_images(
+            daos, [m.matched_image for m in all_ppp], args)
         by_em: dict[str, list] = {}
-        for m in daos.ppp_matches_dao.find_all():
+        for m in all_ppp:
             em = m.mask_image
             name = (em.published_name if em is not None else None) \
                 or m.source_em_name or ""
@@ -359,6 +420,11 @@ def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
         results = []
         for m in ms:
             row = dto.ppp_match_to_dto(m)
+            _apply_published_lm_images(row.target, m.matched_image, args)
+            if row.target.files:
+                row.target.files = {
+                    ft: args._url_transformer(ft, url)
+                    for ft, url in row.target.files.items()}
             row.files = {
                 **_ppp_match_files(m, pppm_urls, args._url_transformer),
                 **{ft: args._url_transformer(ft, url)
@@ -396,6 +462,8 @@ def _read_db_matches(args):
              len(out), len(mip_ids))
     neurons = [n for m in out for n in (m.mask_image, m.matched_image)]
     args._published_urls_by_id = _load_published_urls(daos, neurons)
+    args._published_lm_images_by_sample = _load_published_lm_images(
+        daos, neurons, args)
     return out
 
 
@@ -604,6 +672,8 @@ def _export_mips(args, out_dir: Path, pretty: bool) -> int:
             names=list(args.exported_names or ()),
             tags=list(args.neuron_tags or ())))
         args._published_urls_by_id = _load_published_urls(daos, neurons)
+        args._published_lm_images_by_sample = _load_published_lm_images(
+            daos, neurons, args)
     else:
         neurons = []
         for src in args.mips:

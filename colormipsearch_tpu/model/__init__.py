@@ -19,6 +19,7 @@ from colormipsearch_tpu.model.entities import (
     PPPMatch,
     PPPSkeletonMatch,
     ProcessingType,
+    PublishedLMImage,
     neuron_from_json,
 )
 from colormipsearch_tpu.model.ids import TimebasedIdGenerator
@@ -35,6 +36,7 @@ __all__ = [
     "PPPMatch",
     "PPPSkeletonMatch",
     "ProcessingType",
+    "PublishedLMImage",
     "TimebasedIdGenerator",
     "neuron_from_json",
 ]

@@ -529,6 +529,79 @@ class PPPMatch:
         )
 
 
+@dataclasses.dataclass
+class PublishedLMImage:
+    """One row of the `publishedLMImage` collection: the published LM
+    image of a sample+objective+area with its ancillary files (3D
+    stacks, Gal4 expression CDMs) — model/PublishedLMImage.java /
+    PublishedLMImageFields.java."""
+    entity_id: Optional[int] = None
+    sample_ref: Optional[str] = None
+    line: Optional[str] = None
+    area: Optional[str] = None
+    tile: Optional[str] = None
+    original_line: Optional[str] = None
+    slide_code: Optional[str] = None
+    objective: Optional[str] = None
+    alignment_space: Optional[str] = None
+    release_name: Optional[str] = None
+    files: dict = dataclasses.field(default_factory=dict)
+    # joined Gen1 GAL4/LexA expression rows for the same originalLine +
+    # area (PublishedLMImageMongoDao.createQueryPipeline $lookup)
+    gal4_expressions: list = dataclasses.field(default_factory=list)
+
+    def get_file(self, file_type: str) -> Optional[str]:
+        return self.files.get(file_type)
+
+    def has_file(self, file_type: str) -> bool:
+        return bool(self.files.get(file_type))
+
+    def gal4_expression_image(self, area: Optional[str]) -> Optional[str]:
+        """First Gen1 expression row matching the area (case-insensitive)
+        that carries a ColorDepthMip1 file
+        (PublishedLMImage.getGal4Expression4Image)."""
+        for g in self.gal4_expressions:
+            if area is not None and (g.area or "").lower() != area.lower():
+                continue
+            url = g.get_file("ColorDepthMip1")
+            if url:
+                return url
+        return None
+
+    def to_json(self) -> dict:
+        return _clean({
+            "_id": self.entity_id,
+            "sampleRef": self.sample_ref,
+            "line": self.line,
+            "area": self.area,
+            "tile": self.tile,
+            "originalLine": self.original_line,
+            "slideCode": self.slide_code,
+            "objective": self.objective,
+            "alignmentSpace": self.alignment_space,
+            "releaseName": self.release_name,
+            "files": dict(self.files),
+        })
+
+    @classmethod
+    def from_json(cls, data: dict) -> "PublishedLMImage":
+        return cls(
+            entity_id=data.get("_id") or data.get("id"),
+            sample_ref=data.get("sampleRef"),
+            line=data.get("line"),
+            area=data.get("area"),
+            tile=data.get("tile"),
+            original_line=data.get("originalLine"),
+            slide_code=data.get("slideCode"),
+            objective=data.get("objective"),
+            alignment_space=data.get("alignmentSpace"),
+            release_name=data.get("releaseName"),
+            files=dict(data.get("files") or {}),
+            gal4_expressions=[cls.from_json(g)
+                              for g in data.get("gal4") or ()],
+        )
+
+
 def _opt_int(v) -> Optional[int]:
     return int(v) if v is not None else None
 

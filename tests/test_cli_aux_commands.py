@@ -924,3 +924,104 @@ def test_raw_ppp_reader_both_fixtures_both_modes():
             assert with_skels, (fname, only_best)
             for m in with_skels:
                 assert all(s.id for s in m.skeleton_matches)
+
+
+def test_export_published_lm_images_enrichment(tmp_path):
+    """LM neurons in DB exports gain VisuallyLosslessStack (sample's
+    published image, alignment-space alias aware) and Gal4Expression
+    (joined Gen1 rows for the area) from the publishedLMImage
+    collection (PublishedLMImageMongoDao pipeline,
+    ColorDepthMIP.updateLMNeuron:212-213)."""
+    from colormipsearch_tpu.model import (
+        CDMatch,
+        EMNeuron,
+        LMNeuron,
+        PublishedLMImage,
+    )
+    from colormipsearch_tpu.persist import Config, DaosProvider
+
+    cfg = tmp_path / "c.properties"
+    cfg.write_text(f"Store.Path={tmp_path}/db.sqlite\n")
+    daos = DaosProvider(Config(str(cfg)))
+    em = EMNeuron(mip_id="em1", published_name="123", library_name="emlib",
+                  alignment_space="AS_A")
+    lm = LMNeuron(mip_id="lm1", published_name="lineZ", library_name="mcfo",
+                  alignment_space="AS_A", slide_code="sc-1",
+                  anatomical_area="Brain", sample_ref="Sample#42")
+    daos.neuron_metadata_dao.save(em)
+    daos.neuron_metadata_dao.save(lm)
+    m = CDMatch(mask_image=em, matched_image=lm, matching_pixels=50,
+                matching_pixels_ratio=0.05, normalized_score=9.0,
+                gradient_area_gap=100, high_expression_area=5)
+    m.mask_image_ref_id = em.entity_id
+    m.matched_image_ref_id = lm.entity_id
+    daos.cd_matches_dao.create_or_update_all([m])
+    daos.published_lm_images_dao.save_all([
+        # the sample's published image lives in an ALIASED space
+        PublishedLMImage(sample_ref="Sample#42", original_line="lineZ",
+                         area="Brain", alignment_space="AS_A_ALIAS",
+                         objective="40x",
+                         files={"VisuallyLosslessStack": "https://s3/z.h5j"}),
+        # Gen1 GAL4 row for the same line+area (the $lookup join)
+        PublishedLMImage(sample_ref="Sample#OTHER", original_line="lineZ",
+                         area="Brain", alignment_space="AS_A_ALIAS",
+                         release_name="Gen1 GAL4",
+                         files={"ColorDepthMip1": "https://s3/gal4.png"}),
+    ])
+    daos.store.close()
+
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--results-storage", "DB", "--config", cfg,
+            "--published-alignment-space-alias", "AS_A=AS_A_ALIAS",
+            "-od", out)
+    doc = json.loads((out / "123.json").read_text())
+    [r] = doc["results"]
+    assert r["image"]["files"]["VisuallyLosslessStack"] == "https://s3/z.h5j"
+    assert r["image"]["files"]["Gal4Expression"] == "https://s3/gal4.png"
+
+    # without the alias the published image is in a different space
+    out2 = tmp_path / "pub2"
+    run_cli("exportData", "--exported-result-type", "EM_CD_MATCHES",
+            "--results-storage", "DB", "--config", cfg, "-od", out2)
+    doc2 = json.loads((out2 / "123.json").read_text())
+    files2 = doc2["results"][0]["image"].get("files") or {}
+    assert "VisuallyLosslessStack" not in files2
+
+
+def test_export_ppp_lm_3d_stack(tmp_path):
+    """PPP export attaches the LM sample's VisuallyLosslessStack
+    (EMPPPMatchesExporter:210, findPublishedLM3DStack)."""
+    from colormipsearch_tpu.model import (
+        EMNeuron,
+        LMNeuron,
+        PPPMatch,
+        PublishedLMImage,
+    )
+    from colormipsearch_tpu.persist import Config, DaosProvider
+
+    cfg = tmp_path / "c.properties"
+    cfg.write_text(f"Store.Path={tmp_path}/db.sqlite\n")
+    daos = DaosProvider(Config(str(cfg)))
+    em = EMNeuron(mip_id="em1", published_name="888",
+                  library_name="emlib", alignment_space="AS")
+    lm = LMNeuron(mip_id="lm1", published_name="lineY",
+                  alignment_space="AS", sample_ref="Sample#7")
+    m = PPPMatch(mask_image=em, matched_image=lm,
+                 source_em_name="888-X-RT",
+                 source_lm_name="lineY-sc_REG_UNISEX_40x", rank=0.5,
+                 coverage_score=-42.0)
+    daos.ppp_matches_dao.save_all([m])
+    daos.published_lm_images_dao.save_all([
+        PublishedLMImage(sample_ref="Sample#7", original_line="lineY",
+                         area="Brain", alignment_space="AS",
+                         files={"VisuallyLosslessStack": "https://s3/y.h5j"}),
+    ])
+    daos.store.close()
+
+    out = tmp_path / "pub"
+    run_cli("exportData", "--exported-result-type", "EM_PPP_MATCHES",
+            "--results-storage", "DB", "--config", cfg, "-od", out)
+    doc = json.loads((out / "888.json").read_text())
+    [r] = doc["results"]
+    assert r["image"]["files"]["VisuallyLosslessStack"] == "https://s3/y.h5j"
