@@ -104,9 +104,11 @@ def configure_gradient_score_v2(sp):
                     help="suffix stripped from the target image name "
                          "before appending the variant suffix")
     sp.add_argument("--gradientVariant", default="gradient",
-                    help="accepted for reference parity")
+                    help="variants-dictionary key tried before the "
+                         "gradientPath lookup")
     sp.add_argument("--zgapVariant", default="zgap",
-                    help="accepted for reference parity")
+                    help="variants-dictionary key tried before the "
+                         "zgapPath lookup")
     sp.add_argument("--with-grad-scores", dest="withGradScores",
                     action="store_true",
                     help="accepted for reference parity (this command "
@@ -218,9 +220,12 @@ def cmd_gradient_score_v2(args) -> int:
         rows = []
         for r in selected:
             t_fd = r.target.file_data()
-            grad_fd = mips_io.find_variant(
-                t_fd, args.gradientPath, args.gradientSuffix,
-                cdm_suffix=args.librarySuffix)
+            # the MIP's own variants dictionary wins over location
+            # conventions (MIPsUtils.getMIPVariantInfo:223-228)
+            grad_fd = r.target.variant_file_data(args.gradientVariant) \
+                or mips_io.find_variant(
+                    t_fd, args.gradientPath, args.gradientSuffix,
+                    cdm_suffix=args.librarySuffix)
             if grad_fd is None:
                 continue
             try:
@@ -233,7 +238,9 @@ def cmd_gradient_score_v2(args) -> int:
             if t_rgb.shape[:2] != (h, w) or grad_img.shape != (h, w):
                 continue
             zgap_rgb = None
-            z_fd = mips_io.find_variant(t_fd, args.zgapPath, args.zgapSuffix)
+            z_fd = r.target.variant_file_data(args.zgapVariant) \
+                or mips_io.find_variant(t_fd, args.zgapPath,
+                                        args.zgapSuffix)
             if z_fd is not None:
                 try:
                     zgap_rgb = mips_io.load_image(z_fd).as_rgb()

@@ -71,6 +71,21 @@ class MIPMetadata:
             return FileData(self.imageArchivePath, self.imageName)
         return FileData(self.imageName or self.cdmPath)
 
+    def variant_file_data(self, variant: str):
+        """Resolve a variants-dictionary entry to a loadable FileData,
+        zip-entry aware (MIPMetadata.variantAsMIP — the reference
+        checks the MIP's own variants BEFORE any location/suffix
+        convention, MIPsUtils.getMIPVariantInfo:223-228)."""
+        from colormipsearch_tpu.model import FileData
+        v = (self.variants or {}).get(variant)
+        if not v:
+            return None
+        archive = self.variants.get(variant + "ArchivePath")
+        entry_type = self.variants.get(variant + "EntryType")
+        if entry_type == "zipEntry" and archive:
+            return FileData(archive, v)
+        return FileData(v)
+
     def to_json(self) -> dict:
         out = {}
         for f in _MIP_FIELDS:

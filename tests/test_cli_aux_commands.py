@@ -1025,3 +1025,72 @@ def test_export_ppp_lm_3d_stack(tmp_path):
     doc = json.loads((out / "888.json").read_text())
     [r] = doc["results"]
     assert r["image"]["files"]["VisuallyLosslessStack"] == "https://s3/y.h5j"
+
+
+def test_v2_mips_with_variants_fixture():
+    """MIPsUtilsTest.loadMIPsWithVariants on the reference fixture: every
+    MIP carries variants and a sampleRef; the variants dict resolves to
+    loadable (zip-entry aware) FileData via variantAsMIP semantics."""
+    from colormipsearch_tpu.dataio.v2_io import read_mips_json
+
+    path = ("/root/reference/colormipsearch-api/src/test/resources/"
+            "colormipsearch/api/cdmips/mipsWithVariants.json")
+    mips = read_mips_json(path)
+    assert len(mips) > 0
+    for m in mips:
+        assert m.variants, m.id
+        assert m.sampleRef, m.id
+    m = mips[0]
+    g = m.variant_file_data("gradient")
+    assert g is not None
+    # fixture gradients are zip entries
+    assert g.file_name.endswith(".zip") and g.entry_name
+    assert m.variant_file_data("nope") is None
+    # offset/length paging (readMIPsFromJSON 0/-1 semantics)
+    assert len(read_mips_json(path, 2, 3)) == 3
+
+
+def test_v2_gradient_score_variants_dict(tmp_path):
+    """v2 gradientScore resolves gradient images from the target MIP's
+    own variants dictionary — no --gradientPath needed
+    (MIPsUtils.getMIPVariantInfo:223-228 variantAsMIP preference)."""
+    import shutil
+
+    import numpy as np
+    from PIL import Image
+
+    from tests.conftest import MASK_TIF, TARGET_TIF
+    from colormipsearch_tpu.io.image import read_image
+
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    shutil.copy(MASK_TIF, lib / Path(MASK_TIF).name)
+    shutil.copy(TARGET_TIF, lib / Path(TARGET_TIF).name)
+    out = tmp_path / "v2res"
+    run_cli("searchLocalFiles", "-m", f"{lib}:0:1", "-i", lib,
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask",
+            "-od", out)
+    [res_file] = [f for f in sorted(out.glob("*.json"))
+                  if not f.name.endswith("cdsparams.json")]
+
+    rng = np.random.default_rng(1)
+    t_rgb = read_image(TARGET_TIF).as_rgb()
+    h, w = t_rgb.shape[:2]
+    grad = rng.integers(0, 500, (h, w)).astype(np.uint16)
+    gdir = tmp_path / "elsewhere"  # NOT passed via --gradientPath
+    gdir.mkdir()
+    gfile = gdir / "some_gradient_name.png"
+    Image.fromarray(grad).save(gfile)
+
+    # stamp the variants dict into the result rows' targets
+    doc = json.loads(res_file.read_text())
+    for r in doc["results"]:
+        r["variants"] = {"gradient": str(gfile)}
+    res_file.write_text(json.dumps(doc))
+
+    gs = tmp_path / "gs"
+    run_cli("gradientScore", "-rf", res_file,
+            "--maskThreshold", 20, "--mirrorMask", "-od", gs)
+    rows = json.loads((gs / res_file.name).read_text())["results"]
+    assert rows and all(r["gradientAreaGap"] >= 0 for r in rows)
