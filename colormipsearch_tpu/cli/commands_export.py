@@ -256,34 +256,40 @@ _UPLOADED_KEY_FILETYPES = (("cdm", "CDM"),
                            ("skeletonobj", "AlignedBodyOBJ"))
 
 
-def _apply_published_lm_images(meta, neuron, args) -> None:
+def _apply_published_lm_images(meta, neuron, args, *,
+                               include_gal4: bool = True) -> None:
     """LM-neuron 3D-stack enrichment from the publishedLMImage
     collection: VisuallyLosslessStack from the sample's published image
     in the same (or aliased) alignment space, Gal4Expression from the
     joined Gen1 rows for the anatomical area
     (ColorDepthMIP.updateLMNeuron:212-213,
-    PublishedDataGetter.update3DStack:61-65,
-    EMPPPMatchesExporter.findPublishedLM3DStack:239-253)."""
+    PublishedDataGetter.update3DStack:61-65).  With include_gal4=False
+    (the PPP exporter) only the 3D stack is attached, and selection
+    requires the image to carry it
+    (EMPPPMatchesExporter.findPublishedLM3DStack:239-253)."""
     by_sample = getattr(args, "_published_lm_images_by_sample", None)
     sample_ref = getattr(neuron, "sample_ref", None)
-    if not by_sample or not sample_ref or meta.type != "LMImage":
+    if not by_sample or not sample_ref or meta.type != "LMImage" \
+            or meta.alignment_space is None:
         return
     aliases = getattr(args, "_as_aliases", {}).get(
         meta.alignment_space, set())
-    sel = [im for im in by_sample.get(sample_ref, ())
-           if meta.alignment_space is None
-           or im.alignment_space == meta.alignment_space
-           or im.alignment_space in aliases]
+    # findFirst() semantics: ONE published image per sample decides both
+    # files (PublishedDataGetter.findPublishedImage), and its values
+    # overwrite whatever was there (updateLMNeuron sets unconditionally)
+    image = next((im for im in by_sample.get(sample_ref, ())
+                  if (im.alignment_space == meta.alignment_space
+                      or im.alignment_space in aliases)
+                  and (include_gal4
+                       or im.has_file("VisuallyLosslessStack"))), None)
+    if image is None:
+        return
     files = dict(meta.files)
-    if not files.get("VisuallyLosslessStack"):
-        stack = next((im.get_file("VisuallyLosslessStack") for im in sel
-                      if im.has_file("VisuallyLosslessStack")), None)
-        if stack:
-            files["VisuallyLosslessStack"] = stack
-    if not files.get("Gal4Expression"):
-        gal4 = next((u for u in (
-            im.gal4_expression_image(meta.anatomical_area)
-            for im in sel) if u), None)
+    stack = image.get_file("VisuallyLosslessStack")
+    if stack:
+        files["VisuallyLosslessStack"] = stack
+    if include_gal4:
+        gal4 = image.gal4_expression_image(meta.anatomical_area)
         if gal4:
             files["Gal4Expression"] = gal4
     meta.files = files
@@ -420,7 +426,8 @@ def _export_ppp_matches(args, out_dir: Path, pretty: bool) -> int:
         results = []
         for m in ms:
             row = dto.ppp_match_to_dto(m)
-            _apply_published_lm_images(row.target, m.matched_image, args)
+            _apply_published_lm_images(row.target, m.matched_image, args,
+                                       include_gal4=False)
             if row.target.files:
                 row.target.files = {
                     ft: args._url_transformer(ft, url)

@@ -174,31 +174,55 @@ def variant_candidates(mip_name: str, variant_suffix: str | None,
 
 
 @functools.lru_cache(maxsize=64)
-def _dir_entry_index(loc: str) -> dict[str, str]:
-    """Recursive {basename: first path} index of a variant directory.
-
-    The reference indexes variant locations recursively and caches the
-    listing (mips/FileDataUtils.getDirEntryNames / FILE_NAMES_CACHE) so
-    variants nested in sub-directories — the common production layout —
-    are found without per-lookup filesystem walks."""
-    out: dict[str, str] = {}
-    for root, dirs, files in os.walk(loc):
-        dirs.sort()
-        for f in sorted(files):
-            out.setdefault(f, os.path.join(root, f))
+def _dir_entry_index(loc: str) -> dict[str, list[str]]:
+    """Recursive {basename: sorted paths} index of a variant directory,
+    cached per location (the FILE_NAMES_CACHE analogue of
+    mips/FileDataUtils).  Recursive (vs the v2 reference's
+    parent-path-derived subpath probes) so nested production layouts
+    resolve regardless of how the variant tree mirrors the CDM tree;
+    same-basename collisions keep every path and are disambiguated by
+    the caller."""
+    out: dict[str, list[str]] = {}
+    for root, _dirs, files in os.walk(loc):
+        for f in files:
+            out.setdefault(f, []).append(os.path.join(root, f))
+    for paths in out.values():
+        paths.sort()
     return out
 
 
-def _contains_stem_match(names, stem: str) -> Optional[str]:
-    """Variant-pattern fallback: any image entry whose file name contains
+def _pick_collision(paths: list[str], mip_fd: FileData) -> str:
+    """Among same-basename candidates, prefer one whose relative path
+    shares the MIP's parent directory name (the component the v2
+    reference's ancestor-walk would probe,
+    api_v2 MIPsUtils.getMIPVariantInfoFromFilePath:284-298)."""
+    if len(paths) > 1:
+        parent = os.path.basename(os.path.dirname(mip_fd.name))
+        if parent:
+            pref = [p for p in paths if parent in os.path.dirname(p)]
+            if pref:
+                return pref[0]
+    return paths[0]
+
+
+def _contains_stem_match(names, stem: str,
+                         variant_suffix: str | None) -> Optional[str]:
+    """Variant-pattern fallback: an image entry whose file name contains
     the full searchable stem (FileDataUtils variantPattern's
     `.*<searchableMIPBaseName>.*` alternative,
-    cmd/CreateCDSDataInputCmd.java:418-424)."""
-    for n in sorted(names):
+    cmd/CreateCDSDataInputCmd.java:418-424).  When a variant suffix is
+    known it must also appear in the name — without it, a shared
+    location could silently return a DIFFERENT variant type (e.g. the
+    zgap as the gradient), corrupting scores the reference would
+    instead leave unscored."""
+    best = None
+    for n in names:
         base = os.path.basename(n)
-        if stem in base and is_image_file(base):
-            return n
-    return None
+        if stem in base and is_image_file(base) \
+                and (not variant_suffix or variant_suffix in base):
+            if best is None or n < best:
+                best = n
+    return best
 
 
 def find_variant(mip_fd: FileData, variant_locations: list[str],
@@ -207,9 +231,9 @@ def find_variant(mip_fd: FileData, variant_locations: list[str],
     """Locate a variant (gradient/zgap) image for a MIP by convention.
 
     Per location: exact suffix-derived candidate names first (v2
-    MIPsUtils.getMIPVariantInfo derivation), then the reference's
-    contains-stem pattern fallback over a cached recursive index
-    (mips/FileDataUtils.lookupVariantFileData)."""
+    MIPsUtils.getMIPVariantInfo derivation), then the
+    suffix-constrained contains-stem pattern fallback over a cached
+    recursive index (mips/FileDataUtils.lookupVariantFileData)."""
     cands = variant_candidates(mip_fd.name, variant_suffix, cdm_suffix)
     stem = re.sub(r"\.[^.]+$", "", os.path.basename(mip_fd.name))
     for loc in variant_locations:
@@ -223,15 +247,16 @@ def find_variant(mip_fd: FileData, variant_locations: list[str],
             for c in cands:
                 if c in by_base:
                     return FileData(str(p), by_base[c])
-            hit = _contains_stem_match(names, stem)
+            hit = _contains_stem_match(names, stem, variant_suffix)
             if hit is not None:
                 return FileData(str(p), hit)
         elif p.is_dir():
             index = _dir_entry_index(str(p))
             for c in cands:
                 if c in index:
-                    return FileData(index[c])
-            hit = _contains_stem_match(index.values(), stem)
+                    return FileData(_pick_collision(index[c], mip_fd))
+            hit = _contains_stem_match(
+                (ps[0] for ps in index.values()), stem, variant_suffix)
             if hit is not None:
                 return FileData(hit)
     return None

@@ -181,8 +181,8 @@ def _lm_sample_info(source_lm_name: Optional[str]):
     """PPPMatchEntity.updateLMSampleInfo (PPPMatchEntity.java:203-219):
     strip the _REG_UNISEX_ suffix off the LM sample name; the suffix is
     the objective when it contains NNx, else the default 40x."""
-    if not source_lm_name:
-        return source_lm_name, None
+    if source_lm_name is None:
+        return None, None
     mt = _LM_REG_RE.match(source_lm_name)
     if not mt:
         return source_lm_name, _DEFAULT_OBJECTIVE

@@ -152,23 +152,49 @@ def test_find_variant_nested_and_pattern_fallback(tmp_path):
     assert fd is not None and fd.file_name.endswith(
         "segmented_gradient/sub/n1_CDM_grad.png")
 
-    # no suffix candidate anywhere -> contains-stem fallback
-    (nested / "prefix-n2_CDM-objective.tif").write_bytes(b"x")
+    # no exact suffix candidate -> contains-stem fallback; the variant
+    # suffix must still appear in the name (a different variant type
+    # must NOT match)
+    (nested / "prefix-n2_CDM_grad-objective.tif").write_bytes(b"x")
+    (nested / "prefix-n2_CDM_20pxRGB.tif").write_bytes(b"x")
     mips_io._dir_entry_index.cache_clear()
     fd2 = mips_io.find_variant(
         FileData("lib/n2_CDM.png"), [str(loc)], "_grad")
-    assert fd2 is not None and "prefix-n2_CDM-objective" in fd2.file_name
+    assert fd2 is not None and "prefix-n2_CDM_grad-objective" in \
+        fd2.file_name
 
     # zip locations: same fallback over entry names
     import zipfile as zf
 
     zpath = tmp_path / "grads.zip"
     with zf.ZipFile(zpath, "w") as z:
-        z.writestr("deep/dir/xx_n3_CDM_yy.png", b"x")
+        z.writestr("deep/dir/xx_n3_CDM_grad_yy.png", b"x")
     fd3 = mips_io.find_variant(
         FileData("lib/n3_CDM.png"), [str(zpath)], "_grad")
-    assert fd3 is not None and fd3.entry_name == "deep/dir/xx_n3_CDM_yy.png"
+    assert fd3 is not None and \
+        fd3.entry_name == "deep/dir/xx_n3_CDM_grad_yy.png"
 
     # a genuinely absent variant still misses
     assert mips_io.find_variant(
         FileData("lib/absent_CDM.png"), [str(zpath)], "_grad") is None
+
+
+def test_find_variant_collision_prefers_mip_parent(tmp_path):
+    """Same-basename variants for different libraries resolve to the one
+    whose relative path shares the MIP's parent directory (the
+    component the v2 reference's ancestor-walk probes)."""
+    from colormipsearch_tpu.io import mips as mips_io
+    from colormipsearch_tpu.model import FileData
+
+    loc = tmp_path / "grads"
+    for lib in ("libA", "libB"):
+        d = loc / f"{lib}_gradient"
+        d.mkdir(parents=True)
+        (d / "n_CDM_gradient.png").write_bytes(b"x")
+    mips_io._dir_entry_index.cache_clear()
+    fd = mips_io.find_variant(
+        FileData("data/libB/n_CDM.png"), [str(loc)], "_gradient")
+    assert fd is not None and "libB_gradient" in fd.file_name
+    fd = mips_io.find_variant(
+        FileData("data/libA/n_CDM.png"), [str(loc)], "_gradient")
+    assert fd is not None and "libA_gradient" in fd.file_name
