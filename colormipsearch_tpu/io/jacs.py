@@ -153,6 +153,15 @@ def mip_record_to_neuron(rec: dict, library: str) -> Optional[Neuron]:
         n.published_name = str(body) if body is not None else None
         n.source_ref_id = rec.get("emBodyRef") or \
             ((rec.get("emBody") or {}).get("_id"))
+        # EM skeleton compute files ride the emBody record
+        # (CreateCDSDataInputCmd.java:485-491)
+        body_files = (rec.get("emBody") or {}).get("files") or {}
+        if body_files.get("SkeletonSWC"):
+            n.set_compute_file(ComputeFileType.SkeletonSWC,
+                               body_files["SkeletonSWC"])
+        if body_files.get("SkeletonOBJ"):
+            n.set_compute_file(ComputeFileType.SkeletonOBJ,
+                               body_files["SkeletonOBJ"])
     else:
         sample = rec.get("sample") or {}
         n = LMNeuron(

@@ -47,11 +47,20 @@ def test_jacs_em_vs_lm_mapping():
     em = mip_record_to_neuron(
         {"id": "x", "filepath": "/f.png", "bodyId": 12345,
          "alignmentSpace": "AS",
-         "emBody": {"neuronType": "PFL1"}},
+         "emBody": {"neuronType": "PFL1",
+                    "files": {"SkeletonSWC": "/swc/107.swc",
+                              "SkeletonOBJ": "/obj/107.obj"}}},
         "flyem_hemibrain_1_2_1")
     assert isinstance(em, EMNeuron)
     assert em.published_name == "12345"
     assert em.neuron_type == "PFL1"
+    # skeleton compute files ride the emBody record
+    # (CreateCDSDataInputCmd.java:485-491)
+    from colormipsearch_tpu.model import ComputeFileType
+    assert em.compute_file(ComputeFileType.SkeletonSWC).name == \
+        "/swc/107.swc"
+    assert em.compute_file(ComputeFileType.SkeletonOBJ).name == \
+        "/obj/107.obj"
 
     lm = mip_record_to_neuron(
         {"id": "y", "filepath": "/g.png",
