@@ -180,8 +180,7 @@ def bench_shape_tpu(mask_rgb, target_rgb, region):
 
     from colormipsearch_tpu.ops import shape_score
 
-    q_pack = shape_score.pack_query(mask_rgb, excluded_region=region,
-                                    negative_radius=20)
+    q_pack = shape_score.pack_query(mask_rgb, excluded_region=region)
     pos_gap, pos_he = shape_score.support_split(q_pack)
     n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
     n_he = shape_score.he_words(pos_he.size)

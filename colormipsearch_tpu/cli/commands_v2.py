@@ -157,8 +157,7 @@ def _score_rows_device(mask_rgb, region, args, rows):
     from colormipsearch_tpu.ops import shape_score
 
     q_pack = shape_score.pack_query(
-        mask_rgb, excluded_region=region,
-        negative_radius=args.negativeRadius)
+        mask_rgb, excluded_region=region)
     pos_gap, pos_he = shape_score.support_split(q_pack)
     n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
     n_he = shape_score.he_words(pos_he.size)

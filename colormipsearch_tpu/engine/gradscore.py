@@ -37,42 +37,17 @@ class GradScoreEngine:
         if use_mesh is None:
             use_mesh = len(jax.devices()) > 1
         self._mesh = None
-        self._shape_step = None
         if use_device and use_mesh and len(jax.devices()) > 1:
             from colormipsearch_tpu.parallel.mesh import (
                 create_mesh,
-                make_sharded_shape_step,
-            )
-
-            self._mesh = create_mesh()
-            self._shape_step = make_sharded_shape_step(self._mesh)
-            self._shape_step_both = make_sharded_shape_step(
-                self._mesh, both=True)
-            from colormipsearch_tpu.parallel.mesh import (
                 make_sharded_shape_split_step,
             )
 
+            self._mesh = create_mesh()
             self._shape_split_step = make_sharded_shape_split_step(
                 self._mesh)
             LOG.info("shape scoring over a %d-device mesh",
                      len(self._mesh.devices.ravel()))
-
-    def _pairs_fn(self, n_targets: int, *, both: bool = False):
-        """Mesh-sharded pairs step when it divides the batch, else the
-        single-device jit (score_shape_batch default)."""
-        if self._mesh is None:
-            return None
-        n_dev = len(self._mesh.devices.ravel())
-        if n_targets % n_dev != 0:
-            return None
-        from colormipsearch_tpu.parallel.mesh import shard_target_planes
-
-        step = self._shape_step_both if both else self._shape_step
-
-        def fn(t_pack, q_pack):
-            return step(shard_target_planes(self._mesh, t_pack), q_pack)
-
-        return fn
 
     def _pairs_split_fn(self, n_targets: int):
         """Mesh-sharded split-row step (same divisibility gate)."""
@@ -104,6 +79,7 @@ class GradScoreEngine:
             groups.setdefault(key, []).append(m)
 
         scored: list[CDMatch] = []
+        scored_by_mask: dict = {}
         for (mip_id, _), group in groups.items():
             t0 = time.time()
             mask = group[0].mask_image
@@ -124,10 +100,14 @@ class GradScoreEngine:
                     self._iter_group_tiles(group, (h, w), region))
             ok = [m for m in group if m.has_grad_score()]
             scored.extend(ok)
+            scored_by_mask.setdefault(mip_id, []).extend(ok)
             LOG.info("grad-scored %d/%d matches of %s in %.1fs",
                      n_ok, len(group), mip_id, time.time() - t0)
 
-        update_normalized_scores([m for m in scored])
+        # normalization maxima are PER MASK — the reference computes them
+        # over one mask mipId's matches (CalculateGradientScoresCmd:443-459)
+        for mask_matches in scored_by_mask.values():
+            update_normalized_scores(mask_matches)
         return scored
 
     # decode+pack worker threads: PIL/zlib decode and numpy packing all
@@ -163,8 +143,8 @@ class GradScoreEngine:
         with concurrent.futures.ThreadPoolExecutor(
                 max_workers=n_workers) as pool:
             pending = collections.deque(
-                pool.submit(load, c) for c in chunks[:n_workers + 1])
-            nxt = n_workers + 1
+                pool.submit(load, c) for c in chunks[:n_workers])
+            nxt = n_workers
             while pending:
                 loaded = pending.popleft().result()
                 if nxt < len(chunks):
@@ -189,6 +169,7 @@ class GradScoreEngine:
             if not t_mip.has_image or \
                     t_mip.image.pixels.shape[:2] != mask_shape:
                 m.gradient_area_gap = -1
+                m.high_expression_area = -1
                 continue
             g_mip = mips_cache.load_mip(
                 target, ComputeFileType.GradientImage)
@@ -196,6 +177,7 @@ class GradScoreEngine:
                 # shape scoring requires the gradient variant
                 # (ShapeMatchColorDepthSearchAlgorithm:142-144)
                 m.gradient_area_gap = -1
+                m.high_expression_area = -1
                 continue
             grad = g_mip.image.pixels
             if grad.ndim == 3:
@@ -203,6 +185,7 @@ class GradScoreEngine:
                 grad = grad.astype(np.int32).max(axis=-1)
             if grad.shape != mask_shape:
                 m.gradient_area_gap = -1
+                m.high_expression_area = -1
                 continue
             z_mip = mips_cache.load_mip(
                 target, ComputeFileType.ZGapImage)
@@ -225,8 +208,12 @@ class GradScoreEngine:
     # packed planes are support-row sparse and much smaller
     GROUP_TILE = 512
     # targets per device dispatch: packed chunks accumulate to this
-    # width before scoring (wide columns amortize dispatch overhead)
+    # width before scoring (wide columns amortize dispatch overhead),
+    # narrowed for dense masks so one dispatch plane stays under
+    # DISPATCH_PLANE_BYTES (sustained multi-GB device allocations risk
+    # wedging the tunnel — CLAUDE.md)
     DISPATCH_TILE = 4096
+    DISPATCH_PLANE_BYTES = 512e6
 
     def _score_group_device(self, mask_rgb, region, roi_rgb,
                             group, mask_shape) -> int:
@@ -243,13 +230,11 @@ class GradScoreEngine:
             roi_keep = roi.astype(np.int32).sum(axis=-1) > 0
             roi_keep_m = roi_keep[:, ::-1]
         q_pack = shape_score.pack_query(
-            mask_rgb, excluded_region=region, roi_keep=roi_keep,
-            negative_radius=p.negative_radius)
+            mask_rgb, excluded_region=region, roi_keep=roi_keep)
         q_pack_m = None
         if p.mirror_mask and roi_keep is not None:
             q_pack_m = shape_score.pack_query(
-                mask_rgb, excluded_region=region, roi_keep=roi_keep_m,
-                negative_radius=p.negative_radius)
+                mask_rgb, excluded_region=region, roi_keep=roi_keep_m)
         # split support rows: gap rows (query non-black — grad|slice
         # data) and he rows (r=60 ring — one foreground bit); disjoint
         # by construction, so each row runs only the term it can affect
@@ -283,13 +268,18 @@ class GradScoreEngine:
 
         # decode/pack streams in GROUP_TILE chunks (host-image bound),
         # but the packed planes are small (~16 KB gap + ~10 KB he per
-        # target), so accumulate them and dispatch DISPATCH_TILE-wide —
-        # wide columns amortize per-dispatch overhead on the device
-        import jax.numpy as jnp
-
+        # target), so accumulate them HOST-side and dispatch
+        # DISPATCH_TILE-wide — wide columns amortize per-dispatch
+        # overhead, one upload per dispatch keeps device memory at a
+        # single plane set, and padding the width to the bucket ladder
+        # bounds the number of distinct (compile-expensive) kernel shapes
         n = 0
         acc: list[tuple[list, object, object]] = []
         acc_t = 0
+        bytes_per_target = 2 * (n_gap_pad + n_he_w) * 4
+        dispatch_tile = max(512, min(
+            self.DISPATCH_TILE,
+            int(self.DISPATCH_PLANE_BYTES / bytes_per_target)))
 
         def flush():
             nonlocal n, acc, acc_t
@@ -299,8 +289,13 @@ class GradScoreEngine:
                 matches, t_gap, t_he = acc[0]
             else:
                 matches = [m for ms, _, _ in acc for m in ms]
-                t_gap = jnp.concatenate([g for _, g, _ in acc], axis=2)
-                t_he = jnp.concatenate([h for _, _, h in acc], axis=2)
+                t_gap = np.concatenate([g for _, g, _ in acc], axis=2)
+                t_he = np.concatenate([h for _, _, h in acc], axis=2)
+            t_pad = shape_score.support_bucket(len(matches), minimum=512)
+            if t_pad > len(matches):
+                padw = ((0, 0), (0, 0), (0, t_pad - len(matches)))
+                t_gap = np.pad(t_gap, padw)
+                t_he = np.pad(t_he, padw)
             n += self._score_group_tile(q_gap, q_he, matches,
                                         (t_gap, t_he))
             acc, acc_t = [], 0
@@ -310,7 +305,7 @@ class GradScoreEngine:
             if matches:
                 acc.append((matches, planes[0], planes[1]))
                 acc_t += len(matches)
-                if acc_t >= self.DISPATCH_TILE:
+                if acc_t >= dispatch_tile:
                     flush()
         flush()
         return n
@@ -319,17 +314,15 @@ class GradScoreEngine:
         from colormipsearch_tpu.ops import shape_score
 
         t_gap, t_he = planes
-        n_real = t_gap.shape[2]
+        n_real = len(matches)
         if self._mesh is not None:
             # pad T to the device count so the mesh path always applies
             # (zero columns are neutral: no foreground, zero gaps)
-            import jax.numpy as jnp
-
             n_dev = len(self._mesh.devices.ravel())
-            pad = (-n_real) % n_dev
+            pad = (-t_gap.shape[2]) % n_dev
             if pad:
-                t_gap = jnp.pad(t_gap, ((0, 0), (0, 0), (0, pad)))
-                t_he = jnp.pad(t_he, ((0, 0), (0, 0), (0, pad)))
+                t_gap = np.pad(t_gap, ((0, 0), (0, 0), (0, pad)))
+                t_he = np.pad(t_he, ((0, 0), (0, 0), (0, pad)))
         gap, he, mirrored = shape_score.score_shape_batch_split(
             t_gap, t_he, q_gap, q_he,
             pairs_split_fn=self._pairs_split_fn(t_gap.shape[2]))

@@ -171,7 +171,7 @@ def pack_targets(t_rgb: np.ndarray, grad: np.ndarray,
 
 
 def pack_query(q_rgb: np.ndarray, *, excluded_region=None,
-               roi_keep=None, negative_radius: int = 20) -> np.ndarray:
+               roi_keep=None) -> np.ndarray:
     """Query-side int32 [P] plane (host precompute, once per mask).
 
     Uses the oracle's exact integer signal formulas and scipy dilation for
@@ -420,7 +420,10 @@ def pack_target_rows_split(t_rgbs, grads, zgap_rgbs,
     t_he[0] = _packbits32(tfg[:, :sh], n_he_words).T
     if mirror:
         t_he[1] = _packbits32(tfg[:, sh:], n_he_words).T
-    return jnp.asarray(t_gap), jnp.asarray(t_he)
+    # host arrays: callers accumulate/pad on the host and upload once per
+    # dispatch (the jit converts on call), keeping device memory at a
+    # single plane set
+    return t_gap, t_he
 
 
 # -------------------------------------------------------------------------

@@ -77,8 +77,7 @@ def build_planes():
     mask_rgb = read_image(MASK_TIF).as_rgb()
     assert mask_rgb.shape[:2] == (H, W)
     region = label_regions_mask(W, H)
-    q_pack = shape_score.pack_query(mask_rgb, excluded_region=region,
-                                    negative_radius=20)
+    q_pack = shape_score.pack_query(mask_rgb, excluded_region=region)
 
     t_pack = jax.block_until_ready(make(jax.random.PRNGKey(0)))
     return t_pack, q_pack

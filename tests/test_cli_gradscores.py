@@ -198,3 +198,57 @@ def test_find_variant_collision_prefers_mip_parent(tmp_path):
     fd = mips_io.find_variant(
         FileData("data/libA/n_CDM.png"), [str(loc)], "_gradient")
     assert fd is not None and "libA_gradient" in fd.file_name
+
+
+def test_gradient_scores_golden_381229(tmp_path):
+    """The verify-recipe gradientScores golden: fixture pair + seeded
+    synthesized gradient (rng(0), 0..400 uint16) and zgap
+    (dilate(mask(target,20), r=20)) must give gradientAreaGap 381229,
+    highExpressionArea 0, normalizedScore 100.0 (single match -> max
+    normalization)."""
+    import shutil
+
+    from tests.conftest import MASK_TIF, TARGET_TIF
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb
+
+    lib = tmp_path / "lib"
+    grad = tmp_path / "grad"
+    zgap = tmp_path / "zgap"
+    for d in (lib, grad, zgap):
+        d.mkdir()
+    shutil.copy(MASK_TIF, lib / Path(MASK_TIF).name)
+    shutil.copy(TARGET_TIF, lib / Path(TARGET_TIF).name)
+    t_rgb = read_image(TARGET_TIF).as_rgb()
+    rng = np.random.default_rng(0)
+    g = rng.integers(0, 400, t_rgb.shape[:2]).astype(np.uint16)
+    stem = Path(TARGET_TIF).stem
+    Image.fromarray(g, mode="I;16").save(grad / f"{stem}_gradient.png")
+    Image.fromarray(dilate_rgb(mask_rgb(t_rgb, 20), 20)).save(
+        zgap / f"{stem}_20pxRGB.png")
+
+    run_cli("createColorDepthSearchDataInput", "-i", lib, "-l", "glib",
+            "--gradients-location", grad, "--zgap-location", zgap,
+            "-od", tmp_path / "inputs", "--output-filename", "all.json")
+    import json as _json
+    neurons = _json.loads((tmp_path / "inputs" / "all.json").read_text())
+    masks = [n for n in neurons if "LPLC2" in n["mipId"]]
+    targets = [n for n in neurons if "LPLC2" not in n["mipId"]]
+    (tmp_path / "inputs" / "masks.json").write_text(_json.dumps(masks))
+    (tmp_path / "inputs" / "targets.json").write_text(_json.dumps(targets))
+    run_cli("colorDepthSearch", "-m", tmp_path / "inputs" / "masks.json",
+            "-i", tmp_path / "inputs" / "targets.json",
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask",
+            "-od", tmp_path / "res", "--perMaskSubdir", "masks")
+    run_cli("gradientScores", "--matches", tmp_path / "res" / "masks",
+            "--maskThreshold", 20, "--mirrorMask",
+            "-od", tmp_path / "res", "--perMaskSubdir", "masks")
+    doc = _json.loads(
+        (tmp_path / "res" / "masks" /
+         "1752016801-LPLC2-RT_18U.json").read_text())
+    [r] = doc["results"]
+    assert r["matchingPixels"] == 87
+    assert r["gradientAreaGap"] == 381229
+    assert r["highExpressionArea"] == 0
+    assert r["normalizedScore"] == 100.0

@@ -77,3 +77,65 @@ def test_streamed_tiles_match_oracle(tmp_path, monkeypatch, with_zgap):
     for m, exp in zip(matches, expected):
         assert m.gradient_area_gap == exp.gradient_area_gap
         assert m.high_expression_area == exp.high_expression_area
+
+
+def test_multi_mask_normalization_is_per_mask(tmp_path):
+    """Normalization maxima must come from ONE mask's matches, not the
+    union (CalculateGradientScoresCmd.updateNormalizedScores:443-459):
+    a weak mask normalized against a strong mask's maxima would get the
+    wrong normalizedScore."""
+    from colormipsearch_tpu.engine.gradscore import update_normalized_scores
+    from colormipsearch_tpu.oracle.shape import normalized_score
+
+    rng = np.random.default_rng(33)
+    h, w = 40, 50
+    matches = []
+    for mi, px_scale in ((0, 100), (1, 700)):
+        mask_img = _mk_cdm(rng, h, w, 300)
+        Image.fromarray(mask_img).save(tmp_path / f"m{mi}.png")
+        mask_neuron = Neuron(mip_id=f"mask-{mi}")
+        mask_neuron.set_compute_file(
+            ComputeFileType.InputColorDepthImage,
+            str(tmp_path / f"m{mi}.png"))
+        for i in range(3):
+            t_img = _mk_cdm(rng, h, w, 400)
+            grad = rng.integers(0, 300, (h, w)).astype(np.uint16)
+            Image.fromarray(t_img).save(tmp_path / f"m{mi}t{i}.png")
+            Image.fromarray(grad.astype(np.int32), mode="I").save(
+                tmp_path / f"m{mi}t{i}_grad.png")
+            target = Neuron(mip_id=f"m{mi}-t-{i}")
+            target.set_compute_file(
+                ComputeFileType.InputColorDepthImage,
+                str(tmp_path / f"m{mi}t{i}.png"))
+            target.set_compute_file(
+                ComputeFileType.GradientImage,
+                str(tmp_path / f"m{mi}t{i}_grad.png"))
+            matches.append(CDMatch(mask_image=mask_neuron,
+                                   matched_image=target,
+                                   matching_pixels=px_scale + i * 10))
+
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       mirror_mask=True, negative_radius=20)
+    engine = GradScoreEngine(params, use_device=True)
+    scored = engine.score_matches(matches)
+    assert len(scored) == 6
+    # recompute expectation per mask independently
+    for mi in (0, 1):
+        ms = [m for m in scored if m.mask_image.mip_id == f"mask-{mi}"]
+        max_px = max(m.matching_pixels for m in ms)
+        max_neg = max(m.negative_score() for m in ms)
+        for m in ms:
+            want = normalized_score(
+                m.matching_pixels, m.gradient_area_gap,
+                m.high_expression_area, max_px, max_neg)
+            assert abs(m.normalized_score - want) < 1e-9, (mi, want)
+    # cross-check the bug would have been visible: union-normalized
+    # scores for the weak mask differ from per-mask ones
+    weak = [m for m in scored if m.mask_image.mip_id == "mask-0"]
+    all_max_px = max(m.matching_pixels for m in scored)
+    union_scores = [normalized_score(
+        m.matching_pixels, m.gradient_area_gap, m.high_expression_area,
+        all_max_px, max(x.negative_score() for x in scored))
+        for m in weak]
+    assert any(abs(u - m.normalized_score) > 1e-6
+               for u, m in zip(union_scores, weak))
