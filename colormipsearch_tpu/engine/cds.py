@@ -123,6 +123,16 @@ class TargetShard:
     packed_threshold: int | None = None
     # lazy 3-byte split-plane pair (CDS_SPLIT_PLANES=1)
     split_planes: tuple | None = None
+    # mesh identity the cached device/split planes were sharded for
+    mesh_token: object = None
+    split_mesh_token: object = None
+    # padded target-axis width (kernel shape; stable even after the
+    # unsharded planes are released under a mesh)
+    t_pad: int = 0
+
+    def __post_init__(self):
+        if not self.t_pad and self.planes is not None:
+            self.t_pad = self.planes.shape[1]
 
     @property
     def count(self) -> int:
@@ -202,7 +212,14 @@ def load_target_shards(targets: Sequence[Neuron], *,
         dst = by_shape.setdefault((h, w), ([], []))
         for i, n in enumerate(neurons):
             if not ok[i]:
-                skipped += 1
+                # per-image fallback: the native decoder rejects some
+                # valid encodings (e.g. interlaced PNG) that PIL handles
+                img = _decode_or_none(blobs[i])
+                if img is None:
+                    skipped += 1
+                    continue
+                dst[0].append(n)
+                dst[1].append(img.as_rgb())
                 continue
             dst[0].append(n)
             dst[1].append(arena[i])
@@ -322,6 +339,7 @@ class CDSearchEngine:
             use_mesh = len(jax.devices()) > 1
         self._mesh = None
         self._sharded_steps: dict = {}
+        self._plan_args_cache: dict = {}
         if use_mesh and len(jax.devices()) > 1:
             from colormipsearch_tpu.parallel import create_mesh
 
@@ -421,6 +439,7 @@ class CDSearchEngine:
 
         n_matches = 0
         n_targets = 0
+        n_pairs = 0
         with stage_timer("cds.scoreAllPairs"):
             # targets stream in device-sized tiles, decode of the next
             # tile overlapping the scoring of the current one
@@ -438,27 +457,31 @@ class CDSearchEngine:
                             top_k=max_matches_per_mask)
                         GLOBAL.add("pairsScored",
                                    len(batch) * shard.count)
+                        n_pairs += len(batch) * shard.count
                         n_matches += len(out)
                         yield out
         GLOBAL.add("matchesFound", n_matches)
         LOG.info("found %d matches for %d masks x %d targets in %.1fs "
                  "(%.0f pairs/s)",
                  n_matches, len(masks), n_targets, time.time() - t0,
-                 GLOBAL.get("pairsScored") / max(time.time() - t0, 1e-9))
+                 n_pairs / max(time.time() - t0, 1e-9))
 
     def _split_planes(self, shard: TargetShard):
         """Lazy 3-byte split-plane pair for a shard (sharded over the
         mesh when one is active)."""
-        if shard.split_planes is None or getattr(
-                shard, "_split_mesh", None) is not self._mesh:
+        if shard.split_planes is None or \
+                shard.split_mesh_token is not self._mesh:
             t_sp, t_c8 = common.split_planes_from_packed(shard.planes)
             if self._mesh is not None:
                 from colormipsearch_tpu.parallel import shard_target_planes
 
                 t_sp = shard_target_planes(self._mesh, t_sp)
                 t_c8 = shard_target_planes(self._mesh, t_c8)
+                if self.neg_query_rgb is None:
+                    # the sharded copy is the only consumer now
+                    shard.planes = None
             shard.split_planes = (t_sp, t_c8)
-            shard._split_mesh = self._mesh
+            shard.split_mesh_token = self._mesh
         return shard.split_planes
 
     def _split_step(self, n_straight: int, ztol):
@@ -472,6 +495,26 @@ class CDSearchEngine:
                 self._mesh, ztol_num=ztol[0], ztol_den=ztol[1],
                 n_straight=n_straight)
         return self._sharded_steps[key]
+
+    # stacked query-plan device arrays, cached so a batch re-scored
+    # against every streamed target shard uploads its plans ONCE (the
+    # axon tunnel uploads at ~10 MB/s); bounded FIFO (device memory)
+    _ARGS_CACHE_MAX = 64
+
+    def _stacked_plan_args(self, plans):
+        key = tuple(id(pl) for pl in plans)
+        cached = self._plan_args_cache.get(key)
+        if cached is not None:
+            return cached
+        args = (jnp.asarray(np.stack([pl.positions for pl in plans])),
+                jnp.asarray(np.stack([pl.q_cls for pl in plans])),
+                jnp.asarray(np.stack([pl.q_s for pl in plans])),
+                jnp.asarray(np.stack([pl.q_p for pl in plans])))
+        if len(self._plan_args_cache) >= self._ARGS_CACHE_MAX:
+            self._plan_args_cache.pop(
+                next(iter(self._plan_args_cache)))
+        self._plan_args_cache[key] = args
+        return args
 
     def _score_batch(self, batch, shard: TargetShard, tags: set,
                      session_ref_id, top_k: int = 0) -> list[CDMatch]:
@@ -487,10 +530,7 @@ class CDSearchEngine:
             # preselection on positive scores would be wrong
             top_k = 0
         plans = [e[3] for e in batch]
-        args = (jnp.asarray(np.stack([pl.positions for pl in plans])),
-                jnp.asarray(np.stack([pl.q_cls for pl in plans])),
-                jnp.asarray(np.stack([pl.q_s for pl in plans])),
-                jnp.asarray(np.stack([pl.q_p for pl in plans])))
+        args = self._stacked_plan_args(plans)
         n_dev = (len(self._mesh.devices.ravel())
                  if self._mesh is not None else 1)
         # CDS_SPLIT_PLANES=1: 3-byte split-plane kernel (requires the
@@ -499,7 +539,7 @@ class CDSearchEngine:
         use_split = (_USE_SPLIT and shard.packed_threshold is not None
                      and top_k == 0)
         if use_split and (self._mesh is None
-                          or shard.planes.shape[1] % n_dev == 0):
+                          or shard.t_pad % n_dev == 0):
             t_sp, t_c8 = self._split_planes(shard)
             ztol = (plans[0].ztol_num, plans[0].ztol_den)
             if self._mesh is not None:
@@ -511,15 +551,19 @@ class CDSearchEngine:
                     pixel_match.score_query_batch_split(
                         t_sp, t_c8, *args, ztol_num=ztol[0],
                         ztol_den=ztol[1], n_straight=plans[0].n_straight)
-        elif self._mesh is not None and shard.planes.shape[1] % n_dev == 0:
+        elif self._mesh is not None and shard.t_pad % n_dev == 0:
             from colormipsearch_tpu.parallel import shard_target_planes
 
             planes = shard.device_planes
-            if planes is None or getattr(shard, "_mesh", None) \
-                    is not self._mesh:
+            if planes is None or shard.mesh_token is not self._mesh:
                 planes = shard_target_planes(self._mesh, shard.planes)
                 shard.device_planes = planes
-                shard._mesh = self._mesh
+                shard.mesh_token = self._mesh
+                # the sharded copy serves every path (incl. the neg
+                # pass); keep only it so device 0 is not pinned with the
+                # full unsharded stack alongside its shard
+                shard.planes = None
+            dense_needed = top_k == 0
             if top_k > 0:
                 # collective per-shard top-k: only D*k candidates per
                 # mask ever reach the host (VERDICT: dense pulls are the
@@ -527,17 +571,29 @@ class CDSearchEngine:
                 step = self._sharded_step(
                     plans[0].n_straight,
                     (plans[0].ztol_num, plans[0].ztol_den), top_k, thr)
-                scores_k, idx_k, mirr_k, flags_k, _gmax = \
+                scores_k, idx_k, mirr_k, flags_k, _gmax, n_flagged = \
                     step(planes, *args)
-                return self._emit_from_topk(
-                    batch, shard, np.asarray(scores_k), np.asarray(idx_k),
-                    np.asarray(mirr_k), np.asarray(flags_k), tags,
-                    session_ref_id)
-            step = self._sharded_step(
-                plans[0].n_straight,
-                (plans[0].ztol_num, plans[0].ztol_den),
-                target_threshold=thr)
-            best, mirrored, pair_flags, _gmax = step(planes, *args)
+                flags_sel = np.asarray(flags_k)
+                idx_sel = np.asarray(idx_k)
+                valid = (idx_sel >= 0) & (idx_sel < shard.count)
+                sel_flagged = ((flags_sel > 0) & valid).sum(axis=1)
+                if (np.asarray(n_flagged) > sel_flagged).any():
+                    # ambiguity-flagged pairs fell outside the per-shard
+                    # top-k: their exact (oracle) score could beat the
+                    # selected fast scores, so pull dense for this batch
+                    # (rare — flags are boundary cases)
+                    dense_needed = True
+                else:
+                    return self._emit_from_topk(
+                        batch, shard, np.asarray(scores_k), idx_sel,
+                        np.asarray(mirr_k), flags_sel, tags,
+                        session_ref_id)
+            if dense_needed:
+                step = self._sharded_step(
+                    plans[0].n_straight,
+                    (plans[0].ztol_num, plans[0].ztol_den),
+                    target_threshold=thr)
+                best, mirrored, pair_flags, _gmax = step(planes, *args)
         else:
             best, mirrored, pair_flags = pixel_match.score_query_batch(
                 shard.planes, *args,
@@ -553,16 +609,19 @@ class CDSearchEngine:
             # the group key pins the padded neg width, so a batch either
             # has neg plans for every mask or for none
             ref = neg_plans[0]
-            stacked = neg_plans
-            nb, _nm, nf = pixel_match.score_query_batch(
-                shard.planes,
-                jnp.asarray(np.stack([pl.positions for pl in stacked])),
-                jnp.asarray(np.stack([pl.q_cls for pl in stacked])),
-                jnp.asarray(np.stack([pl.q_s for pl in stacked])),
-                jnp.asarray(np.stack([pl.q_p for pl in stacked])),
-                target_threshold=thr,
-                ztol_num=ref.ztol_num, ztol_den=ref.ztol_den,
-                n_straight=ref.n_straight)
+            neg_args = self._stacked_plan_args(neg_plans)
+            if self._mesh is not None and shard.device_planes is not None \
+                    and shard.t_pad % n_dev == 0:
+                nstep = self._sharded_step(
+                    ref.n_straight, (ref.ztol_num, ref.ztol_den),
+                    target_threshold=thr)
+                nb, _nm, nf, _g = nstep(shard.device_planes, *neg_args)
+            else:
+                nb, _nm, nf = pixel_match.score_query_batch(
+                    shard.planes, *neg_args,
+                    target_threshold=thr,
+                    ztol_num=ref.ztol_num, ztol_den=ref.ztol_den,
+                    n_straight=ref.n_straight)
             neg_best = np.maximum(np.asarray(nb), 0)[:, :shard.count]
             neg_flags = np.asarray(nf)[:, :shard.count]
 
@@ -576,10 +635,18 @@ class CDSearchEngine:
             flags_b = pair_flags[b]
             if neg_flags is not None and neg_plans[b] is not None:
                 flags_b = flags_b + neg_flags[b]
-            cand = np.flatnonzero(best[b] > 0)
+            # flagged pairs join the candidates even at fast score 0:
+            # the oracle rescore may flip them to a positive exact score
+            cand = np.flatnonzero((best[b] > 0) | (flags_b > 0))
             if top_k > 0 and cand.size > top_k:
-                part = np.argpartition(-best[b][cand], top_k - 1)[:top_k]
-                cand = cand[part]
+                # interval-safe preselection: the exact score lies in
+                # [best - flags, best + flags]; keep every candidate
+                # whose upper bound reaches the k-th largest lower bound
+                # (the caller's final per-mask trim ranks exact scores)
+                lower = best[b][cand] - flags_b[cand]
+                upper = best[b][cand] + flags_b[cand]
+                kth = -np.partition(-lower, top_k - 1)[top_k - 1]
+                cand = cand[upper >= kth]
             out.extend(self._emit_matches(
                 mask, mask_rgb, region, plan, shard, cand,
                 best[b], mirrored[b], flags_b, tags, session_ref_id,
@@ -592,7 +659,7 @@ class CDSearchEngine:
                         flags_k, tags, session_ref_id) -> list[CDMatch]:
         """Emit from the collective top-k candidates [B, D*k]."""
         out: list[CDMatch] = []
-        t_pad = shard.planes.shape[1]
+        t_pad = shard.t_pad
         for b, (mask, mask_rgb, region, plan, _neg) in enumerate(batch):
             best = np.zeros(shard.count, scores_k.dtype)
             mirrored = np.zeros(shard.count, bool)
@@ -617,7 +684,7 @@ class CDSearchEngine:
         oracle = None  # lazy: only when an ambiguous pair appears
         out: list[CDMatch] = []
         for t_idx in candidates:
-            if best[t_idx] <= 0:
+            if best[t_idx] <= 0 and pair_flags[t_idx] <= 0:
                 continue
             score = int(best[t_idx])
             is_mirrored = bool(mirrored[t_idx])

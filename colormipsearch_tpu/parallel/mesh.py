@@ -226,16 +226,24 @@ def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
             take = jnp.take_along_axis
             top_mirrored = take(mirrored, local_idx, axis=1)
             top_flags = take(pair_flags, local_idx, axis=1)
+            # ambiguity-flagged pairs OUTSIDE the per-shard top-k: their
+            # exact (oracle) score may exceed selected fast scores, so
+            # the engine falls back to a dense pull when any leak out
+            # (the bit-identity contract beats the bandwidth saving on
+            # these rare batches)
+            n_flagged = jax.lax.psum(
+                (pair_flags > 0).sum(axis=1, dtype=jnp.int32), TARGET_AXIS)
             shard = jax.lax.axis_index(TARGET_AXIS)
             top_idx = local_idx + shard * best.shape[1]
             gather = lambda x: jax.lax.all_gather(  # noqa: E731
                 x, TARGET_AXIS, axis=1, tiled=True)
             return (gather(top_scores), gather(top_idx),
-                    gather(top_mirrored), gather(top_flags), global_max)
+                    gather(top_mirrored), gather(top_flags), global_max,
+                    n_flagged)
         return best, mirrored, pair_flags, global_max
 
     if top_k > 0:
-        out_specs = (P(), P(), P(), P(), P(None))
+        out_specs = (P(), P(), P(), P(), P(None), P(None))
     else:
         out_specs = (P(None, TARGET_AXIS), P(None, TARGET_AXIS),
                      P(None, TARGET_AXIS), P(None))

@@ -180,3 +180,57 @@ def test_split_planes_engine_equality(tmp_path, monkeypatch):
         masks, targets)) == baseline
     assert key(CDSearchEngine(params, use_mesh=False).find_all_matches(
         masks, targets)) == baseline
+
+
+def test_flagged_zero_score_pair_reaches_oracle(tmp_path):
+    """A pair whose only potential match sits in the ambiguity band can
+    have fast score 0 with flags > 0; the engine must still run the
+    float64 oracle on it (bit-identity contract) instead of dropping it
+    at the best>0 candidate filter.  rgb(50,0,53) vs rgb(151,0,158) at
+    pixColorFluctuation 1.23 (banded f32 same-class branch): f32 ratio
+    gap lands just above fl32(ztol) inside the band, but the Java f64
+    gap is <= ztol, so the reference scores 1."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
+    from colormipsearch_tpu.model import ComputeFileType, Neuron
+    from colormipsearch_tpu.ops import common, pixel_match
+    from colormipsearch_tpu.oracle.pixel import PixelMatchOracle
+
+    mask = np.zeros((8, 8, 3), np.uint8)
+    target = np.zeros((8, 8, 3), np.uint8)
+    mask[0, 0] = (50, 0, 53)      # BR class, ratio 50/53
+    target[0, 0] = (151, 0, 158)  # BR class, ratio 151/158
+
+    # kernel level: fast score 0, flagged
+    plan = pixel_match.build_query_plan(
+        mask, 0, mirror=False, xy_shift=0, pix_color_fluctuation=1.23)
+    planes = common.pack_target_planes(jnp.asarray(target[None]))
+    scores, flags = pixel_match.score_query_against_planes(
+        planes, jnp.asarray(plan.positions), jnp.asarray(plan.q_cls),
+        jnp.asarray(plan.q_s), jnp.asarray(plan.q_p),
+        target_threshold=0, ztol_num=plan.ztol_num,
+        ztol_den=plan.ztol_den)
+    assert int(np.asarray(scores).max()) == 0
+    assert int(np.asarray(flags).sum()) > 0
+    # the reference (float64 oracle) says MATCH
+    oracle = PixelMatchOracle(mask, 0, mirror=False, target_threshold=0,
+                              z_tolerance=1.23 / 100, xy_shift=0)
+    assert oracle.score(target).matching_pixels == 1
+
+    # engine end-to-end: the match must be emitted with the oracle score
+    Image.fromarray(mask).save(tmp_path / "m.png")
+    Image.fromarray(target).save(tmp_path / "t.png")
+    mn = Neuron(mip_id="m")
+    mn.set_compute_file(ComputeFileType.InputColorDepthImage,
+                        str(tmp_path / "m.png"))
+    tn = Neuron(mip_id="t")
+    tn.set_compute_file(ComputeFileType.InputColorDepthImage,
+                        str(tmp_path / "t.png"))
+    engine = CDSearchEngine(CDSParams(
+        mask_threshold=0, data_threshold=0, pix_color_fluctuation=1.23,
+        xy_shift=0, mirror_mask=False))
+    out = engine.find_all_matches([mn], [tn])
+    assert len(out) == 1
+    assert out[0].matching_pixels == 1
