@@ -33,6 +33,10 @@ def _build_lib() -> str | None:
                      "colormipsearch_tpu"))
     os.makedirs(cache, exist_ok=True)
     so = os.path.join(cache, "libcdmdecoder.so")
+    if not os.path.exists(_SRC):
+        # installed without the native source: use a prebuilt cache .so
+        # if present, else report unavailable
+        return so if os.path.exists(so) else None
     if os.path.exists(so) and os.path.getmtime(so) >= \
             os.path.getmtime(_SRC):
         return so
@@ -57,7 +61,10 @@ def get_lib():
         if _lib is not None or _lib_failed:
             return _lib
         repo_so = os.path.join(os.path.dirname(_SRC), "libcdmdecoder.so")
-        so = repo_so if os.path.exists(repo_so) else _build_lib()
+        repo_ok = os.path.exists(repo_so) and (
+            not os.path.exists(_SRC)
+            or os.path.getmtime(repo_so) >= os.path.getmtime(_SRC))
+        so = repo_so if repo_ok else _build_lib()
         if so is None:
             _lib_failed = True
             return None
@@ -99,7 +106,8 @@ def get_lib():
         lib.cdm_img_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.POINTER(ctypes.c_size_t), ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int)]
         _lib = lib
         return _lib
@@ -140,6 +148,8 @@ def decode_tiff(data: bytes, y0: int = 0, y1: int = 0):
     w, h, c, bits = info
     if y1 == 0:
         y1 = h
+    if not (0 <= y0 < y1 <= h):
+        return None
     rows = y1 - y0
     dtype = np.uint16 if bits == 16 else np.uint8
     out = np.empty(rows * w * c, dtype)
@@ -219,7 +229,7 @@ def decode_img_batch(blobs: list[bytes], *, width: int, height: int,
         n_threads = min(32, os.cpu_count() or 1)
     lib.cdm_img_decode_batch(
         bufs, lens, n, arena.ctypes.data_as(ctypes.c_void_p), stride,
-        n_threads, results)
+        width, height, channels, n_threads, results)
     ok = np.array([results[i] == 0 for i in range(n)], bool)
     return arena, ok
 

@@ -99,8 +99,15 @@ TiffInfo parse_tiff(const Reader& r) {
         }
     }
     if (t.rows_per_strip == 0) t.rows_per_strip = t.height;
+    // photometric: only WhiteIsZero/BlackIsZero/RGB — palette (3) pixels
+    // are colormap indices and must go through the PIL fallback.
+    // The size cap (64k edges, <2^31 total bytes) keeps all later
+    // size_t/uInt arithmetic overflow-free on untrusted headers.
     t.ok = t.width > 0 && t.height > 0 && !t.strip_offsets.empty() &&
-           t.planar == 1 &&
+           t.planar == 1 && t.photometric <= 2 &&
+           t.width <= 65536 && t.height <= 65536 &&
+           (uint64_t)t.width * t.height * t.samples * (t.bits / 8)
+               < (1ull << 31) &&
            (t.compression == 1 || t.compression == 5 ||
             t.compression == 32773) &&
            (t.bits == 8 || t.bits == 16);
@@ -241,15 +248,17 @@ int decode_rows(const Reader& r, const TiffInfo& t, uint8_t* out,
     size_t bpp = (size_t)t.samples * (t.bits / 8);
     size_t row_bytes = (size_t)t.width * bpp;
     if (out_cap < row_bytes * (y1 - y0)) return -2;
+    uint32_t covered = 0;
     std::vector<uint8_t> strip_buf;
     for (size_t si = 0; si < t.strip_offsets.size(); si++) {
         uint32_t sy0 = (uint32_t)(si * t.rows_per_strip);
         uint32_t sy1 = std::min<uint32_t>(sy0 + t.rows_per_strip, t.height);
         if (sy1 <= y0 || sy0 >= y1) continue;
         size_t soff = t.strip_offsets[si];
+        if (soff >= r.n) return -3;
         size_t slen = si < t.strip_lengths.size() ? t.strip_lengths[si]
                                                   : r.n - soff;
-        if (soff + slen > r.n) slen = r.n > soff ? r.n - soff : 0;
+        if (slen > r.n - soff) slen = r.n - soff;
         size_t want = row_bytes * (sy1 - sy0);
         strip_buf.resize(want);
         const uint8_t* data;
@@ -267,27 +276,44 @@ int decode_rows(const Reader& r, const TiffInfo& t, uint8_t* out,
                 return -4;
             data = strip_buf.data();
         }
+        bool swapped = false;
+        if (t.compression != 1 && t.bits == 16 && !r.little) {
+            // 16-bit samples arrive big-endian; the horizontal predictor
+            // sums SAMPLE values, so MM strips must be byte-swapped
+            // BEFORE differencing
+            for (size_t i = 0; i + 1 < want; i += 2)
+                std::swap(strip_buf[i], strip_buf[i + 1]);
+            swapped = true;
+        }
         if (t.compression != 1 && t.predictor == 2) {
             for (uint32_t y = 0; y < sy1 - sy0; y++)
                 apply_predictor(strip_buf.data() + (size_t)y * row_bytes,
                                 t.width, t.samples, t.bits);
         }
         uint32_t cy0 = std::max(sy0, y0), cy1 = std::min(sy1, y1);
-        std::memcpy(out + (size_t)(cy0 - y0) * row_bytes,
-                    data + (size_t)(cy0 - sy0) * row_bytes,
-                    (size_t)(cy1 - cy0) * row_bytes);
-    }
-    // gray16 byte order + inverted-gray handling
-    if (t.bits == 16 && !r.little) {
-        uint8_t* p = out;
-        size_t nvals = row_bytes * (y1 - y0) / 2;
-        for (size_t i = 0; i < nvals; i++) {
-            std::swap(p[2 * i], p[2 * i + 1]);
+        uint8_t* dst = out + (size_t)(cy0 - y0) * row_bytes;
+        size_t nb = (size_t)(cy1 - cy0) * row_bytes;
+        std::memcpy(dst, data + (size_t)(cy0 - sy0) * row_bytes, nb);
+        if (t.bits == 16 && !r.little && !swapped) {
+            for (size_t i = 0; i + 1 < nb; i += 2)
+                std::swap(dst[i], dst[i + 1]);
         }
+        covered += cy1 - cy0;
     }
-    if (t.photometric == 0 && t.bits == 8) {  // WhiteIsZero
-        size_t nb = row_bytes * (y1 - y0);
-        for (size_t i = 0; i < nb; i++) out[i] = (uint8_t)(255 - out[i]);
+    // a truncated IFD whose strips do not cover the request would leave
+    // uninitialized output — fail so callers fall back to PIL
+    if (covered != y1 - y0) return -5;
+    if (t.photometric == 0) {  // WhiteIsZero
+        if (t.bits == 8) {
+            size_t nb = row_bytes * (y1 - y0);
+            for (size_t i = 0; i < nb; i++)
+                out[i] = (uint8_t)(255 - out[i]);
+        } else {
+            uint16_t* v = (uint16_t*)out;
+            size_t nvals = row_bytes * (y1 - y0) / 2;
+            for (size_t i = 0; i < nvals; i++)
+                v[i] = (uint16_t)(65535 - v[i]);
+        }
     }
     return 0;
 }
@@ -336,7 +362,13 @@ PngInfo parse_png(const uint8_t* p, size_t n) {
     }
     // 16-bit only for pure gray (gradient images); color stays 8-bit
     bool depth_ok = (t.depth == 8) || (t.depth == 16 && t.color == 0);
-    t.ok = t.width > 0 && t.height > 0 && depth_ok &&
+    // size cap: keeps (row_raw+1)*height and the zlib uInt counters
+    // overflow-free on untrusted headers
+    bool size_ok = t.width > 0 && t.height > 0 &&
+                   t.width <= 65536 && t.height <= 65536 &&
+                   ((uint64_t)t.width * t.channels_in * (t.depth / 8) + 1) *
+                       t.height < (1ull << 31);
+    t.ok = size_ok && depth_ok &&
            t.interlace == 0 && p[26] == 0 && p[27] == 0;
     return t;
 }
@@ -580,14 +612,26 @@ int cdm_img_decode(const uint8_t* buf, size_t len, uint8_t* out,
 }
 
 // Batch decode of mixed TIFF/PNG blobs into one arena (full images).
+// exp_w/exp_h/exp_c: the arena slot geometry every image must match
+// (0 = skip the check); a smaller valid image would otherwise
+// tight-pack its own row length into the slot and scramble silently.
 void cdm_img_decode_batch(const uint8_t** bufs, const size_t* lens,
                           int n, uint8_t* arena, size_t stride,
+                          uint32_t exp_w, uint32_t exp_h, uint32_t exp_c,
                           int n_threads, int* results) {
     std::atomic<int> next{0};
     auto worker = [&]() {
         for (;;) {
             int i = next.fetch_add(1);
             if (i >= n) break;
+            if (exp_w) {
+                uint32_t w, h, c, b;
+                if (img_info_impl(bufs[i], lens[i], &w, &h, &c, &b) != 0 ||
+                    w != exp_w || h != exp_h || c != exp_c || b != 8) {
+                    results[i] = -6;
+                    continue;
+                }
+            }
             results[i] = img_decode_impl(bufs[i], lens[i],
                                          arena + (size_t)i * stride,
                                          stride);

@@ -185,3 +185,59 @@ def test_png_batch_decode():
     assert ok[:6].all() and not ok[6]
     for i, a in enumerate(arrs):
         np.testing.assert_array_equal(arena[i], a)
+
+
+def test_palette_tiff_rejected():
+    """Palette (photometric=3) TIFF pixels are colormap indices; the
+    native path must reject them so the PIL fallback maps the colors."""
+    img = Image.new("P", (6, 4))
+    img.putpalette([i for rgb in [(255, 0, 0)] * 256 for i in rgb])
+    buf = io.BytesIO()
+    img.save(buf, format="TIFF")
+    assert native_decoder.decode_tiff(buf.getvalue()) is None
+    assert native_decoder.tiff_info(buf.getvalue()) is None
+
+
+def test_decode_tiff_invalid_row_range():
+    """y0 >= y1 (or out-of-range) returns None, not an exception."""
+    arr = np.zeros((10, 8, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="TIFF")
+    data = buf.getvalue()
+    assert native_decoder.decode_tiff(data, y0=5, y1=5) is None
+    assert native_decoder.decode_tiff(data, y0=9, y1=4) is None
+    assert native_decoder.decode_tiff(data, y0=0, y1=99) is None
+
+
+def test_batch_decode_flags_mismatched_dimensions():
+    """A valid blob with the WRONG dimensions must be flagged, not
+    tight-packed into the arena slot (silent scramble)."""
+    good = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    small = np.ones((2, 3, 3), np.uint8)
+    blobs = []
+    for arr in (good, small, good):
+        b = io.BytesIO()
+        Image.fromarray(arr).save(b, format="PNG")
+        blobs.append(b.getvalue())
+    res = native_decoder.decode_img_batch(blobs, width=6, height=4,
+                                          channels=3)
+    assert res is not None
+    arena, ok = res
+    assert list(ok) == [True, False, True]
+    np.testing.assert_array_equal(arena[0], good)
+    np.testing.assert_array_equal(arena[2], good)
+
+
+def test_oversized_header_rejected():
+    """Crafted PNG header with ~4 GiB declared dimensions is rejected
+    up-front (the size cap), not decoded into wrapped-counter garbage."""
+    # minimal PNG: signature + IHDR claiming 40000x40000 RGB
+    import struct
+    import zlib as _zlib
+
+    ihdr = struct.pack(">IIBBBBB", 40000, 40000, 8, 2, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + chunk +
+           struct.pack(">I", _zlib.crc32(chunk)))
+    assert native_decoder.img_info(png) is None
+    assert native_decoder.decode_img(png) is None
