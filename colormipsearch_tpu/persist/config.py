@@ -32,12 +32,15 @@ def _parse_properties(path: str) -> dict:
             line = line.strip()
             if not line or line.startswith(("#", "!")):
                 continue
-            if "=" in line:
-                k, v = line.split("=", 1)
-            elif ":" in line:
-                k, v = line.split(":", 1)
-            else:
+            # Java Properties splits at the FIRST '=' or ':' —
+            # whichever comes first — so values containing the other
+            # separator (e.g. mongodb://host/db?replicaSet=rs) survive
+            ie = line.find("=")
+            ic = line.find(":")
+            if ie < 0 and ic < 0:
                 continue
+            sep = min(i for i in (ie, ic) if i >= 0)
+            k, v = line[:sep], line[sep + 1:]
             out[k.strip()] = v.strip()
     return out
 

@@ -24,6 +24,7 @@ from colormipsearch_tpu.model import (
     PublishedLMImage,
     neuron_from_json,
 )
+from colormipsearch_tpu.model.entities import _round_f32
 from colormipsearch_tpu.model.ids import TimebasedIdGenerator
 from colormipsearch_tpu.persist.config import Config
 from colormipsearch_tpu.persist.requests import (
@@ -53,18 +54,37 @@ class NeuronMetadataDao:
 
     def create_or_update(self, neuron: Neuron) -> Neuron:
         """Upsert keyed on (mipId, libraryName, input image name)
-        (NeuronMetadataMongoDao.createOrUpdate)."""
+        (NeuronMetadataMongoDao.createOrUpdate).
+
+        DB-accumulated bookkeeping (processedTags, tags,
+        validationErrors, datasetLabels) survives the update — the
+        reference updates fields rather than replacing the document, so
+        a re-import must not erase pipeline progress."""
         from colormipsearch_tpu.model import ComputeFileType
 
         fd = neuron.compute_file(ComputeFileType.InputColorDepthImage)
         filt = {"mipId": neuron.mip_id,
                 "libraryName": neuron.library_name}
         if fd is not None:
-            filt["computeFiles.InputColorDepthImage"] = fd.to_json() \
-                if isinstance(fd.to_json(), str) else fd.file_name
+            # canonical serialized form: a plain string for files, the
+            # {dataType: zipEntry, ...} object for zip entries — the
+            # store compares non-$ dicts by equality
+            filt["computeFiles.InputColorDepthImage"] = fd.to_json()
         existing = self._col.find_one(filt)
         if existing is not None:
             neuron.entity_id = int(existing["_id"])
+            for ptype, vals in (existing.get("processedTags") or {}).items():
+                pt = ProcessingType(ptype) \
+                    if not isinstance(ptype, ProcessingType) else ptype
+                cur = set(neuron.processed_tags.get(pt, ()))
+                neuron.processed_tags[pt] = cur | set(vals)
+            neuron.tags |= set(existing.get("tags") or ())
+            old_errors = set(existing.get("validationErrors") or ())
+            if old_errors:
+                neuron.validation_errors = \
+                    (neuron.validation_errors or set()) | old_errors
+            neuron.dataset_labels |= set(existing.get("datasetLabels")
+                                         or ())
         return self.save(neuron)
 
     def add_processing_tags(self, neurons: Iterable[Neuron],
@@ -165,7 +185,11 @@ class CDMatchesDao:
             ok = self._col.update_fields(m.entity_id, {
                 "gradientAreaGap": m.gradient_area_gap,
                 "highExpressionArea": m.high_expression_area,
-                "normalizedScore": m.normalized_score,
+                # float32 round-trip like the FS writer (CDMatch.to_json)
+                # and the reference's Float fields, so DB- and FS-backed
+                # runs normalize from identical inputs
+                "normalizedScore": None if m.normalized_score is None
+                else _round_f32(m.normalized_score),
             })
             n += bool(ok)
         return n
@@ -194,17 +218,29 @@ class CDMatchesDao:
         target_by_id = self._neurons.find_by_ids(
             {doc.get("matchedImageRefId") for doc in docs})
         out = []
+        # selector verdicts memoized per distinct neuron (a mask's matches
+        # all share the same mask entity — no per-row re-serialization)
+        mask_ok: dict = {}
+        target_ok: dict = {}
         for doc in docs:
             mask = mask_by_id.get(doc.get("maskImageRefId"))
             target = target_by_id.get(doc.get("matchedImageRefId"))
             if mask is None or target is None:
                 continue
-            if not mask_selector.is_empty() and \
-                    not _neuron_matches(mask, mask_selector):
-                continue
-            if target_selector and not target_selector.is_empty() and \
-                    not _neuron_matches(target, target_selector):
-                continue
+            if not mask_selector.is_empty():
+                v = mask_ok.get(id(mask))
+                if v is None:
+                    v = _neuron_matches(mask, mask_selector)
+                    mask_ok[id(mask)] = v
+                if not v:
+                    continue
+            if target_selector and not target_selector.is_empty():
+                v = target_ok.get(id(target))
+                if v is None:
+                    v = _neuron_matches(target, target_selector)
+                    target_ok[id(target)] = v
+                if not v:
+                    continue
             m = CDMatch.from_json(
                 {k: v for k, v in doc.items() if k != "_id"})
             m.entity_id = int(doc["_id"])

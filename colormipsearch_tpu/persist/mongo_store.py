@@ -42,21 +42,29 @@ def _translate_filter(filt: dict | None) -> dict:
         if key == "$or":
             out["$or"] = [_translate_filter(sub) for sub in cond]
             continue
-        if isinstance(cond, dict):
-            sub = {}
+        if isinstance(cond, dict) and cond and \
+                all(k.startswith("$") for k in cond):
+            sub: dict = {}
             for op, arg in cond.items():
                 if op == "$contains":
-                    sub = arg  # plain equality matches array members
-                    break
-                if op == "$exists":
-                    sub = {"$ne": None} if arg else None
-                    if sub is None:
-                        sub = {"$eq": None}
-                    continue
-                sub[op] = arg
+                    # plain equality matches array members; Mongo cannot
+                    # express it combined with other ops on the same key,
+                    # and no store caller does
+                    sub["$eq"] = arg
+                elif op == "$exists":
+                    # our semantics are on VALUES ("is not None")
+                    sub["$ne" if arg else "$eq"] = None
+                else:
+                    sub[op] = arg
+            if key == "_id":
+                sub = {op: ([str(v) for v in a]
+                            if isinstance(a, (list, tuple, set)) else
+                            (str(a) if a is not None else a))
+                       for op, a in sub.items()}
             out[key] = sub
         else:
-            out[key] = cond
+            out[key] = str(cond) if key == "_id" and cond is not None \
+                else cond
     return out
 
 

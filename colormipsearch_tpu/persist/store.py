@@ -35,6 +35,25 @@ _INDEXED_FIELDS = {
 }
 
 
+def _normalize_filter(filt: dict | None) -> dict | None:
+    """Canonicalize `_id` conditions to STRINGS: documents always store a
+    string _id (insert_many coerces), so int-typed filters from callers
+    holding numeric entity ids must compare equal instead of silently
+    matching nothing."""
+    if not filt or "_id" not in filt:
+        return filt
+    out = dict(filt)
+    cond = out["_id"]
+    if isinstance(cond, dict):
+        out["_id"] = {op: ([str(v) for v in arg]
+                           if isinstance(arg, (list, tuple, set))
+                           else str(arg))
+                      for op, arg in cond.items()}
+    else:
+        out["_id"] = str(cond)
+    return out
+
+
 def _sql_pushdown(filt: dict | None):
     """Translate the top-level scalar equality / $in terms of a filter
     into SQL WHERE fragments (the full filter is still re-checked in
@@ -43,9 +62,9 @@ def _sql_pushdown(filt: dict | None):
     params: list = []
     for key, cond in (filt or {}).items():
         if key == "_id":
-            if isinstance(cond, str):
+            if isinstance(cond, (str, int)):
                 where.append("id = ?")
-                params.append(cond)
+                params.append(str(cond))
             elif isinstance(cond, dict) and set(cond) == {"$in"}:
                 vals = [str(v) for v in cond["$in"]]
                 if not vals:
@@ -85,10 +104,13 @@ class Collection:
             cur = self._store.conn.cursor()
             n = 0
             for d in docs:
+                did = str(d["_id"])
+                if d.get("_id") != did:
+                    d = {**d, "_id": did}
                 cur.execute(
                     f"INSERT OR REPLACE INTO {self.name} (id, doc) "
                     "VALUES (?, ?)",
-                    (str(d["_id"]), json.dumps(d)))
+                    (did, json.dumps(d)))
                 n += 1
             self._store.conn.commit()
             return n
@@ -129,10 +151,13 @@ class Collection:
              offset: int = 0, sort=None) -> list[dict]:
         # scalar equality / $in terms run as indexed SQL; the full filter
         # is then re-applied in Python for the residual operators
+        filt = _normalize_filter(filt)
         where, params = _sql_pushdown(filt)
         sql = f"SELECT doc FROM {self.name}"
         if where:
             sql += " WHERE " + " AND ".join(where)
+        if not filt and not sort and limit and not offset:
+            sql += f" LIMIT {int(limit)}"
         with self._store.lock:
             cur = self._store.conn.execute(sql, params)
             docs = [json.loads(r[0]) for r in cur.fetchall()]
@@ -153,6 +178,11 @@ class Collection:
         return r[0] if r else None
 
     def count(self, filt: dict | None = None) -> int:
+        if not filt:
+            with self._store.lock:
+                cur = self._store.conn.execute(
+                    f"SELECT COUNT(*) FROM {self.name}")
+                return int(cur.fetchone()[0])
         return len(self.find(filt))
 
     def distinct(self, field: str, filt: dict | None = None) -> list:
@@ -182,7 +212,8 @@ def _matches(doc: dict, filt: dict) -> bool:
                 return False
             continue
         val = _get_path(doc, key)
-        if isinstance(cond, dict):
+        if isinstance(cond, dict) and cond and \
+                all(k.startswith("$") for k in cond):
             for op, arg in cond.items():
                 if op == "$in":
                     if isinstance(val, list):

@@ -51,9 +51,13 @@ def _mongo_match_cond(val, cond):
                 ok = not (any(v in arg for v in val)
                           if isinstance(val, list) else val in arg)
             elif op == "$ne":
-                ok = val != arg
+                # Mongo: $ne on an array excludes membership too
+                ok = not (val == arg or
+                          (isinstance(val, list) and arg in val))
             elif op == "$eq":
-                ok = val == arg
+                # Mongo: $eq matches array membership like bare equality
+                ok = (val == arg or
+                      (isinstance(val, list) and arg in val))
             elif op == "$gte":
                 ok = val is not None and val >= arg
             elif op == "$gt":
@@ -309,8 +313,10 @@ def test_update_scores_and_processing_tags(daos):
 def test_filter_translation_semantics():
     from colormipsearch_tpu.persist.mongo_store import _translate_filter
 
-    # $contains -> plain equality (array membership in Mongo)
-    assert _translate_filter({"tags": {"$contains": "x"}}) == {"tags": "x"}
+    # $contains -> $eq (array membership in Mongo, composable with
+    # sibling operators unlike the bare-equality form)
+    assert _translate_filter({"tags": {"$contains": "x"}}) == \
+        {"tags": {"$eq": "x"}}
     # $exists on VALUES: True -> non-null, False -> null-or-missing
     assert _translate_filter({"f": {"$exists": True}}) == \
         {"f": {"$ne": None}}
@@ -319,6 +325,6 @@ def test_filter_translation_semantics():
     # $or recurses
     out = _translate_filter(
         {"$or": [{"a": 1}, {"b": {"$contains": "y"}}]})
-    assert out == {"$or": [{"a": 1}, {"b": "y"}]}
+    assert out == {"$or": [{"a": 1}, {"b": {"$eq": "y"}}]}
     # pass-through operators
     assert _translate_filter({"n": {"$gte": 3}}) == {"n": {"$gte": 3}}

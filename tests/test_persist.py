@@ -134,3 +134,78 @@ def test_store_persists_across_open(tmp_path):
     d2 = DaosProvider(cfg)
     assert d2.neuron_metadata_dao.distinct_mip_ids(
         NeuronSelector()) == ["m1"]
+
+
+def test_store_id_type_canonicalization(tmp_path):
+    """_id is canonicalized to str on write and in filters: callers
+    holding numeric entity ids must match documents regardless of which
+    type the writer used (DB publishedURL enrichment queries by int)."""
+    from colormipsearch_tpu.persist import Config
+    from colormipsearch_tpu.persist.store import open_store
+
+    cfg = Config()
+    cfg._values["Store.Path"] = str(tmp_path / "ids.sqlite")
+    store = open_store(cfg)
+    col = store.collection("publishedURL")
+    col.insert_many([{"_id": 123, "uploaded": {"cdm": "u"}},
+                     {"_id": "456", "uploaded": {"cdm": "v"}}])
+    assert len(col.find({"_id": {"$in": [123, 456]}})) == 2
+    assert len(col.find({"_id": {"$in": ["123", "456"]}})) == 2
+    assert col.find_one({"_id": 123})["uploaded"]["cdm"] == "u"
+    assert col.find_one({"_id": "456"})["uploaded"]["cdm"] == "v"
+    store.close()
+
+
+def test_create_or_update_zip_entry_idempotent(tmp_path):
+    """Re-importing a neuron whose input image is a ZIP ENTRY must match
+    the existing document (the upsert key serializes the FileData the
+    same way the document stores it), not duplicate it — and must
+    preserve DB-accumulated processedTags/tags."""
+    from colormipsearch_tpu.model import (
+        ComputeFileType,
+        LMNeuron,
+        ProcessingType,
+    )
+    from colormipsearch_tpu.model.entities import FileData
+    from colormipsearch_tpu.persist import Config, DaosProvider
+
+    cfg_file = tmp_path / "c.properties"
+    cfg_file.write_text(f"Store.Path={tmp_path}/z.sqlite\n")
+    daos = DaosProvider(Config(str(cfg_file)))
+    dao = daos.neuron_metadata_dao
+
+    def mk():
+        n = LMNeuron(mip_id="zm1", library_name="lib")
+        n.set_compute_file(
+            ComputeFileType.InputColorDepthImage,
+            FileData("/archives/seg.zip", "inner/zm1.tif"))
+        return n
+
+    first = dao.create_or_update(mk())
+    dao.add_processing_tags([first], ProcessingType.ColorDepthSearch,
+                            ["run-1"])
+    second = dao.create_or_update(mk())
+    assert second.entity_id == first.entity_id
+    assert dao._col.count({}) == 1
+    # bookkeeping survived the re-import
+    assert "run-1" in second.processed_tags[
+        ProcessingType.ColorDepthSearch]
+    stored = dao.find_by_id(first.entity_id)
+    assert stored.has_processed_tag(ProcessingType.ColorDepthSearch,
+                                    "run-1")
+    daos.store.close()
+
+
+def test_properties_first_separator_wins(tmp_path):
+    """Java Properties splits at the FIRST '=' or ':' — a colon-keyed
+    line whose value contains '=' must keep the full value."""
+    from colormipsearch_tpu.persist import Config
+
+    f = tmp_path / "p.properties"
+    f.write_text(
+        "MongoDB.ConnectionURL:mongodb://h/db?replicaSet=rs0\n"
+        "Store.Path=/a/b:c\n")
+    cfg = Config(str(f))
+    assert cfg.get("MongoDB.ConnectionURL") == \
+        "mongodb://h/db?replicaSet=rs0"
+    assert cfg.get("Store.Path") == "/a/b:c"
