@@ -338,6 +338,8 @@ def cmd_color_depth_search(args) -> int:
                 m.mask_image_ref_id = m.mask_image.entity_id
                 m.matched_image_ref_id = m.matched_image.entity_id
             return db_writer.write(ms)
+
+        finish_writer = None
     else:
         per_mask, per_target = _out_dirs(args)
         if per_mask is not None and args.outputDir:
@@ -355,6 +357,8 @@ def cmd_color_depth_search(args) -> int:
 
         def flush(ms, first):
             return writer.write(ms, append=True)
+
+        finish_writer = writer.close
 
     total = 0
     if cap > 0:
@@ -378,6 +382,8 @@ def cmd_color_depth_search(args) -> int:
         if pending or first_flush:
             flush(pending, first_flush)
             total += len(pending)
+    if finish_writer is not None:
+        finish_writer()  # flush deferred streaming rows
     dest = "DB store" if args.resultsStorage == "DB" else "grouped files"
     LOG.info("wrote %d matches to %s", total, dest)
     return 0
@@ -461,10 +467,21 @@ def cmd_gradient_scores(args) -> int:
         if scored:
             if args.processingTag:
                 for m in scored:
-                    if m.mask_image:
-                        m.mask_image.add_processed_tags(
-                            ProcessingType.GradientScore, [args.processingTag])
+                    for n in (m.mask_image, m.matched_image):
+                        if n is not None:
+                            n.add_processed_tags(
+                                ProcessingType.GradientScore,
+                                [args.processingTag])
             writer.write_updates(scored)
+            if use_db and args.processingTag:
+                # persist the tag on mask AND target neurons like the
+                # reference (CalculateGradientScoresCmd.updateProcessingTag)
+                neurons = {id(n): n for m in scored
+                           for n in (m.mask_image, m.matched_image)
+                           if n is not None and n.entity_id is not None}
+                daos.neuron_metadata_dao.add_processing_tags(
+                    neurons.values(), ProcessingType.GradientScore,
+                    [args.processingTag])
     return 0
 
 

@@ -48,9 +48,14 @@ def write_neurons_json(neurons: Sequence[Neuron], path, *,
 
 
 def _dump(obj, path: Path, pretty: bool) -> None:
+    # atomic: a crash mid-write (killed runs are routine around the TPU
+    # tunnel) must not leave a truncated file that loses every
+    # previously flushed match for the group
     path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "w") as f:
+    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
         json.dump(obj, f, indent=2 if pretty else None)
+    os.replace(tmp, path)
 
 
 class JSONMatchesWriter:
@@ -74,6 +79,14 @@ class JSONMatchesWriter:
         # files already written by THIS writer — append flushes merge
         # into these but overwrite stale files from earlier runs
         self._written: set = set()
+        # streaming state per path: serialized rows kept sorted in
+        # memory (row DICTS, not entities) so a flush neither re-reads
+        # nor re-parses the file; dumps are deferred until a group has
+        # ROWS_PER_DUMP fresh rows (or close()), turning the
+        # O(flushes x file) rewrite pattern into amortized batches
+        self._acc: dict = {}
+
+    ROWS_PER_DUMP = 256
 
     def write(self, matches: Sequence[CDMatch], *,
               append: bool = False) -> int:
@@ -113,16 +126,32 @@ class JSONMatchesWriter:
             if not name:
                 return
             path = out_dir / f"{name}.json"
-            if append and path in self._written:
+            if append:
                 # groups arrive already in file orientation (mask ==
-                # inputImage; group_by_target pre-inverts), so existing
-                # rows merge directly
-                prev = JSONMatchesReader.read_matches(path)
-                ms = sorted(prev + list(ms), key=self.ordering)
+                # inputImage; group_by_target pre-inverts).  Rows
+                # accumulate in memory as serialized dicts; the file is
+                # (re)written atomically when enough fresh rows pile up
+                acc = self._acc.get(path)
+                if acc is None:
+                    prev = JSONMatchesReader.read_matches(path) \
+                        if path in self._written else []
+                    acc = {"neuron": key_neuron.to_json(),
+                           "rows": [(self.ordering(m), self._match_json(m))
+                                    for m in prev],
+                           "dirty": 0}
+                    self._acc[path] = acc
+                acc["rows"].extend(
+                    (self.ordering(m), self._match_json(m)) for m in ms)
+                acc["dirty"] += len(ms)
+                self._written.add(path)
+                if acc["dirty"] >= self.ROWS_PER_DUMP:
+                    self._dump_acc(path, acc)
+                return
             self._written.add(path)
             doc = {
                 "inputImage": key_neuron.to_json(),
-                "results": [self._match_json(m) for m in ms],
+                "results": [self._match_json(m)
+                            for m in sorted(ms, key=self.ordering)],
             }
             _dump(doc, path, self.pretty)
 
@@ -135,6 +164,20 @@ class JSONMatchesWriter:
             for g in groups:
                 write_one(g)
         return len(groups)
+
+    def _dump_acc(self, path: Path, acc: dict) -> None:
+        acc["rows"].sort(key=lambda kr: kr[0])
+        _dump({"inputImage": acc["neuron"],
+               "results": [r for _, r in acc["rows"]]}, path, self.pretty)
+        acc["dirty"] = 0
+
+    def close(self) -> None:
+        """Flush deferred streaming rows (call once after the last
+        append-mode write)."""
+        for path, acc in self._acc.items():
+            if acc["dirty"]:
+                self._dump_acc(path, acc)
+        self._acc.clear()
 
     @staticmethod
     def _match_json(m: CDMatch) -> dict:
@@ -192,16 +235,6 @@ class JSONMatchesReader:
                     mask_image_ref_id=m.matched_image_ref_id,
                     matched_image_ref_id=m.mask_image_ref_id)
             out.append(m)
-        return out
-
-    @classmethod
-    def read_matches_by_mask(cls, mask_mip_ids, locations) -> list[CDMatch]:
-        out = []
-        for mip_id in mask_mip_ids:
-            for loc in locations or [""]:
-                p = Path(loc) / f"{mip_id}.json" if loc else Path(mip_id)
-                if p.exists():
-                    out.extend(cls.read_matches(p))
         return out
 
 

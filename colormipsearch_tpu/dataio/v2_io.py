@@ -197,19 +197,29 @@ class V2Match:
             except (TypeError, ValueError):
                 return None
 
+        def _first(*vals):
+            # zero is a legitimate score value — only None falls through
+            for v in vals:
+                if v is not None:
+                    return v
+            return None
+
         return cls(
             source=src, target=tgt,
-            matchingPixels=_num(d.get("matchingPixels")
-                                or attrs.get("Matched pixels"), int) or 0,
-            matchingRatio=_num(d.get("matchingRatio")
-                               or attrs.get("Score"), float) or 0.0,
+            matchingPixels=_num(_first(d.get("matchingPixels"),
+                                       attrs.get("Matched pixels")),
+                                int) or 0,
+            matchingRatio=_num(_first(d.get("matchingRatio"),
+                                      attrs.get("Score")), float) or 0.0,
             mirrored=bool(d.get("mirrored", False)),
-            gradientAreaGap=_num(d.get("gradientAreaGap")
-                                 or attrs.get("GradientAreaGap"), int),
-            highExpressionArea=_num(d.get("highExpressionArea")
-                                    or attrs.get("HighExpressionArea"), int),
-            normalizedGapScore=_num(d.get("normalizedGapScore")
-                                    or attrs.get("NormalizedGapScore"), float),
+            gradientAreaGap=_num(_first(d.get("gradientAreaGap"),
+                                        attrs.get("GradientAreaGap")), int),
+            highExpressionArea=_num(
+                _first(d.get("highExpressionArea"),
+                       attrs.get("HighExpressionArea")), int),
+            normalizedGapScore=_num(
+                _first(d.get("normalizedGapScore"),
+                       attrs.get("NormalizedGapScore")), float),
         )
 
 

@@ -133,3 +133,32 @@ def test_db_pipeline_export_tail(env):
     assert doc["inputImage"]["files"]["store"] == "store1"
     for r in doc["results"]:
         assert r["normalizedScore"] is not None
+
+
+def test_db_gradient_scores_persists_processing_tags(env):
+    """DB-backed gradientScores stamps GradientScore processedTags on
+    mask AND target neurons (CalculateGradientScoresCmd.updateProcessingTag),
+    so re-runs can be gated on processed_tags selectors."""
+    tmp, cfg = env
+    run_cli("createColorDepthSearchDataInput", "-i", tmp / "lib",
+            "-l", "dblib", "--gradients-location", tmp / "grad",
+            "--zgap-location", tmp / "zgap",
+            "--mips-storage", "DB", "--config", cfg)
+    run_cli("colorDepthSearch", "-m", "dblib", "-i", "dblib",
+            "--mips-storage", "DB", "--results-storage", "DB",
+            "--config", cfg,
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask")
+    run_cli("gradientScores", "--results-storage", "DB", "--config", cfg,
+            "--matches", "dblib", "--maskThreshold", 20, "--mirrorMask",
+            "--processing-tag", "ga-run-7")
+
+    from colormipsearch_tpu.model import ProcessingType
+    from colormipsearch_tpu.persist import Config, DaosProvider
+    from colormipsearch_tpu.persist.requests import NeuronSelector
+
+    daos = DaosProvider(Config(str(cfg)))
+    tagged = daos.neuron_metadata_dao.find_neurons(NeuronSelector(
+        processed_tags=[(ProcessingType.GradientScore.value, "ga-run-7")]))
+    daos.store.close()
+    assert len(tagged) >= 2  # the mask and at least one target

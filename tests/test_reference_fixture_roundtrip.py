@@ -61,3 +61,20 @@ def test_reference_matches_roundtrip(tmp_path):
     assert m0.matched_image.extra.get("sampleRef") == \
         raw0["image"].get("sampleRef") or \
         m0.matched_image.sample_ref == raw0["image"].get("sampleRef")
+
+
+def test_v2_zero_scores_roundtrip():
+    """gradientAreaGap 0 / normalizedGapScore 0.0 are legitimate values
+    (a perfect shape match) and must survive from_json — a falsy
+    fallback would rank a worst match as matchingPixels-scored."""
+    from colormipsearch_tpu.dataio.v2_io import V2Match
+
+    row = {"id": "t1", "publishedName": "x", "sourceId": "s1",
+           "matchingPixels": 55, "matchingRatio": 0.01,
+           "gradientAreaGap": 0, "highExpressionArea": 0,
+           "normalizedGapScore": 0.0}
+    m = V2Match.from_json(row)
+    assert m.gradientAreaGap == 0
+    assert m.highExpressionArea == 0
+    assert m.normalizedGapScore == 0.0
+    assert m.normalized_score == 0.0  # NOT the matchingPixels fallback
