@@ -92,6 +92,10 @@ def _try_native(data: bytes) -> ImageData | None:
     if arr is None:
         return None
     if arr.ndim == 3 and arr.shape[-1] == 3:
+        if arr.dtype != np.uint8:
+            # 16-bit RGB TIFFs: let PIL convert; the RGB contract is
+            # uint8 [H, W, 3]
+            return None
         return ImageData(ImageType.RGB, np.ascontiguousarray(arr))
     if arr.ndim == 3 and arr.shape[-1] == 1:
         arr = arr[..., 0]

@@ -133,9 +133,10 @@ class SamplesClient(JacsClient):
 
 
 def _is_em_library(library: str) -> bool:
-    """MIPsHandlingUtils.isEmLibrary:116."""
-    lib = (library or "").lower()
-    return "flyem" in lib or "_em_" in lib or "manc" in lib
+    """One shared classifier (naming.is_em_library,
+    MIPsHandlingUtils.isEmLibrary:116)."""
+    from colormipsearch_tpu.io.naming import is_em_library
+    return is_em_library(library)
 
 
 def mip_record_to_neuron(rec: dict, library: str) -> Optional[Neuron]:
@@ -183,7 +184,8 @@ def mip_record_to_neuron(rec: dict, library: str) -> Optional[Neuron]:
             except (TypeError, ValueError):
                 pass
         n.source_ref_id = rec.get("sampleRef")
-    n.mip_id = rec.get("id") or rec.get("_id")
+    rid = rec.get("id") or rec.get("_id")
+    n.mip_id = str(rid) if rid is not None else None
     n.library_name = library
     n.alignment_space = rec.get("alignmentSpace")
     n.set_compute_file(ComputeFileType.SourceColorDepthImage, filepath)
@@ -219,7 +221,8 @@ def load_library_neurons(client: JacsClient, *, library: str,
             continue
         # re-applied client-side for the file:// page-dump transport,
         # which cannot filter server-side
-        if mip_ids and (rec.get("id") or rec.get("_id")) not in mip_ids:
+        rec_id = rec.get("id") or rec.get("_id")
+        if mip_ids and str(rec_id) not in {str(m) for m in mip_ids}:
             continue
         n = mip_record_to_neuron(rec, library)
         if n is None:

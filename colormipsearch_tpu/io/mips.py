@@ -21,6 +21,7 @@ import dataclasses
 import functools
 import os
 import re
+import threading
 import zipfile
 from pathlib import Path
 from typing import Optional
@@ -81,6 +82,27 @@ def list_image_files(location: str) -> list[FileData]:
     return []
 
 
+_zip_handles = threading.local()
+
+
+def _zip_handle(path: str) -> zipfile.ZipFile:
+    """Per-thread open-archive cache: reading N entries of a production
+    archive otherwise re-parses the whole central directory N times
+    (the reference keeps archives open in a cache for the same reason,
+    api_v2 MIPsUtils ARCHIVE_ENTRIES_CACHE).  ZipFile handles are not
+    thread-safe, hence per-thread; a small cap bounds open fds."""
+    cache = getattr(_zip_handles, "cache", None)
+    if cache is None:
+        cache = _zip_handles.cache = {}
+    z = cache.get(path)
+    if z is None:
+        if len(cache) >= 8:
+            _, old = cache.popitem()
+            old.close()
+        z = cache[path] = zipfile.ZipFile(path)
+    return z
+
+
 def read_bytes(fd: FileData) -> bytes:
     """Read the raw bytes of a file or zip entry, with the reference's
     fallback scan for entries whose stored path differs
@@ -88,16 +110,16 @@ def read_bytes(fd: FileData) -> bytes:
     if not fd.is_zip_entry:
         with open(fd.file_name, "rb") as f:
             return f.read()
-    with zipfile.ZipFile(fd.file_name) as z:
-        try:
-            return z.read(fd.entry_name)
-        except KeyError:
-            base = os.path.basename(fd.entry_name)
-            for n in z.namelist():
-                if os.path.basename(n) == base:
-                    return z.read(n)
-            raise FileNotFoundError(
-                f"{fd.entry_name} not found in {fd.file_name}")
+    z = _zip_handle(fd.file_name)
+    try:
+        return z.read(fd.entry_name)
+    except KeyError:
+        base = os.path.basename(fd.entry_name)
+        for n in _zip_names(fd.file_name):
+            if os.path.basename(n) == base:
+                return z.read(n)
+        raise FileNotFoundError(
+            f"{fd.entry_name} not found in {fd.file_name}")
 
 
 def load_image(fd: FileData) -> ImageData:
@@ -139,7 +161,8 @@ def load_compute_file(neuron: Neuron, ftype: ComputeFileType) -> NeuronMIP:
         return NeuronMIP(neuron, None, None)
     try:
         return NeuronMIP(neuron, fd, load_image(fd))
-    except (OSError, FileNotFoundError, ValueError):
+    except (OSError, FileNotFoundError, ValueError,
+            zipfile.BadZipFile):
         return NeuronMIP(neuron, fd, None)
 
 
@@ -272,8 +295,8 @@ def neurons_from_image_files(files: list[FileData], *,
 
     cls = neuron_cls
     if cls is None:
-        lib = (library_name or "").lower()
-        cls = EMNeuron if ("flyem" in lib or "_em_" in lib) else LMNeuron
+        from colormipsearch_tpu.io.naming import is_em_library
+        cls = EMNeuron if is_em_library(library_name) else LMNeuron
     out = []
     for fd in files:
         base = os.path.basename(fd.name)

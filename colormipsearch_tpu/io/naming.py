@@ -40,7 +40,9 @@ def extract_em_body_id(name: str) -> Optional[str]:
 
 
 def extract_em_neuron_state(name: str) -> str:
-    m = _EM_STATE_RE.match(name)
+    # find() semantics like the reference pattern use
+    # (MIPsHandlingUtils.java:132) — a prefix before the body id is fine
+    m = _EM_STATE_RE.search(name)
     return m.group(1) if m else ""
 
 
@@ -122,6 +124,12 @@ def lookup_searchable_images(neuron: Neuron, index: dict, *,
         ch = extract_color_channel(entry, channel_base)
         obj = extract_objective(entry)
         if src_channel >= 0 and ch >= 0 and ch != src_channel:
+            continue
+        # objective matching (matchMIPObjectiveWithSegmentedImageObjective,
+        # MIPsHandlingUtils.java:222-234): a segmented image WITH an
+        # objective only matches a mip WITH one; a segmented image
+        # without an objective matches anything
+        if obj and not src_objective:
             continue
         if src_objective and obj and obj != src_objective:
             continue

@@ -39,22 +39,28 @@ def _parse_np_list(s: str | None) -> list:
         return json.loads(s)
     except json.JSONDecodeError:
         pass
-    # numpy print format: whitespace-separated, possibly multi-line
+    # numpy print format: whitespace-separated, possibly multi-line,
+    # possibly with '...' ellipsis (normalizeArrayString strips it,
+    # RawPPPMatchesReader.java:170-178)
+    def scalars(text: str) -> list:
+        out = []
+        for v in text.replace(",", " ").split():
+            if v == "...":
+                continue
+            try:
+                out.append(int(v))
+            except ValueError:
+                try:
+                    out.append(float(v))
+                except ValueError:
+                    pass
+        return out
+
     inner = s.strip("[]")
     if "[" in inner:  # nested lists in numpy format
-        return [json.loads("[" + p + "]")
+        return [scalars(p)
                 for p in re.findall(r"\[([^\]]*)\]", s[1:-1])]
-    vals = inner.split()
-    out = []
-    for v in vals:
-        try:
-            out.append(int(v))
-        except ValueError:
-            try:
-                out.append(float(v))
-            except ValueError:
-                pass
-    return out
+    return scalars(inner)
 
 
 def read_raw_ppp_matches(path, *, only_best_matches: bool = True,
@@ -74,25 +80,37 @@ def read_raw_ppp_matches(path, *, only_best_matches: bool = True,
                 rank=raw.get("rank"),
             )
             if include_skeletons:
-                prefix = "" if only_best_matches else "all_"
-                ids = _parse_np_list(raw.get(prefix + "skel_ids")
-                                     or raw.get("skel_ids"))
-                nblast = _parse_np_list(raw.get(prefix + "nblast_scores")
-                                        or raw.get("nblast_scores"))
-                covs = _parse_np_list(raw.get(prefix + "coverages")
-                                      or raw.get("coverages"))
-                colors = _parse_np_list(raw.get(prefix + "colors")
-                                        or raw.get("colors"))
-                if len(ids) != len(nblast):
-                    raise ValueError(
-                        f"{path}: skeleton ids and nblast scores counts "
-                        f"differ for {em_name}->{lm_name}")
-                for i, sid in enumerate(ids):
-                    m.skeleton_matches.append(PPPSkeletonMatch(
-                        id=str(sid),
-                        nblast_score=nblast[i] if i < len(nblast) else None,
-                        coverage=covs[i] if i < len(covs) else None,
-                        color=colors[i] if i < len(colors) else None))
+                # best-skeleton lists always contribute (deduped by id);
+                # all-mode appends the all_* lists after them, colors
+                # only when their count matches the ids
+                # (RawPPPMatchesReader.getAllSkeletonMatches:105-169)
+                seen: set = set()
+
+                def add_lists(prefix: str):
+                    ids = _parse_np_list(raw.get(prefix + "skel_ids"))
+                    nblast = _parse_np_list(
+                        raw.get(prefix + "nblast_scores"))
+                    covs = _parse_np_list(raw.get(prefix + "coverages"))
+                    colors = _parse_np_list(raw.get(prefix + "colors"))
+                    if len(ids) != len(nblast):
+                        raise ValueError(
+                            f"{path}: skeleton ids and nblast scores "
+                            f"counts differ for {em_name}->{lm_name}")
+                    with_colors = len(colors) == len(ids)
+                    for i, sid in enumerate(ids):
+                        if str(sid) in seen:
+                            continue
+                        seen.add(str(sid))
+                        m.skeleton_matches.append(PPPSkeletonMatch(
+                            id=str(sid),
+                            nblast_score=nblast[i]
+                            if i < len(nblast) else None,
+                            coverage=covs[i] if i < len(covs) else None,
+                            color=colors[i] if with_colors else None))
+
+                add_lists("")
+                if not only_best_matches:
+                    add_lists("all_")
             out.append(m)
     return out
 
@@ -121,11 +139,13 @@ def lm_neuron_from_ppp_name(lm_name: str, *, library=None,
     m = LM_NAME_RE.match(lm_name)
     base = m.group(1) if m else lm_name
     objective = m.group(2) if m else None
+    # the import keeps the suffix VERBATIM unless it names the
+    # anatomical area (ImportPPPResultsCmd.updateLMMetadata:370-378);
+    # the default-40x / NNx-pattern rules belong to the publish dto
+    # (PPPMatchEntity.updateLMSampleInfo), not the import
     if objective and anatomical_area and \
             objective.lower() == anatomical_area.lower():
         objective = None
-    elif objective and not OBJECTIVE_RE.fullmatch(objective):
-        objective = DEFAULT_OBJECTIVE
     n.objective = objective
     parts = base.split("-", 1)
     n.published_name = parts[0]

@@ -450,10 +450,11 @@ def test_ppp_lm_anatomical_area_suffix():
         "BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_VNC",
         anatomical_area="VNC")
     assert n.objective is None
-    # without the area hint the unknown suffix falls back to the default
+    # without the area hint the suffix is kept VERBATIM like the
+    # reference import (the 40x default belongs to the publish dto)
     n2 = ppp.lm_neuron_from_ppp_name(
         "BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_VNC")
-    assert n2.objective == ppp.DEFAULT_OBJECTIVE
+    assert n2.objective == "VNC"
     n3 = ppp.lm_neuron_from_ppp_name(
         "BJD_115G11_AE_01-20190507_62_F1_REG_UNISEX_40x",
         anatomical_area="Brain")
