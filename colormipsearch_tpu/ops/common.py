@@ -134,10 +134,12 @@ def ztol_fraction(pix_color_fluctuation) -> tuple[int, int]:
     """Exact rational z-tolerance a/b from the CLI fluctuation value.
 
     The reference computes zTolerance = pixColorFluctuation / 100 in
-    float64; all achievable pixel gaps are rationals with denominator
-    <= 255*255, far from the float64 rounding of a/b, so comparing against
-    the exact rational is equivalent (exact ties are flagged separately
-    and resolved by the float64 oracle).
+    float64.  For the SAME-CLASS comparison every achievable gap is a
+    rational with denominator <= 255*255, far from the float64 rounding
+    of a/b, so comparing against the exact rational is equivalent (exact
+    ties are flagged and resolved by the float64 oracle).  Adjacent-class
+    gaps embed the float64 boundary constants and go through the
+    banded-f32 path in ops/pixel_match instead.
     """
     f = Fraction(str(pix_color_fluctuation)) / 100
     return f.numerator, f.denominator

@@ -37,12 +37,12 @@ def _cache_dir() -> str:
 def build_slice_lut(chunk: int = 1 << 20) -> np.ndarray:
     """uint16 [2^24] slice numbers indexed by (r<<16)|(g<<8)|b."""
     out = np.empty(1 << 24, np.uint16)
-    idx = np.arange(chunk, dtype=np.int64)
     for start in range(0, 1 << 24, chunk):
-        i = idx + start
+        n = min(chunk, (1 << 24) - start)
+        i = np.arange(n, dtype=np.int64) + start
         rgb = np.stack([(i >> 16) & 0xFF, (i >> 8) & 0xFF, i & 0xFF],
                        axis=-1).astype(np.uint8)
-        out[start:start + chunk] = shape_oracle.slice_numbers(
+        out[start:start + n] = shape_oracle.slice_numbers(
             rgb.reshape(-1, 1, 3)).reshape(-1)
     return out
 
@@ -54,8 +54,12 @@ def get_slice_lut() -> np.ndarray:
         return _lut_mem
     path = os.path.join(_cache_dir(), _LUT_FILE)
     if os.path.exists(path):
-        lut = np.load(path)
-        if lut.shape == (1 << 24,) and lut.dtype == np.uint16:
+        try:
+            lut = np.load(path)
+        except (OSError, ValueError):
+            lut = None  # corrupt cache: rebuild below
+        if lut is not None and lut.shape == (1 << 24,) \
+                and lut.dtype == np.uint16:
             _lut_mem = lut
             return lut
     lut = build_slice_lut()

@@ -232,7 +232,7 @@ class PixelMatchOracle:
             ok = (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h)
             pos = np.where(ok, ny * w + nx, -1)
             shifted.append(pos)
-        self.variants = np.stack(shifted) if shifted else np.zeros((1, 0), np.int64)
+        self.variants = np.stack(shifted)  # >=1 offset always
         if mirror:
             vx = self.variants % w
             self.mirror_variants = np.where(
@@ -266,8 +266,7 @@ class PixelMatchOracle:
                 sx, sy = nx + dx, ny + dy
                 ok = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
                 shifted.append(np.where(ok, sy * w + sx, -1)[:size])
-            self.neg_variants = np.stack(shifted) if shifted else \
-                np.zeros((1, 0), np.int64)
+            self.neg_variants = np.stack(shifted)
             if mirror_neg_query:
                 vx = self.neg_variants % w
                 self.neg_mirror_variants = np.where(

@@ -92,8 +92,7 @@ def dilate_rgb(rgb: np.ndarray, radius: float) -> np.ndarray:
     """
     fp = circular_footprint(radius)
     k = fp.shape[0] // 2
-    extents = [int(np.flatnonzero(fp[y])[-1] - k)
-               for y in range(fp.shape[0])]  # dx per dy=-k..k
+    extents = row_extents(radius)  # dx per dy=-k..k
     out = np.zeros_like(rgb)
     # horizontal max per unique window width (C-implemented, O(n))
     by_extent = {}
