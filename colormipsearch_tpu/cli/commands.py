@@ -137,9 +137,15 @@ def _cds_params(args) -> CDSParams:
     )
 
 
-def _out_dirs(args):
+def _out_dirs(args, *, required: bool = False):
     out = Path(args.outputDir) if args.outputDir else None
     if out is None:
+        if required:
+            # without this the JSON writer is a silent no-op and an
+            # hours-long search would be discarded after computing
+            raise ValueError(
+                "--outputDir is required with --results-storage FS "
+                "(results would be written nowhere)")
         return None, None
     per_mask = out / args.perMaskSubdir if args.perMaskSubdir else out
     per_target = out / args.perTargetSubdir if args.perTargetSubdir else None
@@ -206,22 +212,41 @@ def configure_color_depth_search(sp):
 
 
 def _load_excluded_mips(specs) -> set:
-    """Excluded mip ids, given inline or as @file lists (one id per line
-    or a JSON array of ids/neurons)."""
+    """Excluded mip ids, given inline, as @file lists (one id per line or
+    a JSON array of ids/neurons), or as paths to such files.
+
+    Note the parser's ``fromfile_prefix_chars='@'`` expands ``@file``
+    argv tokens into per-line arguments BEFORE parsing, so a line-per-id
+    file arrives here as individual ids and a single-line JSON-array
+    file arrives as one ``[...]`` string; both are handled, as are
+    literal ``@file`` specs from programmatic callers and plain paths
+    to list files."""
     import json as _json
+
+    def add_json_items(items):
+        for item in items:
+            out.add(item if isinstance(item, str)
+                    else item.get("mipId") or item.get("id"))
+
+    def add_text(text):
+        text = text.strip()
+        if text.startswith("["):
+            add_json_items(_json.loads(text))
+        else:
+            out.update(line.strip() for line in text.splitlines()
+                       if line.strip())
 
     out: set = set()
     for spec in specs or ():
         if spec.startswith("@"):
             with open(spec[1:]) as f:
-                text = f.read().strip()
-            if text.startswith("["):
-                for item in _json.loads(text):
-                    out.add(item if isinstance(item, str)
-                            else item.get("mipId") or item.get("id"))
-            else:
-                out.update(line.strip() for line in text.splitlines()
-                           if line.strip())
+                add_text(f.read())
+        elif spec.startswith("["):
+            # argparse @-expansion of a one-line JSON array file
+            add_json_items(_json.loads(spec))
+        elif spec.endswith(".json") and os.path.exists(spec):
+            with open(spec) as f:
+                add_text(f.read())
         else:
             out.add(spec)
     out.discard(None)
@@ -341,7 +366,7 @@ def cmd_color_depth_search(args) -> int:
 
         finish_writer = None
     else:
-        per_mask, per_target = _out_dirs(args)
+        per_mask, per_target = _out_dirs(args, required=True)
         if per_mask is not None and args.outputDir:
             write_cds_session(args.outputDir,
                               [str(s) for s in args.masks],
@@ -439,7 +464,7 @@ def cmd_gradient_scores(args) -> int:
     else:
         locations = JSONMatchesReader.list_matches_locations(
             args.matches, args.matches_index, args.matches_length)
-        per_mask, _ = _out_dirs(args)
+        per_mask, _ = _out_dirs(args, required=True)
         writer = JSONMatchesWriter(
             per_masks_dir=per_mask, pretty=not args.noPrettyPrint,
             ordering=lambda m: -(m.normalized_score or 0.0))
@@ -513,7 +538,7 @@ def cmd_normalize_scores(args) -> int:
         writer = DBNeuronMatchesWriter(daos)
     else:
         locations = JSONMatchesReader.list_matches_locations(args.matches)
-        per_mask, _ = _out_dirs(args)
+        per_mask, _ = _out_dirs(args, required=True)
         writer = JSONMatchesWriter(
             per_masks_dir=per_mask, pretty=not args.noPrettyPrint,
             ordering=lambda m: -(m.normalized_score or 0.0))

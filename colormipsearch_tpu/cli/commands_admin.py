@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import argparse
 import json
 import logging
 import os
@@ -197,7 +198,10 @@ def configure_validate(sp):
     sp.add_argument("--no-grad-files-check", dest="checkGradFiles",
                     action="store_false", default=True,
                     help="skip GradientImage/ZGapImage existence checks")
-    sp.add_argument("--check-files", action="store_true", default=True)
+    sp.add_argument("--check-files", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="check compute-file existence "
+                         "(--no-check-files for metadata-only runs)")
     sp.add_argument("--apply-error-tags", action="store_true")
     sp.add_argument("--apply-error-tag-to-em-cdmatches",
                     action="store_true",
@@ -245,8 +249,10 @@ def cmd_validate(args) -> int:
         if args.size > 0:
             neurons = neurons[:args.size]
         sources = {"DB": neurons}
-        # match integrity: every cdMatch must reference existing neurons
-        known = {str(n.entity_id) for n in neurons}
+        # match integrity: every cdMatch must reference existing neurons.
+        # `known` is the FULL neuron id set — a match whose other side
+        # falls outside the validated selector/page is not dangling
+        known = set(daos.neuron_metadata_dao._col.distinct("_id", {}))
         for doc in daos.cd_matches_dao._col.find({}):
             for side in ("maskImageRefId", "matchedImageRefId"):
                 ref = doc.get(side)
@@ -263,6 +269,7 @@ def cmd_validate(args) -> int:
     for src, neurons in sources.items():
         seen_mips: dict = {}
         n_missing = 0
+        src_errors = 0
         for n in neurons:
             errors = []
             key = (n.mip_id, n.compute_file(
@@ -280,6 +287,7 @@ def cmd_validate(args) -> int:
                         n_missing += 1
             if errors:
                 total_errors += 1
+                src_errors += 1
                 if args.apply_error_tags:
                     n.validation_errors = set(errors)
                     n.tags.add(args.error_tag)
@@ -287,7 +295,7 @@ def cmd_validate(args) -> int:
                     error_neuron_ids.append(str(n.entity_id))
                 LOG.warning("%s %s: %s", src, n.mip_id, "; ".join(errors))
         LOG.info("%s: %d neurons, %d with errors (%d missing files)",
-                 src, len(neurons), total_errors, n_missing)
+                 src, len(neurons), src_errors, n_missing)
         if args.apply_error_tags and args.resultsStorage != "DB":
             write_neurons_json(neurons, src)
         elif args.apply_error_tags and daos is not None:
@@ -344,7 +352,11 @@ def configure_copy_to_store(sp):
                              "ZGapImage"])
     sp.add_argument("--mipsFilter", nargs="*", default=[],
                     help="only copy files for these mip ids / names")
-    sp.add_argument("--update-metadata", action="store_true", default=True)
+    sp.add_argument("--update-metadata",
+                action=argparse.BooleanOptionalAction, default=True,
+                help="rewrite source JSON with the new store "
+                     "locations (--no-update-metadata to copy "
+                     "files only)")
     sp.add_argument("--force", "-f", action="store_true",
                     help="overwrite files already present in the store")
     sp.add_argument("--lmIgnoreMissingSegmentation", action="store_true",
@@ -475,7 +487,9 @@ def cmd_convert_ppp(args) -> int:
                 m.source_lm_name, library=args.lm_library,
                 alignment_space=args.alignment_space,
                 anatomical_area=args.anatomical_area)
-            if screenshots.is_dir() and (m.rank or 0) < 500:
+            # same gate as importPPPResults: missing rank attaches nothing
+            # (the reference's Double rank is never null in practice)
+            if screenshots.is_dir() and m.rank is not None and m.rank < 500:
                 m.source_image_files = ppp_io.find_screenshots(
                     screenshots, em_name, m.source_lm_name or "")
             results.append({
@@ -509,7 +523,6 @@ def configure_copy_ppp(sp):
     sp.add_argument("--resultsDir", "-rd", nargs="*", default=[])
     sp.add_argument("--resultsFile", "-rf", nargs="*", default=[])
     sp.add_argument("-od", "--outputDir", required=True)
-    sp.add_argument("--best-matches-only", action="store_true")
     sp.add_argument("--top", type=int, default=-1)
     sp.add_argument("--filterInternalFields", action="store_true",
                     help="strip sampleName/sourceImageFiles/"
@@ -701,7 +714,9 @@ def cmd_precompute_variants(args) -> int:
             if args.withGradient:
                 dist = ndimage.distance_transform_edt(~fg)
                 grad = np.minimum(np.rint(dist), 0xFFFF).astype(np.uint16)
-                Image.fromarray(grad, mode="I;16").save(
+                # uint16 auto-detects I;16 (the explicit mode= form is
+                # deprecated for removal in Pillow 13)
+                Image.fromarray(grad).save(
                     grad_dir / f"{stem}{args.gradient_suffix}.png")
             if args.withZgap:
                 zgap = dilate_rgb(mask_rgb(rgb, args.maskThreshold),

@@ -309,11 +309,18 @@ def cmd_reverse_transfer(args) -> int:
     for each row, load the reverse file named after the row's target id,
     index its rows by their target id, look up this row's source id, match
     exactly by image name first, then at MIP level."""
+    from collections import OrderedDict
+
     rev_dir = Path(args.reverseResultsDir)
-    rev_cache: dict[str, dict] = {}
+    # LRU-bounded: reverse-file locality is per source file, so a small
+    # bound loses almost no hits while keeping memory flat on
+    # production-size runs (tens of thousands of distinct targets)
+    rev_cache: OrderedDict[str, dict] = OrderedDict()
+    rev_cache_max = 256
 
     def reverse_rows(mip_id: str) -> dict:
         if mip_id in rev_cache:
+            rev_cache.move_to_end(mip_id)
             return rev_cache[mip_id]
         rows: dict[str, list] = {}
         p = rev_dir / f"{mip_id}.json"
@@ -324,6 +331,8 @@ def cmd_reverse_transfer(args) -> int:
                     continue
                 rows.setdefault(r.target.id or "", []).append(r)
         rev_cache[mip_id] = rows
+        while len(rev_cache) > rev_cache_max:
+            rev_cache.popitem(last=False)
         return rows
 
     out_dir = Path(args.outputDir)

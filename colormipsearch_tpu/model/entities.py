@@ -454,6 +454,8 @@ class PPPMatch:
     matched_image: Optional[Neuron] = None     # LM neuron
     entity_id: Optional[int] = None
     session_ref_id: Optional[int] = None
+    mask_image_ref_id: Optional[int] = None    # AbstractMatchEntity refs
+    matched_image_ref_id: Optional[int] = None
     mirrored: bool = False
     source_em_name: Optional[str] = None
     source_em_library: Optional[str] = None
@@ -481,6 +483,10 @@ class PPPMatch:
         out.update(_clean({
             "entityId": str(self.entity_id) if self.entity_id else None,
             "sessionRefId": str(self.session_ref_id) if self.session_ref_id else None,
+            "maskImageRefId": str(self.mask_image_ref_id)
+            if self.mask_image_ref_id is not None else None,
+            "matchedImageRefId": str(self.matched_image_ref_id)
+            if self.matched_image_ref_id is not None else None,
             "mirrored": self.mirrored,
             "sourceEmName": self.source_em_name,
             "sourceEmLibrary": self.source_em_library,
@@ -510,6 +516,8 @@ class PPPMatch:
             matched_image=neuron_from_json(ti) if ti else None,
             entity_id=_opt_int(data.get("entityId")),
             session_ref_id=_opt_int(data.get("sessionRefId")),
+            mask_image_ref_id=_opt_int(data.get("maskImageRefId")),
+            matched_image_ref_id=_opt_int(data.get("matchedImageRefId")),
             mirrored=bool(data.get("mirrored", False)),
             source_em_name=data.get("sourceEmName"),
             source_em_library=data.get("sourceEmLibrary"),

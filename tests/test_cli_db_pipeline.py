@@ -32,7 +32,7 @@ def env(tmp_path):
     rng = np.random.default_rng(1)
     g = rng.integers(0, 300, t_rgb.shape[:2]).astype(np.uint16)
     stem = Path(TARGET_TIF).stem
-    Image.fromarray(g, mode="I;16").save(grad / f"{stem}_gradient.png")
+    Image.fromarray(g).save(grad / f"{stem}_gradient.png")
     Image.fromarray(dilate_rgb(mask_rgb(t_rgb, 20), 20)).save(
         zgap / f"{stem}_20pxRGB.png")
 

@@ -29,7 +29,7 @@ def pipeline_dirs(tmp_path):
     rng = np.random.default_rng(0)
     grad = rng.integers(0, 400, t_rgb.shape[:2]).astype(np.uint16)
     stem = Path(TARGET_TIF).stem
-    Image.fromarray(grad, mode="I;16").save(grad_dir / f"{stem}_gradient.png")
+    Image.fromarray(grad).save(grad_dir / f"{stem}_gradient.png")
     zgap = dilate_rgb(mask_rgb(t_rgb, 20), 20)
     Image.fromarray(zgap).save(zgap_dir / f"{stem}_20pxRGB.png")
     return tmp_path
@@ -223,7 +223,7 @@ def test_gradient_scores_golden_381229(tmp_path):
     rng = np.random.default_rng(0)
     g = rng.integers(0, 400, t_rgb.shape[:2]).astype(np.uint16)
     stem = Path(TARGET_TIF).stem
-    Image.fromarray(g, mode="I;16").save(grad / f"{stem}_gradient.png")
+    Image.fromarray(g).save(grad / f"{stem}_gradient.png")
     Image.fromarray(dilate_rgb(mask_rgb(t_rgb, 20), 20)).save(
         zgap / f"{stem}_20pxRGB.png")
 

@@ -47,7 +47,7 @@ def test_streamed_tiles_match_oracle(tmp_path, monkeypatch, with_zgap):
         t_img = _mk_cdm(rng, h, w, 500)
         grad = rng.integers(0, 300, (h, w)).astype(np.uint16)
         Image.fromarray(t_img).save(tmp_path / f"t{i}.png")
-        Image.fromarray(grad.astype(np.int32), mode="I").save(
+        Image.fromarray(grad).save(
             tmp_path / f"t{i}_grad.png")
         target = Neuron(mip_id=f"t-{i}")
         target.set_compute_file(
@@ -101,7 +101,7 @@ def test_multi_mask_normalization_is_per_mask(tmp_path):
             t_img = _mk_cdm(rng, h, w, 400)
             grad = rng.integers(0, 300, (h, w)).astype(np.uint16)
             Image.fromarray(t_img).save(tmp_path / f"m{mi}t{i}.png")
-            Image.fromarray(grad.astype(np.int32), mode="I").save(
+            Image.fromarray(grad).save(
                 tmp_path / f"m{mi}t{i}_grad.png")
             target = Neuron(mip_id=f"m{mi}-t-{i}")
             target.set_compute_file(
