@@ -48,6 +48,13 @@ LOG = logging.getLogger(__name__)
 # becoming the default (docs/DESIGN.md §6 open question)
 _USE_SPLIT = os.environ.get("CDS_SPLIT_PLANES", "0") == "1"
 
+# opt-in rank-key planes + interval predicate (ops/pixel_match
+# build_key_intervals): exact device verdicts (no ambiguity band, no
+# oracle fallback) and ~3x fewer per-element VPU intermediates at the
+# same gather traffic; pending the hardware A/B (scripts/perf_sweep.py
+# --keys) before becoming the default
+_USE_KEYS = os.environ.get("CDS_KEY_PLANES", "0") == "1"
+
 
 @dataclasses.dataclass
 class CDSParams:
@@ -115,7 +122,9 @@ class TargetShard:
     their one target through host_rgb() / the MIP cache."""
     neurons: list[Neuron]
     shape: tuple[int, int]           # (H, W)
-    planes: jax.Array                # uint32 [P, T]
+    planes: jax.Array                # uint32 [P, T] (or int32 [P+1, T]
+    #                                  rank-key planes when kind="keys")
+    kind: str = "packed"
     file_type: ComputeFileType = ComputeFileType.InputColorDepthImage
     device_planes: jax.Array | None = None  # mesh-sharded copy (lazy)
     # when set, below-threshold pixels are packed as zero words and the
@@ -150,7 +159,8 @@ def load_target_shards(targets: Sequence[Neuron], *,
                        file_type: ComputeFileType =
                        ComputeFileType.InputColorDepthImage,
                        tile_size: int = 4096,
-                       pack_threshold: int | None = None
+                       pack_threshold: int | None = None,
+                       plane_kind: str = "packed"
                        ) -> list[TargetShard]:
     """Decode target CDMs and pack them into device planes, grouped by
     image shape and tiled to bound single-allocation size.
@@ -230,17 +240,28 @@ def load_target_shards(targets: Sequence[Neuron], *,
     for shape, (neurons, rgbs) in by_shape.items():
         for i in range(0, len(neurons), tile_size):
             stack = np.stack(rgbs[i:i + tile_size])
-            planes = common.pack_target_planes(
-                jnp.asarray(stack), data_threshold=pack_threshold)
+            if plane_kind == "keys":
+                # rank-key planes packed directly (never materializing
+                # the u32 summary planes alongside — the two together
+                # would not fit HBM at production shard widths)
+                assert pack_threshold is not None, \
+                    "key planes require a folded data threshold"
+                planes = common.pack_target_planes_keys(
+                    jnp.asarray(stack), pack_threshold,
+                    common.rank_lut_device())
+            else:
+                planes = common.pack_target_planes(
+                    jnp.asarray(stack), data_threshold=pack_threshold)
             # pad the target axis to power-of-two buckets so kernel
             # shapes (and their compilations) are reused across shards;
-            # zero columns have t_max == 0 and can never score
+            # zero columns can never score (zero word / zero key)
             t = stack.shape[0]
             t_pad = _target_bucket(t)
             if t_pad != t:
                 planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
             shards.append(TargetShard(neurons[i:i + tile_size], shape,
-                                      planes, file_type=file_type,
+                                      planes, kind=plane_kind,
+                                      file_type=file_type,
                                       packed_threshold=pack_threshold))
     return shards
 
@@ -277,7 +298,8 @@ def iter_target_shards(targets: Sequence[Neuron], *,
                        ComputeFileType.InputColorDepthImage,
                        tile_size: int = 4096,
                        prefetch: bool = True,
-                       pack_threshold: int | None = None):
+                       pack_threshold: int | None = None,
+                       plane_kind: str = "packed"):
     """Stream target shards tile by tile with background prefetch.
 
     For libraries that exceed host/device memory (the production MCFO
@@ -294,17 +316,20 @@ def iter_target_shards(targets: Sequence[Neuron], *,
         for chunk in chunks:
             yield from load_target_shards(chunk, file_type=file_type,
                                           tile_size=tile_size,
-                                          pack_threshold=pack_threshold)
+                                          pack_threshold=pack_threshold,
+                                          plane_kind=plane_kind)
         return
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(load_target_shards, chunks[0],
                           file_type=file_type, tile_size=tile_size,
-                          pack_threshold=pack_threshold)
+                          pack_threshold=pack_threshold,
+                          plane_kind=plane_kind)
         for nxt in chunks[1:]:
             shards = fut.result()
             fut = pool.submit(load_target_shards, nxt,
                               file_type=file_type, tile_size=tile_size,
-                              pack_threshold=pack_threshold)
+                              pack_threshold=pack_threshold,
+                              plane_kind=plane_kind)
             yield from shards
         yield from fut.result()
 
@@ -322,8 +347,13 @@ class CDSearchEngine:
                  neg_query_rgb: np.ndarray | None = None,
                  neg_query_threshold: int | None = None,
                  mirror_neg_query: bool = False,
-                 decode_concurrency: int = 8):
+                 decode_concurrency: int = 8,
+                 use_key_planes: bool | None = None):
         self.params = params
+        # rank-key planes + exact interval predicate (CDS_KEY_PLANES=1)
+        self.use_key_planes = _USE_KEYS if use_key_planes is None \
+            else use_key_planes
+        self._key_plans: dict = {}
         # host-side decode/pack thread count (--cdsConcurrency; the
         # reference's executor pool sizing, CmdUtils.java:15-29 — the
         # device side here is one fused kernel, so threads only feed it)
@@ -346,6 +376,41 @@ class CDSearchEngine:
             self._mesh = create_mesh()
             LOG.info("scoring over a %d-device mesh",
                      len(self._mesh.devices.ravel()))
+
+    def _keys_step(self, n_straight: int, top_k: int = 0):
+        from colormipsearch_tpu.parallel.mesh import (
+            make_sharded_batch_step_keys,
+        )
+
+        key = ("keys", n_straight, top_k)
+        if key not in self._sharded_steps:
+            self._sharded_steps[key] = make_sharded_batch_step_keys(
+                self._mesh, n_straight=n_straight, top_k=top_k)
+        return self._sharded_steps[key]
+
+    _KEY_PLANS_MAX = 512
+
+    def _key_plan(self, plan, n_pixels: int):
+        # entries hold a strong ref to the source plan so a recycled
+        # object id can never alias a freed plan's cache slot
+        cached = self._key_plans.get(id(plan))
+        if cached is not None and cached[0] is plan:
+            return cached[1]
+        kp = pixel_match.key_plan_from_query_plan(
+            plan, n_pixels, self.params.pix_color_fluctuation)
+        if len(self._key_plans) >= self._KEY_PLANS_MAX:
+            self._key_plans.pop(next(iter(self._key_plans)))
+        self._key_plans[id(plan)] = (plan, kp)
+        return kp
+
+    def _stacked_key_args(self, plans, n_pixels: int):
+        def build():
+            kplans = [self._key_plan(pl, n_pixels) for pl in plans]
+            return (jnp.asarray(np.stack([kp.positions for kp in kplans])),
+                    jnp.asarray(np.stack([kp.lo for kp in kplans])),
+                    jnp.asarray(np.stack([kp.span for kp in kplans])))
+
+        return self._cached_plan_args("keys", plans, build)
 
     def _sharded_step(self, n_straight: int, ztol, top_k: int = 0,
                       target_threshold: int | None = None):
@@ -444,7 +509,9 @@ class CDSearchEngine:
             # targets stream in device-sized tiles, decode of the next
             # tile overlapping the scoring of the current one
             for shard in iter_target_shards(
-                    list(targets), pack_threshold=p.data_threshold):
+                    list(targets), pack_threshold=p.data_threshold,
+                    plane_kind="keys" if self.use_key_planes
+                    else "packed"):
                 n_targets += shard.count
                 for (shape, *_), entries in groups.items():
                     if shape != shard.shape:
@@ -501,20 +568,31 @@ class CDSearchEngine:
     # axon tunnel uploads at ~10 MB/s); bounded FIFO (device memory)
     _ARGS_CACHE_MAX = 64
 
-    def _stacked_plan_args(self, plans):
-        key = tuple(id(pl) for pl in plans)
+    def _cached_plan_args(self, tag, plans, build):
+        """id()-keyed device-args cache.  Each entry pins the source
+        plan objects, so an id can only hit while its plan is alive —
+        a recycled id of a freed plan can never alias a live entry
+        (the identity check is belt-and-braces)."""
+        key = (tag,) + tuple(id(pl) for pl in plans)
         cached = self._plan_args_cache.get(key)
-        if cached is not None:
-            return cached
-        args = (jnp.asarray(np.stack([pl.positions for pl in plans])),
-                jnp.asarray(np.stack([pl.q_cls for pl in plans])),
-                jnp.asarray(np.stack([pl.q_s for pl in plans])),
-                jnp.asarray(np.stack([pl.q_p for pl in plans])))
+        if cached is not None and all(
+                a is b for a, b in zip(cached[0], plans)):
+            return cached[1]
+        args = build()
         if len(self._plan_args_cache) >= self._ARGS_CACHE_MAX:
             self._plan_args_cache.pop(
                 next(iter(self._plan_args_cache)))
-        self._plan_args_cache[key] = args
+        self._plan_args_cache[key] = (tuple(plans), args)
         return args
+
+    def _stacked_plan_args(self, plans):
+        def build():
+            return (jnp.asarray(np.stack([pl.positions for pl in plans])),
+                    jnp.asarray(np.stack([pl.q_cls for pl in plans])),
+                    jnp.asarray(np.stack([pl.q_s for pl in plans])),
+                    jnp.asarray(np.stack([pl.q_p for pl in plans])))
+
+        return self._cached_plan_args("packed", plans, build)
 
     def _score_batch(self, batch, shard: TargetShard, tags: set,
                      session_ref_id, top_k: int = 0) -> list[CDMatch]:
@@ -530,15 +608,52 @@ class CDSearchEngine:
             # preselection on positive scores would be wrong
             top_k = 0
         plans = [e[3] for e in batch]
-        args = self._stacked_plan_args(plans)
         n_dev = (len(self._mesh.devices.ravel())
                  if self._mesh is not None else 1)
+        use_keys = shard.kind == "keys"
+        # classic plan args upload only when a non-key path consumes them
+        args = None if use_keys else self._stacked_plan_args(plans)
+        if use_keys:
+            # rank-key planes: exact interval predicate (flags are
+            # structurally zero, so no oracle fallback and no flag-leak
+            # dense pulls on the top-k path)
+            n_pixels = shard.shape[0] * shard.shape[1]
+            kargs = self._stacked_key_args(plans, n_pixels)
+            if self._mesh is not None and shard.t_pad % n_dev == 0:
+                from colormipsearch_tpu.parallel import (
+                    shard_target_planes,
+                )
+
+                planes = shard.device_planes
+                if planes is None or shard.mesh_token is not self._mesh:
+                    planes = shard_target_planes(self._mesh, shard.planes)
+                    shard.device_planes = planes
+                    shard.mesh_token = self._mesh
+                    shard.planes = None
+                if top_k > 0:
+                    step = self._keys_step(plans[0].n_straight, top_k)
+                    scores_k, idx_k, mirr_k, flags_k, _gmax, _nf = \
+                        step(planes, *kargs)
+                    return self._emit_from_topk(
+                        batch, shard, np.asarray(scores_k),
+                        np.asarray(idx_k), np.asarray(mirr_k),
+                        np.asarray(flags_k), tags, session_ref_id)
+                step = self._keys_step(plans[0].n_straight)
+                best, mirrored, pair_flags, _gmax = step(planes, *kargs)
+            else:
+                best, mirrored, pair_flags = \
+                    pixel_match.score_query_batch_keys(
+                        shard.planes, *kargs,
+                        n_straight=plans[0].n_straight)
         # CDS_SPLIT_PLANES=1: 3-byte split-plane kernel (requires the
         # folded threshold; dense path only — the top-k step stays on
         # the packed kernel)
-        use_split = (_USE_SPLIT and shard.packed_threshold is not None
+        use_split = (not use_keys and _USE_SPLIT
+                     and shard.packed_threshold is not None
                      and top_k == 0)
-        if use_split and (self._mesh is None
+        if use_keys:
+            pass
+        elif use_split and (self._mesh is None
                           or shard.t_pad % n_dev == 0):
             t_sp, t_c8 = self._split_planes(shard)
             ztol = (plans[0].ztol_num, plans[0].ztol_den)
@@ -605,7 +720,20 @@ class CDSearchEngine:
         # is the negative score to subtract
         neg_plans = [e[4] for e in batch]
         neg_best = neg_flags = None
-        if neg_plans[0] is not None:
+        if neg_plans[0] is not None and use_keys:
+            ref = neg_plans[0]
+            n_pixels = shard.shape[0] * shard.shape[1]
+            neg_kargs = self._stacked_key_args(neg_plans, n_pixels)
+            if self._mesh is not None and shard.device_planes is not None \
+                    and shard.t_pad % n_dev == 0:
+                nstep = self._keys_step(ref.n_straight)
+                nb, _nm, nf, _g = nstep(shard.device_planes, *neg_kargs)
+            else:
+                nb, _nm, nf = pixel_match.score_query_batch_keys(
+                    shard.planes, *neg_kargs, n_straight=ref.n_straight)
+            neg_best = np.maximum(np.asarray(nb), 0)[:, :shard.count]
+            neg_flags = np.asarray(nf)[:, :shard.count]
+        elif neg_plans[0] is not None:
             # the group key pins the padded neg width, so a batch either
             # has neg plans for every mask or for none
             ref = neg_plans[0]

@@ -130,6 +130,91 @@ def split_planes_from_packed(planes: jax.Array):
     return sp, c8
 
 
+# --- rank-key planes (interval predicate) --------------------------------
+#
+# Alternative target encoding for the pixel-match kernel: each valid pixel
+# packs to key = (cls << KEY_RANK_BITS) | rank, where `rank` is the index
+# of the pixel's hue ratio s/p in the sorted list of ALL achievable ratios
+# (s < p <= 255 by strict dominance -> ~19.7k distinct rationals < 2^15).
+# Because the reference's float64 match set for one query pixel against a
+# fixed target class is an interval of that ratio order (same-class:
+# |r2-r1| <= z is a window; adjacent-class: precondition and gap bound
+# both one-sided), the whole per-element predicate collapses to three
+# unsigned range tests on the gathered key — no unpack, no arithmetic on
+# s/p, no float conversion, and (with host-side exact interval endpoints)
+# no ambiguity band at all.
+
+KEY_RANK_BITS = 15
+
+
+@functools.lru_cache(maxsize=1)
+def ratio_rank_table():
+    """(vals float64 [R], rank int32 [256, 256]) for ratios s/p, s < p.
+
+    `vals` is sorted ascending (vals[0] == 0.0); rank[s, p] is the index
+    of float64(s/p) in vals.  Distinct rationals stay distinct in f64
+    (the minimum spacing of fractions with denominators <= 255 is
+    ~1.5e-5, ~1e11 ulps), so f64 order == rational order.  Entries with
+    s >= p or p == 0 are unreachable (strict dominance) and map to 0.
+    """
+    import numpy as np
+
+    sv, pv = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    valid = (pv >= 1) & (sv < pv)
+    r = sv / np.maximum(pv, 1)
+    vals = np.unique(r[valid])
+    assert vals.size < (1 << KEY_RANK_BITS), vals.size
+    rank = np.zeros((256, 256), np.int32)
+    rank[valid] = np.searchsorted(vals, r[valid]).astype(np.int32)
+    return vals, rank
+
+
+@functools.lru_cache(maxsize=1)
+def _rank_lut_flat():
+    import numpy as np
+
+    _, rank = ratio_rank_table()
+    return np.ascontiguousarray(rank.reshape(-1))
+
+
+def rank_lut_device() -> jax.Array:
+    """The (s << 8) | p -> rank LUT as a device int32 [65536] array."""
+    return jnp.asarray(_rank_lut_flat())
+
+
+@functools.partial(jax.jit, static_argnames=("data_threshold",))
+def pack_target_planes_keys(rgb_stack: jax.Array, data_threshold: int,
+                            rank_lut: jax.Array) -> jax.Array:
+    """uint8 [T, H, W, 3] -> int32 [P+1, T] rank-key planes.
+
+    The data threshold is ALWAYS folded (key 0 neither matches nor
+    flags); row P is an all-zero sentinel so query plans can encode
+    padded / out-of-bounds positions as P and skip per-element validity
+    masks in the kernel.
+    """
+    t = rgb_stack.shape[0]
+    cls, s, p, maxch = classify(rgb_stack)
+    rank = jnp.take(rank_lut, (s << 8) | p)
+    key = (cls << KEY_RANK_BITS) | rank
+    key = jnp.where((maxch > data_threshold) & (cls > 0), key, 0)
+    planes = key.astype(jnp.int32).reshape(t, -1).T
+    return jnp.pad(planes, ((0, 1), (0, 0)))
+
+
+@jax.jit
+def key_planes_from_packed(planes: jax.Array,
+                           rank_lut: jax.Array) -> jax.Array:
+    """uint32 [P, T] packed planes (threshold folded) -> int32 [P+1, T]
+    rank-key planes with the sentinel row appended."""
+    v = planes.astype(jnp.int32)
+    cls = (v >> 24) & 0x7
+    s = (v >> 8) & 0xFF
+    p = (v >> 16) & 0xFF
+    rank = jnp.take(rank_lut, (s << 8) | p)
+    key = jnp.where(cls > 0, (cls << KEY_RANK_BITS) | rank, 0)
+    return jnp.pad(key.astype(jnp.int32), ((0, 1), (0, 0)))
+
+
 def ztol_fraction(pix_color_fluctuation) -> tuple[int, int]:
     """Exact rational z-tolerance a/b from the CLI fluctuation value.
 

@@ -587,6 +587,214 @@ def reduce_variants_device(scores: jax.Array, flags: jax.Array,
     return best, is_mirrored, flags.sum(axis=0, dtype=jnp.int32)
 
 
+# --- rank-key interval predicate ------------------------------------------
+#
+# Exact alternative to the banded predicate above: targets pack to
+# key = (cls << 15) | rank-of-ratio (ops/common.pack_target_planes_keys)
+# and each query pixel carries THREE precomputed key intervals (same
+# class + <= 2 adjacent classes).  The per-element test is three unsigned
+# range checks on the gathered key — ~3x fewer VPU intermediates than
+# predicate_from_rules and, because the interval endpoints are found by
+# bisecting the float64 oracle itself (oracle/pixel.pixel_gap), the
+# device verdict is bit-identical to the reference with NO ambiguity
+# band and NO oracle fallback.
+#
+# Faithfulness rests on the match set being an interval of the ratio
+# order for every (query pixel, target class): same-class matches form
+# the window |r2 - r1| <= z (r2 > 0); each adjacent-class rule bounds r2
+# from one side only (its precondition and its gap bound point the same
+# way), and IEEE-754 rounding preserves weak monotonicity, so bisection
+# probes of the oracle land exactly on the f64 verdict boundary.  The
+# `-m slow` suite proves membership equality for every achievable ratio
+# pair of every class pair (tests/test_slow_exhaustive.py).
+
+# encodes an empty interval: (key - EMPTY_LO) mod 2^32 > any span for
+# every achievable key (< 2^18)
+_EMPTY_LO = np.uint32(1 << 31)
+
+
+@functools.lru_cache(maxsize=1)
+def _adj_direction_tables():
+    """Per-query-class adjacency slots for the interval build.
+
+    Returns (tc, prefix): int32/bool [2, 7] arrays — slot k's target
+    class (0 = none) and whether its match set is a PREFIX of the ratio
+    order ("plus" rules: gap grows with t_r) or a suffix ("minus").
+    """
+    tc = np.zeros((2, 7), np.int32)
+    prefix = np.zeros((2, 7), bool)
+    slot = [0] * 7
+    for qc, t, _q, _t, plus, _c in _ADJ_TABLE:
+        k = slot[qc]
+        slot[qc] += 1
+        tc[k, qc] = t
+        prefix[k, qc] = plus
+    return tc, prefix
+
+
+def build_key_intervals(q_cls: np.ndarray, q_s: np.ndarray,
+                        q_p: np.ndarray, z_tol: float):
+    """Per-query-pixel key intervals (lo uint32 [3, Q], span uint32 [3, Q]).
+
+    A target key k matches query pixel i iff
+    (k - lo[slot, i]) mod 2^32 <= span[slot, i] for some slot.  Endpoints
+    are found by vectorized bisection of the float64 oracle predicate
+    (pixel_gap(q, t) <= z_tol), so membership equals the reference's f64
+    verdict exactly — including the query-side rule preconditions, which
+    the oracle evaluates internally (a failed precondition makes every
+    probe miss and the interval comes out empty).
+    """
+    from colormipsearch_tpu.ops.common import (
+        KEY_RANK_BITS,
+        ratio_rank_table,
+    )
+
+    vals, rank_tab = ratio_rank_table()
+    n_ratios = vals.size
+    q_cls = np.asarray(q_cls, np.int64)
+    q_s = np.asarray(q_s, np.int64)
+    q_p = np.asarray(q_p, np.int64)
+    q_r = oracle_pixel.ratio_f64(q_cls, q_s, q_p)
+    n_q = q_cls.shape[0]
+
+    lo = np.full((3, n_q), _EMPTY_LO, np.uint32)
+    span = np.zeros((3, n_q), np.uint32)
+
+    def probe(tc, j):
+        return oracle_pixel.pixel_gap(q_cls, q_r, tc, vals[j]) <= z_tol
+
+    def fill(slot, act, tc, lo_rank, hi_rank):
+        key_lo = (tc.astype(np.int64) << KEY_RANK_BITS) + lo_rank
+        key_hi = (tc.astype(np.int64) << KEY_RANK_BITS) + hi_rank
+        lo[slot] = np.where(act, key_lo, int(_EMPTY_LO)).astype(np.uint32)
+        span[slot] = np.where(act, key_hi - key_lo, 0).astype(np.uint32)
+
+    # slot 0: same class.  Non-empty iff the ratio is positive (r2 > 0
+    # is also required, hence ranks start at 1); the window contains
+    # q's own rank (gap 0), so bisect each edge from there.
+    act = (q_cls > 0) & (q_s >= 1)
+    q_rank = rank_tab[np.minimum(q_s, 255), np.minimum(q_p, 255)]
+    anchor = np.maximum(q_rank, 1)
+    lo_i, hi_i = np.ones(n_q, np.int64), anchor.astype(np.int64)
+    for _ in range(16):  # first j in [1, q_rank] with match (monotone)
+        mid = (lo_i + hi_i) // 2
+        m = probe(q_cls, mid)
+        hi_i = np.where(m, mid, hi_i)
+        lo_i = np.where(m, lo_i, mid + 1)
+    left = lo_i
+    lo_i, hi_i = anchor.astype(np.int64), np.full(n_q, n_ratios - 1)
+    for _ in range(16):  # last j in [q_rank, R-1] with match
+        mid = (lo_i + hi_i + 1) // 2
+        m = probe(q_cls, mid)
+        lo_i = np.where(m, mid, lo_i)
+        hi_i = np.where(m, hi_i, mid - 1)
+    fill(0, act, q_cls, left, lo_i)
+
+    # slots 1..2: adjacent classes.  "plus" rules match a prefix of the
+    # ratio order (both the precondition and the gap bound cap r2 from
+    # above), "minus" rules a suffix; the closed end decides emptiness.
+    tc_tab, prefix_tab = _adj_direction_tables()
+    for k in (0, 1):
+        tc = tc_tab[k][q_cls]
+        pref = prefix_tab[k][q_cls]
+        end = np.where(pref, 0, n_ratios - 1)
+        act = (tc > 0) & probe(tc, end)
+        lo_i = np.zeros(n_q, np.int64)
+        hi_i = np.full(n_q, n_ratios - 1, np.int64)
+        for _ in range(16):
+            mid = np.where(pref, (lo_i + hi_i + 1) // 2,
+                           (lo_i + hi_i) // 2)
+            m = probe(tc, mid)
+            lo_i = np.where(pref,
+                            np.where(m, mid, lo_i),
+                            np.where(m, lo_i, mid + 1))
+            hi_i = np.where(pref,
+                            np.where(m, hi_i, mid - 1),
+                            np.where(m, mid, hi_i))
+        fill(k + 1, act, tc,
+             np.where(pref, 0, lo_i), np.where(pref, lo_i, n_ratios - 1))
+    return lo, span
+
+
+@dataclasses.dataclass
+class KeyQueryPlan:
+    """Rank-key form of QueryPlan: positions are sentinel-encoded
+    (padded / out-of-bounds lanes point at the planes' all-zero row P)
+    and per-pixel predicates are three key intervals."""
+    positions: np.ndarray      # int32 [V, Q], sentinel = n_pixels
+    lo: np.ndarray             # uint32 [3, Q]
+    span: np.ndarray           # uint32 [3, Q]
+    query_size: int
+    n_straight: int
+    mirror: bool
+
+    @property
+    def n_variants(self) -> int:
+        return self.positions.shape[0]
+
+
+def key_plan_from_query_plan(plan: QueryPlan, n_pixels: int,
+                             pix_color_fluctuation) -> KeyQueryPlan:
+    """Convert a built QueryPlan for the key kernel.
+
+    `n_pixels` is H*W of the image the positions index (the sentinel
+    row); the z-tolerance re-derives from the fluctuation value the
+    same way the reference does (double division by 100).
+    """
+    pos = np.where(plan.positions < 0, n_pixels,
+                   plan.positions).astype(np.int32)
+    lo, span = build_key_intervals(
+        plan.q_cls, plan.q_s, plan.q_p,
+        float(pix_color_fluctuation) / 100.0)
+    return KeyQueryPlan(pos, lo, span, plan.query_size,
+                        plan.n_straight, plan.mirror)
+
+
+def score_query_against_key_planes_raw(t_keys: jax.Array, pos: jax.Array,
+                                       lo: jax.Array, span: jax.Array):
+    """Key-plane scoring: one query plan against [P+1, T] key planes.
+
+    Args:
+      t_keys: int32 [P+1, T] rank-key planes (sentinel row appended).
+      pos:    int32 [V, Q] sentinel-encoded positions.
+      lo, span: uint32 [3, Q] key intervals.
+
+    Returns int32 [V, T] exact matching-pixel counts (no flags — the
+    interval predicate has no ambiguity band).
+    """
+    lo0, lo1, lo2 = lo[0][:, None], lo[1][:, None], lo[2][:, None]
+    sp0, sp1, sp2 = span[0][:, None], span[1][:, None], span[2][:, None]
+
+    def per_variant(pos_v):
+        w = jnp.take(t_keys, pos_v, axis=0).astype(jnp.uint32)  # [Q, T]
+        m = ((w - lo0) <= sp0) | ((w - lo1) <= sp1) | ((w - lo2) <= sp2)
+        return m.sum(axis=0, dtype=jnp.int32)
+
+    n_variants = pos.shape[0]
+    if n_variants <= 32:
+        return jnp.stack([per_variant(pos[v]) for v in range(n_variants)])
+    return jax.lax.map(per_variant, pos)
+
+
+@functools.partial(jax.jit, static_argnames=("n_straight",))
+def score_query_batch_keys(t_keys: jax.Array, pos: jax.Array,
+                           lo: jax.Array, span: jax.Array, *,
+                           n_straight: int):
+    """Batched key-plane scoring (see score_query_batch).
+
+    pos [B, V, Q], lo/span [B, 3, Q] -> (best [B, T], mirrored [B, T],
+    pair_flags [B, T] — always zero, kept for interface parity)."""
+
+    def one(args):
+        pos_b, lo_b, span_b = args
+        scores = score_query_against_key_planes_raw(
+            t_keys, pos_b, lo_b, span_b)
+        return reduce_variants_device(
+            scores, jnp.zeros_like(scores), n_straight)
+
+    return jax.lax.map(one, (pos, lo, span))
+
+
 def reduce_variant_scores(scores: np.ndarray, plan: QueryPlan):
     """[V, T] per-variant scores -> (best [T], mirrored [T]) per reference
     max semantics (mirror wins only when strictly greater)."""

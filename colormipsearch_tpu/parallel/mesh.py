@@ -190,6 +190,70 @@ def make_sharded_shape_split_step(mesh: Mesh):
     return jax.jit(step)
 
 
+def _finish_batched_step(best, mirrored, pair_flags, top_k: int):
+    """Shared tail of the batched sharded steps: pmax global max plus
+    (when top_k > 0) the per-shard top-k merge — local top_k, mirror/flag
+    selection, shard-offset global indices, psum'd flag-leak count, and
+    the tiled all_gather of D*k candidates per mask."""
+    global_max = jax.lax.pmax(best.max(axis=-1), TARGET_AXIS)
+    if top_k <= 0:
+        return best, mirrored, pair_flags, global_max
+    k = min(top_k, best.shape[1])
+    top_scores, local_idx = jax.lax.top_k(best, k)               # [B, k]
+    take = jnp.take_along_axis
+    top_mirrored = take(mirrored, local_idx, axis=1)
+    top_flags = take(pair_flags, local_idx, axis=1)
+    # ambiguity-flagged pairs OUTSIDE the per-shard top-k: their exact
+    # (oracle) score may exceed selected fast scores, so the engine
+    # falls back to a dense pull when any leak out (the bit-identity
+    # contract beats the bandwidth saving on these rare batches; on
+    # exact kernels flags are structurally zero and this folds away)
+    n_flagged = jax.lax.psum(
+        (pair_flags > 0).sum(axis=1, dtype=jnp.int32), TARGET_AXIS)
+    shard = jax.lax.axis_index(TARGET_AXIS)
+    top_idx = local_idx + shard * best.shape[1]
+    gather = lambda x: jax.lax.all_gather(  # noqa: E731
+        x, TARGET_AXIS, axis=1, tiled=True)
+    return (gather(top_scores), gather(top_idx),
+            gather(top_mirrored), gather(top_flags), global_max,
+            n_flagged)
+
+
+def _batched_out_specs(top_k: int):
+    if top_k > 0:
+        return (P(), P(), P(), P(), P(None), P(None))
+    return (P(None, TARGET_AXIS), P(None, TARGET_AXIS),
+            P(None, TARGET_AXIS), P(None))
+
+
+def make_sharded_batch_step_keys(mesh: Mesh, *, n_straight: int,
+                                 top_k: int = 0):
+    """Rank-key twin of make_sharded_batch_step: planes are int32
+    [P+1, T] keys (ops/common.pack_target_planes_keys), query args are
+    sentinel-encoded positions + per-pixel key intervals, and the
+    predicate is exact (flags are structurally zero — kept in the
+    output for interface parity with the packed step)."""
+
+    def local_step(t_keys, pos, lo, span):
+        def one(args):
+            pos_b, lo_b, span_b = args
+            scores = pixel_match.score_query_against_key_planes_raw(
+                t_keys, pos_b, lo_b, span_b)
+            return pixel_match.reduce_variants_device(
+                scores, jnp.zeros_like(scores), n_straight)
+
+        best, mirrored, pair_flags = jax.lax.map(one, (pos, lo, span))
+        return _finish_batched_step(best, mirrored, pair_flags, top_k)
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, TARGET_AXIS), P(None, None, None),
+                  P(None, None, None), P(None, None, None)),
+        out_specs=_batched_out_specs(top_k),
+        check_rep=False)
+    return jax.jit(step)
+
+
 def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
                             ztol_num: int, ztol_den: int, n_straight: int,
                             top_k: int = 0):
@@ -219,38 +283,12 @@ def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
 
         best, mirrored, pair_flags = jax.lax.map(
             one, (pos, q_cls, q_s, q_p))
-        global_max = jax.lax.pmax(best.max(axis=-1), TARGET_AXIS)
-        if top_k > 0:
-            k = min(top_k, best.shape[1])
-            top_scores, local_idx = jax.lax.top_k(best, k)       # [B, k]
-            take = jnp.take_along_axis
-            top_mirrored = take(mirrored, local_idx, axis=1)
-            top_flags = take(pair_flags, local_idx, axis=1)
-            # ambiguity-flagged pairs OUTSIDE the per-shard top-k: their
-            # exact (oracle) score may exceed selected fast scores, so
-            # the engine falls back to a dense pull when any leak out
-            # (the bit-identity contract beats the bandwidth saving on
-            # these rare batches)
-            n_flagged = jax.lax.psum(
-                (pair_flags > 0).sum(axis=1, dtype=jnp.int32), TARGET_AXIS)
-            shard = jax.lax.axis_index(TARGET_AXIS)
-            top_idx = local_idx + shard * best.shape[1]
-            gather = lambda x: jax.lax.all_gather(  # noqa: E731
-                x, TARGET_AXIS, axis=1, tiled=True)
-            return (gather(top_scores), gather(top_idx),
-                    gather(top_mirrored), gather(top_flags), global_max,
-                    n_flagged)
-        return best, mirrored, pair_flags, global_max
+        return _finish_batched_step(best, mirrored, pair_flags, top_k)
 
-    if top_k > 0:
-        out_specs = (P(), P(), P(), P(), P(None), P(None))
-    else:
-        out_specs = (P(None, TARGET_AXIS), P(None, TARGET_AXIS),
-                     P(None, TARGET_AXIS), P(None))
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(None, TARGET_AXIS), P(None, None, None),
                   P(None, None), P(None, None), P(None, None)),
-        out_specs=out_specs,
+        out_specs=_batched_out_specs(top_k),
         check_rep=False)
     return jax.jit(step)

@@ -139,6 +139,9 @@ def main():
     ap.add_argument("--split", action="store_true",
                     help="A/B the 3-byte split-plane kernel against the "
                          "packed-u32 kernel at the widest width")
+    ap.add_argument("--keys", action="store_true",
+                    help="A/B the rank-key interval kernel against the "
+                         "packed-u32 kernel at the widest width")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -148,6 +151,12 @@ def main():
         return 0
     if args.split:
         split_kernel_experiment(
+            t_width=int(args.widths.split(",")[-1]),
+            b=int(args.batches.split(",")[0]),
+            repeats_pairs=args.repeats_pairs)
+        return 0
+    if args.keys:
+        keys_kernel_experiment(
             t_width=int(args.widths.split(",")[-1]),
             b=int(args.batches.split(",")[0]),
             repeats_pairs=args.repeats_pairs)
@@ -274,6 +283,73 @@ def split_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
             "pairs_per_s": round(repeats * b * t_width / dt),
             "gather_gb_per_s": round(
                 repeats * b * v * q * t_width * bytes_px / dt / 1e9, 1),
+            "repeats": repeats, "secs": round(dt, 2)}), flush=True)
+
+
+def keys_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
+    """A/B: packed-u32 banded kernel vs the rank-key interval kernel
+    (same 4 B/pixel gather; ~3x fewer per-element VPU intermediates and
+    an exact verdict — docs/DESIGN.md).
+
+    t_width 2048 keeps both plane sets (5.6 GB each) co-resident; run a
+    second pass with --widths 4096 after deleting one if HBM allows."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from colormipsearch_tpu.ops import common as ops_common
+    from colormipsearch_tpu.ops import pixel_match
+
+    plan, target_rgb = build_plan()
+    v, q = plan.positions.shape
+    planes = build_planes(target_rgb, t_width)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fold(pl):
+        return jnp.where((pl & 0xFF) > 20, pl, 0).astype(jnp.uint32)
+
+    folded = jax.block_until_ready(fold(planes))
+    del planes
+    t_keys = jax.block_until_ready(ops_common.key_planes_from_packed(
+        folded, ops_common.rank_lut_device()))
+
+    kplan = pixel_match.key_plan_from_query_plan(
+        plan, target_rgb.shape[0] * target_rgb.shape[1], 1.0)
+    pos = jax.device_put(np.stack([plan.positions] * b))
+    q_cls = jax.device_put(np.stack([plan.q_cls] * b))
+    q_s = jax.device_put(np.stack([plan.q_s] * b))
+    q_p = jax.device_put(np.stack([plan.q_p] * b))
+    kpos = jax.device_put(np.stack([kplan.positions] * b))
+    klo = jax.device_put(np.stack([kplan.lo] * b))
+    kspan = jax.device_put(np.stack([kplan.span] * b))
+    repeats = max(2, int(repeats_pairs / (b * t_width)))
+
+    def packed_once():
+        return pixel_match.score_query_batch(
+            folded, pos, q_cls, q_s, q_p, target_threshold=-1,
+            ztol_num=plan.ztol_num, ztol_den=plan.ztol_den,
+            n_straight=plan.n_straight)
+
+    def keys_once():
+        return pixel_match.score_query_batch_keys(
+            t_keys, kpos, klo, kspan, n_straight=plan.n_straight)
+
+    # equality spot check before timing (scores must agree where the
+    # packed path is un-flagged; the fixture workload has no flags)
+    pb, pm, pf = (np.asarray(x) for x in packed_once())
+    kb, km, kf = (np.asarray(x) for x in keys_once())
+    agree = (pb == kb) | (pf > 0)
+    log(f"keys-vs-packed equality: {agree.all()} "
+        f"(flags on packed: {int(pf.sum())})")
+
+    for name, fn in (("packed_u32", packed_once),
+                     ("rank_keys", keys_once)):
+        dt = time_step(fn, repeats)
+        print(json.dumps({
+            "kind": name, "t_width": t_width, "mask_batch": b,
+            "pairs_per_s": round(repeats * b * t_width / dt),
+            "gather_gb_per_s": round(
+                repeats * b * v * q * t_width * 4 / dt / 1e9, 1),
             "repeats": repeats, "secs": round(dt, 2)}), flush=True)
 
 

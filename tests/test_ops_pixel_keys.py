@@ -1,0 +1,223 @@
+"""Rank-key interval predicate vs the float64 oracle.
+
+The key path (ops/common.pack_target_planes_keys +
+ops/pixel_match.build_key_intervals / score_query_batch_keys) claims
+EXACT per-pixel verdicts — no ambiguity band — because interval
+endpoints are found by bisecting the f64 oracle itself.  These tests
+check per-variant equality against PixelMatchOracle (not merely the
+banded fast kernel), the engine path, the mesh step, and the
+negative-query form; the `-m slow` suite proves membership equality
+over every achievable ratio pair (test_slow_exhaustive.py).
+"""
+
+import numpy as np
+import pytest
+
+from colormipsearch_tpu.oracle import pixel as oracle_pixel
+from colormipsearch_tpu.oracle.pixel import PixelMatchOracle
+from colormipsearch_tpu.ops import common, pixel_match
+
+
+def _mk(rng, h, w, n):
+    img = np.zeros((h, w, 3), np.uint8)
+    ys = rng.integers(0, h, n)
+    xs = rng.integers(0, w, n)
+    img[ys, xs] = rng.integers(0, 256, (n, 3))
+    return img
+
+
+def test_rank_table_sound():
+    vals, rank = common.ratio_rank_table()
+    assert vals.size < (1 << common.KEY_RANK_BITS)
+    assert vals[0] == 0.0
+    assert (np.diff(vals) > 0).all()
+    # rank round-trips the f64 ratio for every achievable (s, p)
+    sv, pv = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    valid = (pv >= 1) & (sv < pv)
+    assert (vals[rank[valid]] == (sv / np.maximum(pv, 1))[valid]).all()
+    assert (rank[~valid] == 0).all()
+
+
+@pytest.mark.parametrize("z_tol", [0.01, 0.02, 0.0123])
+def test_intervals_match_oracle_on_ratio_grid(z_tol):
+    """Membership equality on a strided grid of achievable summaries
+    (the slow suite covers ALL pairs)."""
+    vals, rank_tab = common.ratio_rank_table()
+    sv, pv = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    valid = (pv >= 1) & (sv < pv)
+    s_all, p_all = sv[valid], pv[valid]
+    sel = np.arange(0, s_all.size, 97)
+    rng = np.random.default_rng(3)
+
+    for qc in range(1, 7):
+        q_s = s_all[sel].astype(np.int64)
+        q_p = p_all[sel].astype(np.int64)
+        q_cls = np.full(q_s.shape, qc, np.int64)
+        q_r = oracle_pixel.ratio_f64(q_cls, q_s, q_p)
+        lo, span = pixel_match.build_key_intervals(q_cls, q_s, q_p, z_tol)
+        # all classes x a strided set of target ratios (always including
+        # the extremes and a random block)
+        t_ranks = np.unique(np.concatenate([
+            np.arange(0, vals.size, 131), [0, 1, vals.size - 1],
+            rng.integers(0, vals.size, 200)]))
+        for tc in range(1, 7):
+            keys = ((tc << common.KEY_RANK_BITS) | t_ranks).astype(
+                np.uint32)
+            truth = oracle_pixel.pixel_gap(
+                q_cls[:, None], q_r[:, None], tc, vals[t_ranks][None, :]
+            ) <= z_tol
+            memb = np.zeros_like(truth)
+            for k in range(3):
+                memb |= (keys[None, :] - lo[k][:, None]) <= span[k][:, None]
+            assert (memb == truth).all(), (qc, tc)
+
+
+def test_key_kernel_equals_oracle_per_variant():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    h, w = 40, 60
+    query = _mk(rng, h, w, 400)
+    # the known f32-ambiguity regression pair must be exact here
+    query[0, 0] = (50, 0, 53)
+    targets = [_mk(rng, h, w, 300) for _ in range(6)] + [query]
+    targets[0][0, 0] = (151, 0, 158)
+    flu, thr = 1.23, 20
+
+    plan = pixel_match.build_query_plan(
+        query, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
+    kplan = pixel_match.key_plan_from_query_plan(plan, h * w, flu)
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(np.stack(targets)), thr, common.rank_lut_device())
+    scores = np.asarray(pixel_match.score_query_against_key_planes_raw(
+        t_keys, jnp.asarray(kplan.positions), jnp.asarray(kplan.lo),
+        jnp.asarray(kplan.span)))
+
+    oracle = PixelMatchOracle(query, thr, mirror=True,
+                              target_threshold=thr, z_tolerance=flu / 100,
+                              xy_shift=2)
+    for i, t in enumerate(targets):
+        res = oracle.score(t)
+        want = np.concatenate([res.per_variant, res.per_variant_mirror])
+        assert (scores[:, i] == want).all(), i
+
+
+def test_key_planes_from_packed_equals_direct_pack():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    stack = np.stack([_mk(rng, 20, 30, 150) for _ in range(4)])
+    lut = common.rank_lut_device()
+    direct = np.asarray(common.pack_target_planes_keys(
+        jnp.asarray(stack), 20, lut))
+    packed = common.pack_target_planes(jnp.asarray(stack),
+                                       data_threshold=20)
+    converted = np.asarray(common.key_planes_from_packed(packed, lut))
+    assert (direct == converted).all()
+    assert (direct[-1] == 0).all()  # sentinel row
+
+
+def _engine_matches(tmp_path, use_keys, masks_neurons, targets_neurons,
+                    params, **kw):
+    from colormipsearch_tpu.engine.cds import CDSearchEngine
+
+    eng = CDSearchEngine(params, use_key_planes=use_keys, **kw)
+    ms = eng.find_all_matches(masks_neurons, targets_neurons)
+    return sorted(
+        ((m.mask_image.mip_id, m.matched_image.mip_id,
+          m.matching_pixels, m.mirrored, round(m.matching_pixels_ratio, 12))
+         for m in ms))
+
+
+def _write_neurons(tmp_path, imgs, prefix):
+    from PIL import Image
+
+    from colormipsearch_tpu.model import ComputeFileType, Neuron
+
+    out = []
+    for i, img in enumerate(imgs):
+        f = tmp_path / f"{prefix}{i}.png"
+        Image.fromarray(img).save(f)
+        n = Neuron(mip_id=f"{prefix}-{i}")
+        n.set_compute_file(ComputeFileType.InputColorDepthImage, str(f))
+        out.append(n)
+    return out
+
+
+def test_engine_key_path_equals_packed_path(tmp_path):
+    from colormipsearch_tpu.engine.cds import CDSParams
+
+    rng = np.random.default_rng(21)
+    h, w = 36, 48
+    masks = [_mk(rng, h, w, 350) for _ in range(3)]
+    targets = [_mk(rng, h, w, 300) for _ in range(9)] + [masks[0]]
+    mask_neurons = _write_neurons(tmp_path, masks, "m")
+    target_neurons = _write_neurons(tmp_path, targets, "t")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True)
+    ref = _engine_matches(tmp_path, False, mask_neurons, target_neurons,
+                          params)
+    got = _engine_matches(tmp_path, True, mask_neurons, target_neurons,
+                          params)
+    assert got == ref and len(ref) > 0
+
+
+def test_engine_key_path_top_k(tmp_path):
+    from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
+
+    rng = np.random.default_rng(22)
+    h, w = 36, 48
+    masks = [_mk(rng, h, w, 350) for _ in range(2)]
+    targets = [_mk(rng, h, w, 300) for _ in range(12)] + [masks[0]]
+    mask_neurons = _write_neurons(tmp_path, masks, "km")
+    target_neurons = _write_neurons(tmp_path, targets, "kt")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True)
+    ref = CDSearchEngine(params, use_key_planes=False).find_all_matches(
+        mask_neurons, target_neurons, max_matches_per_mask=3)
+    got = CDSearchEngine(params, use_key_planes=True).find_all_matches(
+        mask_neurons, target_neurons, max_matches_per_mask=3)
+    key = lambda m: (m.mask_image.mip_id, -m.matching_pixels,  # noqa: E731
+                     m.matched_image.mip_id)
+    assert [(m.mask_image.mip_id, m.matched_image.mip_id,
+             m.matching_pixels) for m in sorted(got, key=key)] == \
+        [(m.mask_image.mip_id, m.matched_image.mip_id,
+          m.matching_pixels) for m in sorted(ref, key=key)]
+
+
+def test_engine_key_path_golden_87(tmp_path, mask_rgb, target_rgb):
+    from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
+
+    mask_neurons = _write_neurons(tmp_path, [mask_rgb], "gm")
+    target_neurons = _write_neurons(tmp_path, [target_rgb], "gt")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True, with_name_label_region=True,
+                       with_color_scale_region=True)
+    ms = CDSearchEngine(params, use_key_planes=True).find_all_matches(
+        mask_neurons, target_neurons)
+    assert len(ms) == 1
+    assert ms[0].matching_pixels == 87 and not ms[0].mirrored
+
+
+def test_engine_key_path_neg_query(tmp_path):
+    from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
+
+    rng = np.random.default_rng(23)
+    h, w = 36, 48
+    mask = _mk(rng, h, w, 400)
+    neg = _mk(rng, h, w, 150)
+    targets = [_mk(rng, h, w, 300) for _ in range(5)] + [mask]
+    mask_neurons = _write_neurons(tmp_path, [mask], "nm")
+    target_neurons = _write_neurons(tmp_path, targets, "nt")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True)
+    kw = dict(neg_query_rgb=neg, mirror_neg_query=True)
+    ref = _engine_matches(tmp_path, False, mask_neurons, target_neurons,
+                          params, **kw)
+    got = _engine_matches(tmp_path, True, mask_neurons, target_neurons,
+                          params, **kw)
+    assert got == ref and len(ref) > 0

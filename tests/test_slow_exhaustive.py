@@ -387,3 +387,86 @@ def test_engine_matches_oracle_across_param_combos(tmp_path):
                         (params_kw, key, got.get(key), res)
                 else:
                     assert key not in got, (params_kw, key)
+
+
+# ---------------------------------------------------------------------------
+# Rank-key interval predicate: COMPLETE membership proof
+# ---------------------------------------------------------------------------
+#
+# The key path (ops/pixel_match.build_key_intervals) claims bit-exact
+# equality with the float64 oracle — no ambiguity band.  This sweep is
+# the proof: for EVERY achievable query summary (all 32,640 (s, p)
+# pairs, per query class) and every production z-tolerance, interval
+# membership over ALL distinct target ratios must equal the reference
+# float64 verdict for the compatible target classes, and the interval
+# slots must never touch an incompatible class's key range.
+#
+# Intervals are a function of (query class, float64 ratio) only —
+# build_key_intervals bisects pixel_gap(q_cls, q_r, ...), and
+# test_rank_table_sound (tests/test_ops_pixel_keys.py) proves the
+# (s, p) -> rank -> ratio round-trip — so the sweep runs over the
+# 19,820 DISTINCT query ratios, covering all 32,640 summaries.  Truth
+# comes from the transliterated per-class-pair formulas at the top of
+# this file (the same ground truth the packed-predicate sweeps use;
+# pixel_gap itself is validated against the Java transliteration in
+# tests/test_oracle_pixel.py) — build_key_intervals bisects pixel_gap,
+# so any divergence between the two oracles would also fail here.
+
+
+@pytest.mark.parametrize("fluct", PRODUCTION_ZTOLS)
+@pytest.mark.parametrize("qc", range(1, 7))
+def test_key_intervals_exhaustive(qc, fluct):
+    from colormipsearch_tpu.ops import common
+
+    z_tol = fluct / 100
+    vals, _rank_tab = common.ratio_rank_table()
+    n_ratios = vals.size
+    adj = {t: (pre, gap) for q, t, pre, gap in ADJACENT_CASES if q == qc}
+    compatible = sorted({qc} | set(adj))
+
+    # one representative (s, p) per distinct achievable ratio
+    _, first = np.unique(R_ALL, return_index=True)
+    q_s = S_ALL[first].astype(np.int64)
+    q_p = P_ALL[first].astype(np.int64)
+    assert q_s.size == n_ratios
+    q_cls = np.full(q_s.shape, qc, np.int64)
+    q_r = q_s / q_p
+    assert (q_r == vals).all()
+
+    chunk = 2048
+    for i in range(0, n_ratios, chunk):
+        sl = slice(i, i + chunk)
+        lo, span = pixel_match.build_key_intervals(
+            q_cls[sl], q_s[sl], q_p[sl], z_tol)
+
+        # non-empty slots may only target compatible classes, and an
+        # interval must never span past its class's key band
+        slot_cls = (lo >> common.KEY_RANK_BITS).astype(np.int64)
+        nonempty = lo != np.uint32(1 << 31)
+        end_rank = (lo.astype(np.int64)
+                    & ((1 << common.KEY_RANK_BITS) - 1)) \
+            + span.astype(np.int64)
+        assert (end_rank[nonempty] < n_ratios).all()
+        for k in range(3):
+            used = set(np.unique(slot_cls[k][nonempty[k]]).tolist())
+            assert used <= set(compatible), (qc, k, used)
+
+        r1 = q_r[sl][:, None]
+        r2 = vals[None, :]
+        for tc in compatible:
+            if tc == qc:
+                gap = np.where((r1 > 0) & (r2 > 0), np.abs(r2 - r1),
+                               NO_MATCH_GAP)
+            else:
+                pre, gfn = adj[tc]
+                gap = np.where(pre(r1, r2), gfn(r1, r2), NO_MATCH_GAP)
+            truth = gap <= z_tol
+            keys = ((tc << common.KEY_RANK_BITS)
+                    | np.arange(n_ratios)).astype(np.uint32)
+            memb = np.zeros_like(truth)
+            for k in range(3):
+                memb |= (keys[None, :] - lo[k][:, None]) \
+                    <= span[k][:, None]
+            bad = memb != truth
+            assert not bad.any(), (
+                qc, tc, i, int(bad.sum()), np.argwhere(bad)[:3])
