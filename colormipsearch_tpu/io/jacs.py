@@ -39,13 +39,15 @@ class JacsClient:
         self.auth_token = auth_token
         self.page_size = page_size
 
-    def _get(self, path: str, params: dict) -> list:
+    def _get(self, path: str, params) -> list:
+        """params: dict or urlencode-compatible sequence of pairs."""
         if self.base_url.startswith("file://"):
             # offline mode: directory with <endpoint>_<offset>.json dumps
             root = self.base_url[len("file://"):]
             name = path.strip("/").replace("/", "_")
-            page_file = os.path.join(
-                root, f"{name}_{params.get('offset', 0)}.json")
+            offset = (dict(params) if not isinstance(params, dict)
+                      else params).get("offset", 0)
+            page_file = os.path.join(root, f"{name}_{offset}.json")
             if not os.path.exists(page_file):
                 return []
             with open(page_file) as f:
@@ -118,17 +120,10 @@ class SamplesClient(JacsClient):
                     out[rec["name"]] = rec
             return out
         for chunk in _chunked(sorted(names), 100):
-            params = [("name", n) for n in chunk]
-            url = (f"{self.base_url}/data/samples?"
-                   + urllib.parse.urlencode(params))
-            req = urllib.request.Request(url)
-            if self.auth_token:
-                req.add_header("Authorization",
-                               f"Bearer {self.auth_token}")
-            with urllib.request.urlopen(req, timeout=60) as resp:
-                for rec in json.load(resp):
-                    if rec.get("name"):
-                        out[rec["name"]] = rec
+            for rec in self._get("/data/samples",
+                                 [("name", n) for n in chunk]):
+                if rec.get("name"):
+                    out[rec["name"]] = rec
         return out
 
 
@@ -150,7 +145,10 @@ def mip_record_to_neuron(rec: dict, library: str) -> Optional[Neuron]:
             neuron_type=(rec.get("emBody") or {}).get("neuronType"),
             neuron_instance=(rec.get("emBody") or {}).get("neuronInstance"),
         )
-        body = rec.get("bodyId") or (rec.get("emBody") or {}).get("name")
+        # publishedName is the bodyId ONLY (ColorDepthMIP.emBodyId:131,
+        # CreateCDSDataInputCmd.asEMNeuron:478) — null when absent, no
+        # emBody.name fallback
+        body = rec.get("bodyId")
         n.published_name = str(body) if body is not None else None
         n.source_ref_id = rec.get("emBodyRef") or \
             ((rec.get("emBody") or {}).get("_id"))
@@ -165,8 +163,13 @@ def mip_record_to_neuron(rec: dict, library: str) -> Optional[Neuron]:
                                body_files["SkeletonOBJ"])
     else:
         sample = rec.get("sample") or {}
+        # slideCode/publishedName come from the SAMPLE only
+        # (ColorDepthMIP.lmLineName:87/lmSlideCode:92,
+        # CreateCDSDataInputCmd.asLMNeuron:504-505) — records without a
+        # published sample keep them null rather than falling back to
+        # internal names (publishedName is the nBestLines grouping key)
         n = LMNeuron(
-            slide_code=sample.get("slideCode") or rec.get("slideCode"),
+            slide_code=sample.get("slideCode"),
             gender=sample.get("gender"),
             objective=rec.get("objective"),
             anatomical_area=rec.get("anatomicalArea"),
@@ -175,8 +178,7 @@ def mip_record_to_neuron(rec: dict, library: str) -> Optional[Neuron]:
             sample_name=sample.get("name"),
             internal_line_name=sample.get("line"),
         )
-        n.published_name = sample.get("publishingName") or \
-            sample.get("line")
+        n.published_name = sample.get("publishingName")
         ch = rec.get("channelNumber")
         if ch is not None:
             try:
@@ -209,7 +211,7 @@ def load_library_neurons(client: JacsClient, *, library: str,
 
     included_libraries = set(included_libraries or ())
     excluded_libraries = set(excluded_libraries or ())
-    mip_ids = {m for m in (mips or ()) if m}
+    mip_ids = {str(m) for m in (mips or ()) if m}
     out = []
     for rec in client.color_depth_mips_with_samples(
             library=library, alignment_space=alignment_space,
@@ -222,7 +224,7 @@ def load_library_neurons(client: JacsClient, *, library: str,
         # re-applied client-side for the file:// page-dump transport,
         # which cannot filter server-side
         rec_id = rec.get("id") or rec.get("_id")
-        if mip_ids and str(rec_id) not in {str(m) for m in mip_ids}:
+        if mip_ids and str(rec_id) not in mip_ids:
             continue
         n = mip_record_to_neuron(rec, library)
         if n is None:

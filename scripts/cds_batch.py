@@ -68,8 +68,13 @@ def main(argv=None) -> int:
     selected = range(args.first_job, last + 1)
     if args.job is not None:
         selected = [args.job]
+    # tile indices are 1-based (like the reference's LSF job arrays);
+    # reject out-of-range instead of letting 0 wrap to the last tile
+    bad = [j for j in selected if not 1 <= j <= len(tiles)]
+    if bad:
+        p.error(f"tile index out of range 1..{len(tiles)}: {bad[:3]}")
 
-    extra = [a for a in args.rest if a != "--"]
+    extra = args.rest[1:] if args.rest[:1] == ["--"] else args.rest
     cmds = []
     for j in selected:
         m_off, m_len, t_off, t_len = tiles[j - 1]

@@ -50,8 +50,13 @@ def main(argv=None) -> int:
     selected = range(args.first_job, last + 1)
     if args.job is not None:
         selected = [args.job]
+    # job indices are 1-based (like the reference's LSF job arrays);
+    # reject out-of-range instead of letting 0 wrap to the last job
+    bad = [j for j in selected if not 1 <= j <= len(jobs)]
+    if bad:
+        p.error(f"job index out of range 1..{len(jobs)}: {bad[:3]}")
 
-    extra = [a for a in args.rest if a != "--"]
+    extra = args.rest[1:] if args.rest[:1] == ["--"] else args.rest
     cmds = []
     for j in selected:
         cmd = [sys.executable, "-m", "colormipsearch_tpu.cli.main",

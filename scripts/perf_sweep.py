@@ -128,7 +128,11 @@ def gather_only_step(planes, pos):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--widths", default="512,1024,2048,4096")
+    ap.add_argument("--widths", default=None,
+                    help="comma list of target shard widths (default "
+                         "512,1024,2048,4096 for the sweep; the --split/"
+                         "--keys A/Bs default to 2048 — the widest that "
+                         "keeps both plane sets co-resident in 16 GB HBM)")
     ap.add_argument("--batches", default="8")
     ap.add_argument("--extra-batches", default="16,32",
                     help="mask batches tried at the widest width")
@@ -151,13 +155,15 @@ def main():
         return 0
     if args.split:
         split_kernel_experiment(
-            t_width=int(args.widths.split(",")[-1]),
+            t_width=int(args.widths.split(",")[-1]) if args.widths
+            else 2048,
             b=int(args.batches.split(",")[0]),
             repeats_pairs=args.repeats_pairs)
         return 0
     if args.keys:
         keys_kernel_experiment(
-            t_width=int(args.widths.split(",")[-1]),
+            t_width=int(args.widths.split(",")[-1]) if args.widths
+            else 2048,
             b=int(args.batches.split(",")[0]),
             repeats_pairs=args.repeats_pairs)
         return 0
@@ -179,7 +185,8 @@ def main():
             with open(args.out, "a") as f:
                 f.write(line + "\n")
 
-    widths = [int(x) for x in args.widths.split(",")]
+    widths = [int(x) for x in
+              (args.widths or "512,1024,2048,4096").split(",")]
     batches = [int(x) for x in args.batches.split(",")]
     extra_batches = [int(x) for x in args.extra_batches.split(",") if x]
 
@@ -341,6 +348,9 @@ def keys_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
     agree = (pb == kb) | (pf > 0)
     log(f"keys-vs-packed equality: {agree.all()} "
         f"(flags on packed: {int(pf.sum())})")
+    # a disagreement invalidates the A/B (and the exactness claim) —
+    # refuse to emit timing lines that look like a valid comparison
+    assert agree.all(), np.argwhere(~agree)[:5]
 
     for name, fn in (("packed_u32", packed_once),
                      ("rank_keys", keys_once)):

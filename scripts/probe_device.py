@@ -5,7 +5,7 @@ The axon TPU tunnel can wedge (all dispatches hang) after a device
 process is killed or under sustained load; this prints the round-trip
 time of a trivial op so scripts can gate on device health:
 
-    python scripts/probe_device.py --budget 120 && python bench.py
+    python scripts/probe_device.py && python bench.py
 
 Exit codes: 0 healthy, 1 slow (completed but above --slow-threshold),
 2 timed out (run via the `timeout` wrapper in --budget).
@@ -21,8 +21,13 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--budget", type=float, default=120.0,
-                    help="seconds before the probe counts as wedged")
+    # >= 10 min: a probe KILLED by its own timeout is itself a killed
+    # device process and re-wedges the tunnel (CLAUDE.md); the budget
+    # must be long enough that a slow-but-alive probe finishes
+    ap.add_argument("--budget", type=float, default=600.0,
+                    help="seconds before the probe counts as wedged "
+                         "(keep >= 600: killing a slow probe re-wedges "
+                         "the tunnel)")
     ap.add_argument("--slow-threshold", type=float, default=15.0,
                     help="seconds above which the device counts as "
                          "degraded (exit 1)")

@@ -148,7 +148,9 @@ def main(argv=None) -> int:
     if args.selftest:
         return selftest(args.selftest)
 
-    cli_args = [a for a in args.rest if a != "--"]
+    # strip only the leading separator so a literal "--" can still be
+    # forwarded to the downstream CLI
+    cli_args = args.rest[1:] if args.rest[:1] == ["--"] else args.rest
     from colormipsearch_tpu.cli.main import main as cli_main
     return cli_main(cli_args)
 
