@@ -15,6 +15,7 @@ from colormipsearch_tpu.model import ComputeFileType, Neuron
 _lock = threading.Lock()
 _cache: "collections.OrderedDict[tuple, mips_io.NeuronMIP]" = \
     collections.OrderedDict()
+_loading: dict = {}  # key -> threading.Event for in-flight loads
 _max_size = 0
 _hits = 0
 _misses = 0
@@ -26,6 +27,7 @@ def initialize_cache(size: int) -> None:
     with _lock:
         _max_size = max(0, int(size))
         _cache.clear()
+        _loading.clear()
         _hits = _misses = 0
 
 
@@ -44,16 +46,29 @@ def load_mip(neuron: Neuron, ftype: ComputeFileType) -> mips_io.NeuronMIP:
     if fd is None:
         return mips_io.NeuronMIP(neuron, None, None)
     key = (fd.file_name, fd.entry_name, ftype)
-    with _lock:
-        hit = _cache.get(key)
-        if hit is not None:
-            _cache.move_to_end(key)
-            _hits += 1
-            return mips_io.NeuronMIP(neuron, hit.file_data, hit.image)
-    mip = mips_io.load_compute_file(neuron, ftype)
-    with _lock:
-        _misses += 1
-        _cache[key] = mip
-        while len(_cache) > _max_size:
-            _cache.popitem(last=False)
-    return mip
+    while True:
+        with _lock:
+            hit = _cache.get(key)
+            if hit is not None:
+                _cache.move_to_end(key)
+                _hits += 1
+                return mips_io.NeuronMIP(neuron, hit.file_data, hit.image)
+            pending = _loading.get(key)
+            if pending is None:
+                # claim the load; other threads wait instead of decoding
+                # the same image concurrently (Guava LoadingCache blocks
+                # on the in-flight load, CachedMIPsUtils.java:58-72)
+                _loading[key] = threading.Event()
+                break
+        pending.wait()
+    try:
+        mip = mips_io.load_compute_file(neuron, ftype)
+        with _lock:
+            _misses += 1
+            _cache[key] = mip
+            while len(_cache) > _max_size:
+                _cache.popitem(last=False)
+        return mip
+    finally:
+        with _lock:
+            _loading.pop(key).set()

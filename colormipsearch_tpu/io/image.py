@@ -68,8 +68,16 @@ def _from_pil(img: Image.Image) -> ImageData:
     if img.mode in ("I;16", "I;16B", "I;16L"):
         return ImageData(ImageType.GRAY16, np.asarray(img, dtype=np.uint16))
     if img.mode == "I":
+        # PIL promotes 16-bit grayscale PNGs to 32-bit mode "I"; values
+        # must fit the 16-bit pipeline — reject instead of silently
+        # wrapping through astype (the bit-exactness contract)
         arr = np.asarray(img, dtype=np.int32)
-        if arr.max(initial=0) > 255:
+        mx = int(arr.max(initial=0))
+        if mx > 0xFFFF or int(arr.min(initial=0)) < 0:
+            raise ValueError(
+                f"32-bit gray image with values outside uint16 "
+                f"(min {arr.min(initial=0)}, max {mx}) is not supported")
+        if mx > 255:
             return ImageData(ImageType.GRAY16, arr.astype(np.uint16))
         return ImageData(ImageType.GRAY8, arr.astype(np.uint8))
     # fall back to RGB conversion for exotic modes

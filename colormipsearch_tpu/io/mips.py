@@ -17,6 +17,7 @@ cache for the same reason — MIPsUtils.java:43,392-420).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import os
@@ -93,13 +94,15 @@ def _zip_handle(path: str) -> zipfile.ZipFile:
     thread-safe, hence per-thread; a small cap bounds open fds."""
     cache = getattr(_zip_handles, "cache", None)
     if cache is None:
-        cache = _zip_handles.cache = {}
+        cache = _zip_handles.cache = collections.OrderedDict()
     z = cache.get(path)
     if z is None:
         if len(cache) >= 8:
-            _, old = cache.popitem()
+            _, old = cache.popitem(last=False)  # evict least recently used
             old.close()
         z = cache[path] = zipfile.ZipFile(path)
+    else:
+        cache.move_to_end(path)
     return z
 
 
@@ -169,10 +172,6 @@ def load_compute_file(neuron: Neuron, ftype: ComputeFileType) -> NeuronMIP:
 # -------------------------------------------------------------------------
 # v2 variant lookup by suffix convention
 # -------------------------------------------------------------------------
-
-
-_CDM_SUFFIX_RE = re.compile(r"(_CDM)?\.(png|tif|tiff|jpg|jpeg|gif|bmp)$",
-                            re.IGNORECASE)
 
 
 def variant_candidates(mip_name: str, variant_suffix: str | None,
@@ -281,7 +280,11 @@ def find_variant(mip_fd: FileData, variant_locations: list[str],
             hit = _contains_stem_match(
                 (ps[0] for ps in index.values()), stem, variant_suffix)
             if hit is not None:
-                return FileData(hit)
+                # the matched basename may exist in several subtrees —
+                # apply the same parent-directory disambiguation as the
+                # exact-candidate path
+                return FileData(_pick_collision(
+                    index[os.path.basename(hit)], mip_fd))
     return None
 
 

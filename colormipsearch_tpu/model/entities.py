@@ -195,10 +195,13 @@ class Neuron:
         return _clean(out)
 
     # field names that map to typed attributes (rest go to `extra`)
+    # createdDate/updatedDate are deliberately NOT listed: they have no
+    # typed field, so they ride `extra` and round-trip like any other
+    # unknown attribute
     _KNOWN = ("class", "entityId", "mipId", "libraryName", "publishedName",
               "alignmentSpace", "sourceRefId", "neuronTerms", "computeFiles",
               "processedTags", "tags", "datasetLabels", "validationErrors",
-              "files", "createdDate", "updatedDate")
+              "files")
 
     @classmethod
     def _base_kwargs(cls, data: dict) -> dict:
@@ -215,9 +218,13 @@ class Neuron:
                 ComputeFileType.from_name(k): FileData.from_json(v)
                 for k, v in (data.get("computeFiles") or {}).items()
                 if ComputeFileType.from_name(k) is not None},
+            # unknown processing types are skipped, like unknown
+            # computeFiles keys above — a newer producer must not make
+            # the whole ingest crash
             processed_tags={
                 ProcessingType(k): set(v)
-                for k, v in (data.get("processedTags") or {}).items()},
+                for k, v in (data.get("processedTags") or {}).items()
+                if k in ProcessingType._value2member_map_},
             tags=set(data.get("tags") or ()),
             dataset_labels=set(data.get("datasetLabels") or ()),
             validation_errors=set(data["validationErrors"])
@@ -319,9 +326,10 @@ def neuron_from_json(data: dict) -> Neuron:
         return EMNeuron.from_json(data)
     if "LMNeuron" in cls_name:
         return LMNeuron.from_json(data)
-    # fall back on library-name heuristics used by the tools layer
-    lib = (data.get("libraryName") or "").lower()
-    if "flyem" in lib or "_em_" in lib or "manc" in lib:
+    # fall back on the shared library-name classifier
+    # (io/naming.is_em_library, MIPsHandlingUtils.isEmLibrary:116)
+    from colormipsearch_tpu.io.naming import is_em_library
+    if is_em_library(data.get("libraryName") or ""):
         return EMNeuron.from_json(data)
     return LMNeuron.from_json(data)
 
@@ -395,6 +403,9 @@ class CDMatch:
         if self.match_files:
             out["files"] = dict(self.match_files)
         out["class"] = self.JSON_CLASS
+        # match_found is deliberately not serialized: the reference marks
+        # isMatchFound @JsonIgnore (CDMatchEntity.java:72-75) — it is a
+        # transient result-filtering flag, recomputed per run
         return out
 
     @classmethod
@@ -481,8 +492,10 @@ class PPPMatch:
         if self.matched_image is not None:
             out["image"] = self.matched_image.to_json()
         out.update(_clean({
-            "entityId": str(self.entity_id) if self.entity_id else None,
-            "sessionRefId": str(self.session_ref_id) if self.session_ref_id else None,
+            "entityId": str(self.entity_id)
+            if self.entity_id is not None else None,
+            "sessionRefId": str(self.session_ref_id)
+            if self.session_ref_id is not None else None,
             "maskImageRefId": str(self.mask_image_ref_id)
             if self.mask_image_ref_id is not None else None,
             "matchedImageRefId": str(self.matched_image_ref_id)

@@ -78,3 +78,37 @@ def test_v2_zero_scores_roundtrip():
     assert m.highExpressionArea == 0
     assert m.normalizedGapScore == 0.0
     assert m.normalized_score == 0.0  # NOT the matchingPixels fallback
+
+
+def test_neuron_json_robustness_and_heuristics():
+    """Round-trip/fallback semantics from the round-2 review pass:
+    unknown processedTags keys are skipped (like unknown computeFiles),
+    createdDate rides `extra` and survives the round trip, and the
+    class-less EM fallback uses the shared is_em_library classifier
+    (MIPsHandlingUtils.isEmLibrary:116)."""
+    from colormipsearch_tpu.model import EMNeuron
+    from colormipsearch_tpu.model.entities import neuron_from_json
+
+    data = {
+        "class": "org.janelia.colormipsearch.model.EMNeuronEntity",
+        "mipId": "123", "libraryName": "flyem_hemibrain_1_2_1",
+        "processedTags": {"ColorDepthSearch": ["r1"],
+                          "SomeFutureType": ["x"]},
+        "createdDate": "2024-01-02T03:04:05Z",
+    }
+    n = neuron_from_json(data)
+    assert [t.value for t in n.processed_tags] == ["ColorDepthSearch"]
+    assert n.to_json()["createdDate"] == "2024-01-02T03:04:05Z"
+
+    for lib, want_em in [("flywire_fafb_783", True),
+                         ("hemibrain_1.2.1", True),
+                         ("flylight_split_gal4_published", False)]:
+        got = neuron_from_json({"mipId": "1", "libraryName": lib})
+        assert isinstance(got, EMNeuron) is want_em, lib
+
+
+def test_pppmatch_zero_ids_roundtrip():
+    from colormipsearch_tpu.model.entities import PPPMatch
+
+    d = PPPMatch(entity_id=0, session_ref_id=0).to_json()
+    assert d["entityId"] == "0" and d["sessionRefId"] == "0"
