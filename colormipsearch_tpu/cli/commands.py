@@ -84,6 +84,11 @@ def _add_cds_params(sp):
                          "--cdsConcurrency); device dispatch is batched")
     sp.add_argument("--task-concurrency", "-tc", type=int, default=0,
                     help="accepted for reference parity")
+    sp.add_argument("--use-key-planes", action="store_true",
+                    default=None,
+                    help="rank-key interval kernel: exact device "
+                         "verdicts with no oracle fallback "
+                         "(docs/DESIGN.md §2.4; also CDS_KEY_PLANES=1)")
 
 
 def _neuron_name_filter(neurons, patterns):
@@ -341,7 +346,8 @@ def cmd_color_depth_search(args) -> int:
     engine = CDSearchEngine(
         params,
         decode_concurrency=getattr(args, "cdsConcurrency", 0)
-        if getattr(args, "cdsConcurrency", 0) > 0 else 8)
+        if getattr(args, "cdsConcurrency", 0) > 0 else 8,
+        use_key_planes=getattr(args, "use_key_planes", None))
     tags = [args.processingTag] if args.processingTag else []
     cap = max(args.maxMatchesPerMask, 0)
     batch_size = max(args.writeBatchSize, 1)
@@ -856,7 +862,8 @@ def _cds_name(args) -> str:
 
 def _run_v2_search(args, masks, targets, mip_by_key) -> int:
     params = _cds_params(args)
-    engine = CDSearchEngine(params)
+    engine = CDSearchEngine(
+        params, use_key_planes=getattr(args, "use_key_planes", None))
     if getattr(args, "outputDir", None):
         out_dir = Path(args.outputDir)
         out_dir.mkdir(parents=True, exist_ok=True)
