@@ -72,11 +72,13 @@ def build_workload():
     return mask_rgb, target_rgb, host_sample, region
 
 
-def build_device_planes(target_rgb: np.ndarray, n_targets: int):
+def build_device_planes(target_rgb: np.ndarray, n_targets: int,
+                        kind: str = "packed"):
     """Pack n_targets rolled/flipped variants of one CDM, synthesized on
     the device (uploads a single image instead of the whole library).
     Chunks are written into a donated buffer so peak memory stays at one
-    plane array even for multi-GB target widths."""
+    plane array even for multi-GB target widths.  kind="keys" builds the
+    rank-key planes (ops/common.pack_target_planes_keys) instead."""
     import functools
 
     import jax
@@ -92,6 +94,7 @@ def build_device_planes(target_rgb: np.ndarray, n_targets: int):
     flips[0] = False
 
     base = jnp.asarray(target_rgb)
+    rank_lut = common.rank_lut_device() if kind == "keys" else None
 
     @jax.jit
     def make_planes(img, sh, fl):
@@ -101,6 +104,8 @@ def build_device_planes(target_rgb: np.ndarray, n_targets: int):
 
         stack = jax.vmap(one)(sh, fl)
         # threshold folded into the pack (engine production config)
+        if kind == "keys":
+            return common.pack_target_planes_keys(stack, 20, rank_lut)
         return common.pack_target_planes(stack, data_threshold=20)
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -108,7 +113,9 @@ def build_device_planes(target_rgb: np.ndarray, n_targets: int):
         return jax.lax.dynamic_update_slice(planes, chunk, (0, start))
 
     chunk = 64
-    planes = jnp.zeros((h * w, n_targets), jnp.uint32)
+    rows = h * w + 1 if kind == "keys" else h * w  # keys: sentinel row
+    dtype = jnp.int32 if kind == "keys" else jnp.uint32
+    planes = jnp.zeros((rows, n_targets), dtype)
     for i in range(0, n_targets, chunk):
         p = make_planes(base, jnp.asarray(shifts[i:i + chunk]),
                         jnp.asarray(flips[i:i + chunk]))
@@ -165,7 +172,43 @@ def bench_tpu(mask_rgb, target_rgb, region):
     v, q = plan.positions.shape
     gather_gb_s = (N_MASK_REPEATS * MASK_BATCH * v * q * N_TARGETS * 4
                    / dt / 1e9)
-    return pairs / dt, gather_gb_s, plan
+
+    # the rank-key interval kernel on the same workload (extra metric —
+    # the hardware A/B for DESIGN.md §2.4).  The packed planes are
+    # released first: both sets at T=4096 would exceed the 16 GB HBM.
+    packed_max = int(final.max())
+    del planes, out, final
+    keys_rate = bench_tpu_keys(target_rgb, plan, packed_max)
+    return pairs / dt, gather_gb_s, keys_rate, plan
+
+
+def bench_tpu_keys(target_rgb, plan, packed_max: int) -> float:
+    import jax
+
+    from colormipsearch_tpu.ops import pixel_match
+
+    t_keys = build_device_planes(target_rgb, N_TARGETS, kind="keys")
+    h, w = target_rgb.shape[:2]
+    kplan = pixel_match.key_plan_from_query_plan(plan, h * w, 1.0)
+    kpos = jax.device_put(np.stack([kplan.positions] * MASK_BATCH))
+    klo = jax.device_put(np.stack([kplan.lo] * MASK_BATCH))
+    kspan = jax.device_put(np.stack([kplan.span] * MASK_BATCH))
+
+    def run_once():
+        return pixel_match.score_query_batch_keys(
+            t_keys, kpos, klo, kspan, n_straight=plan.n_straight)
+
+    np.asarray(run_once()[0])  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(N_MASK_REPEATS):
+        out = run_once()
+    final = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    # the exact kernel must reproduce the packed kernel's top score
+    # (this workload has no ambiguity flags)
+    assert int(final.max()) == packed_max, (int(final.max()), packed_max)
+    return N_MASK_REPEATS * MASK_BATCH * N_TARGETS / dt
 
 
 def bench_shape_tpu(mask_rgb, target_rgb, region):
@@ -272,7 +315,8 @@ def bench_oracle_baseline(mask_rgb, targets, region):
 
 def main() -> int:
     mask_rgb, target_rgb, host_sample, region = build_workload()
-    tpu_rate, gather_gb_s, plan = bench_tpu(mask_rgb, target_rgb, region)
+    tpu_rate, gather_gb_s, keys_rate, plan = bench_tpu(
+        mask_rgb, target_rgb, region)
     shape_rate = bench_shape_tpu(mask_rgb, target_rgb, region)
     baseline_rate = bench_oracle_baseline(mask_rgb, host_sample, region)
     result = {
@@ -285,6 +329,9 @@ def main() -> int:
         "extra": {
             "gather_gb_per_s": round(gather_gb_s, 1),
             "pct_hbm_peak": round(100 * gather_gb_s / HBM_PEAK_GB_S, 1),
+            "keys_pairs_per_s": round(keys_rate, 1),
+            "keys_unit": "rank-key interval kernel (exact predicate, "
+                         "docs/DESIGN.md §2.4) on the same workload",
             "shape_pairs_per_s": round(shape_rate, 1),
             "shape_unit": "shape-rescored mask-target pairs/s (mirror "
                           f"config, T={SHAPE_TARGETS})",
