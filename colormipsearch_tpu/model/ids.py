@@ -44,6 +44,11 @@ class TimebasedIdGenerator:
         if t == self._time_component:
             time.sleep(0.001)
             t = int(time.time() * 1000) - _CURRENT_TIME_OFFSET
+        if t <= self._time_component:
+            # clock stepped backwards (NTP): advance the logical tick
+            # instead of re-issuing an already-used block (the reference
+            # generator would duplicate here, TimebasedIdGenerator.java:73)
+            t = self._time_component + 1
         self._time_component = t
         self._index = 0
 

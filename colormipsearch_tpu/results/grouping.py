@@ -53,7 +53,9 @@ def select_top_ranked(items: Sequence[T],
     """
     groups: dict[str, list[T]] = {}
     for it in items:
-        key = grouping(it) or "UNKNOWN"
+        key = grouping(it)
+        # defaultIfBlank: whitespace-only keys also map to UNKNOWN
+        key = key if key and key.strip() else "UNKNOWN"
         groups.setdefault(key, []).append(it)
     entries = []
     for key, vals in groups.items():
