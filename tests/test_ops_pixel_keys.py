@@ -102,6 +102,41 @@ def test_key_kernel_equals_oracle_per_variant():
         assert (scores[:, i] == want).all(), i
 
 
+def test_score_query_batch_keys_matches_raw():
+    """The batched (non-mesh fallback) entry point must agree with the
+    per-variant raw kernel + reference reduction semantics."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    h, w = 30, 40
+    queries = [_mk(rng, h, w, 250) for _ in range(3)]
+    targets = [_mk(rng, h, w, 200) for _ in range(5)] + [queries[0]]
+    thr, flu = 20, 1.0
+
+    plans = [pixel_match.build_query_plan(
+        q, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
+        for q in queries]
+    kplans = [pixel_match.key_plan_from_query_plan(p, h * w, flu)
+              for p in plans]
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(np.stack(targets)), thr, common.rank_lut_device())
+    best, mirrored, flags = pixel_match.score_query_batch_keys(
+        t_keys,
+        jnp.asarray(np.stack([kp.positions for kp in kplans])),
+        jnp.asarray(np.stack([kp.lo for kp in kplans])),
+        jnp.asarray(np.stack([kp.span for kp in kplans])),
+        n_straight=plans[0].n_straight)
+    assert (np.asarray(flags) == 0).all()
+    for b, kp in enumerate(kplans):
+        scores = np.asarray(pixel_match.score_query_against_key_planes_raw(
+            t_keys, jnp.asarray(kp.positions), jnp.asarray(kp.lo),
+            jnp.asarray(kp.span)))
+        want_b, want_m = pixel_match.reduce_variant_scores(scores, plans[b])
+        assert (np.asarray(best)[b] == want_b).all()
+        assert (np.asarray(mirrored)[b] == want_m).all()
+    assert int(np.asarray(best)[0, 5]) == plans[0].query_size
+
+
 def test_key_planes_from_packed_equals_direct_pack():
     import jax.numpy as jnp
 
