@@ -98,14 +98,43 @@ def selftest(out_path: str) -> int:
     ref_best = np.asarray(ref_best)
 
     ok = bool((best == ref_best).all())
+
+    # the rank-key interval kernel over the same process-spanning mesh
+    # (exact predicate — its cross-process scores must equal the packed
+    # kernel's, which this workload leaves un-flagged)
+    from colormipsearch_tpu.parallel.mesh import make_sharded_batch_step_keys
+
+    key_planes_host = np.asarray(common.key_planes_from_packed(
+        jnp.asarray(np.where((planes_padded & 0xFF) > 20,
+                             planes_padded, 0)),
+        common.rank_lut_device()))
+    kplans = [pixel_match.key_plan_from_query_plan(pl, h * w, 2.0)
+              for pl in plans]
+    key_planes = jax.make_array_from_callback(
+        key_planes_host.shape, sharding, lambda idx: key_planes_host[idx])
+    kstep = make_sharded_batch_step_keys(
+        mesh, n_straight=plans[0].n_straight)
+    kbest, _km, _kf, _kg = kstep(
+        key_planes,
+        jnp.asarray(np.stack([kp.positions for kp in kplans])),
+        jnp.asarray(np.stack([kp.lo for kp in kplans])),
+        jnp.asarray(np.stack([kp.span for kp in kplans])))
+    kbest = np.asarray(multihost_utils.process_allgather(
+        kbest, tiled=True))[:, :n_targets]
+    # the packed step applies target_threshold=20 at runtime; the key
+    # planes folded it above, so verdicts must agree exactly
+    keys_ok = bool((kbest == ref_best).all())
+
+    ok = ok and keys_ok
     with open(out_path, "w") as f:
         json.dump({"process": jax.process_index(),
                    "num_processes": jax.process_count(),
                    "n_global_devices": len(jax.devices()),
-                   "ok": ok,
+                   "ok": ok, "keys_ok": keys_ok,
                    "scores": best.tolist(),
                    "global_max": np.asarray(gmax).reshape(-1).tolist()}, f)
-    print(f"[multihost] selftest ok={ok}", file=sys.stderr)
+    print(f"[multihost] selftest ok={ok} (keys_ok={keys_ok})",
+          file=sys.stderr)
     return 0 if ok else 1
 
 
