@@ -75,6 +75,11 @@ class CDSParams:
         if self.xy_shift % 2 != 0:
             # reference validates xyShift is even (factory :59-61)
             raise ValueError("xyShift must be an even value")
+        if not (float(self.pix_color_fluctuation) >= 0):
+            # the device predicates' exactness proofs cover z >= 0 only
+            # (a negative tolerance matches nothing useful; NaN fails
+            # the inverted comparison too)
+            raise ValueError("pixColorFluctuation must be >= 0")
 
     def excluded_region(self, height: int, width: int) -> np.ndarray | None:
         if not (self.with_name_label_region or self.with_color_scale_region):
@@ -392,15 +397,18 @@ class CDSearchEngine:
 
     def _key_plan(self, plan, n_pixels: int):
         # entries hold a strong ref to the source plan so a recycled
-        # object id can never alias a freed plan's cache slot
-        cached = self._key_plans.get(id(plan))
+        # object id can never alias a freed plan's cache slot; n_pixels
+        # is part of the key because the sentinel encoding depends on
+        # the plane shape
+        key = (id(plan), n_pixels)
+        cached = self._key_plans.get(key)
         if cached is not None and cached[0] is plan:
             return cached[1]
         kp = pixel_match.key_plan_from_query_plan(
             plan, n_pixels, self.params.pix_color_fluctuation)
         if len(self._key_plans) >= self._KEY_PLANS_MAX:
             self._key_plans.pop(next(iter(self._key_plans)))
-        self._key_plans[id(plan)] = (plan, kp)
+        self._key_plans[key] = (plan, kp)
         return kp
 
     def _stacked_key_args(self, plans, n_pixels: int):
@@ -410,7 +418,22 @@ class CDSearchEngine:
                     jnp.asarray(np.stack([kp.lo for kp in kplans])),
                     jnp.asarray(np.stack([kp.span for kp in kplans])))
 
-        return self._cached_plan_args("keys", plans, build)
+        return self._cached_plan_args(("keys", n_pixels), plans, build)
+
+    def _mesh_planes(self, shard: TargetShard):
+        """The shard's planes sharded over the current mesh, built
+        lazily; the unsharded copy is released once the sharded one
+        exists so device 0 is not pinned with the full stack alongside
+        its shard."""
+        from colormipsearch_tpu.parallel import shard_target_planes
+
+        planes = shard.device_planes
+        if planes is None or shard.mesh_token is not self._mesh:
+            planes = shard_target_planes(self._mesh, shard.planes)
+            shard.device_planes = planes
+            shard.mesh_token = self._mesh
+            shard.planes = None
+        return planes
 
     def _sharded_step(self, n_straight: int, ztol, top_k: int = 0,
                       target_threshold: int | None = None):
@@ -613,23 +636,21 @@ class CDSearchEngine:
         use_keys = shard.kind == "keys"
         # classic plan args upload only when a non-key path consumes them
         args = None if use_keys else self._stacked_plan_args(plans)
+        # CDS_SPLIT_PLANES=1: 3-byte split-plane kernel (requires the
+        # folded threshold; dense path only — the top-k step stays on
+        # the packed kernel)
+        use_split = (not use_keys and _USE_SPLIT
+                     and shard.packed_threshold is not None
+                     and top_k == 0)
+        on_mesh = self._mesh is not None and shard.t_pad % n_dev == 0
         if use_keys:
             # rank-key planes: exact interval predicate (flags are
             # structurally zero, so no oracle fallback and no flag-leak
             # dense pulls on the top-k path)
             n_pixels = shard.shape[0] * shard.shape[1]
             kargs = self._stacked_key_args(plans, n_pixels)
-            if self._mesh is not None and shard.t_pad % n_dev == 0:
-                from colormipsearch_tpu.parallel import (
-                    shard_target_planes,
-                )
-
-                planes = shard.device_planes
-                if planes is None or shard.mesh_token is not self._mesh:
-                    planes = shard_target_planes(self._mesh, shard.planes)
-                    shard.device_planes = planes
-                    shard.mesh_token = self._mesh
-                    shard.planes = None
+            if on_mesh:
+                planes = self._mesh_planes(shard)
                 if top_k > 0:
                     step = self._keys_step(plans[0].n_straight, top_k)
                     scores_k, idx_k, mirr_k, flags_k, _gmax, _nf = \
@@ -645,16 +666,8 @@ class CDSearchEngine:
                     pixel_match.score_query_batch_keys(
                         shard.planes, *kargs,
                         n_straight=plans[0].n_straight)
-        # CDS_SPLIT_PLANES=1: 3-byte split-plane kernel (requires the
-        # folded threshold; dense path only — the top-k step stays on
-        # the packed kernel)
-        use_split = (not use_keys and _USE_SPLIT
-                     and shard.packed_threshold is not None
-                     and top_k == 0)
-        if use_keys:
-            pass
         elif use_split and (self._mesh is None
-                          or shard.t_pad % n_dev == 0):
+                            or shard.t_pad % n_dev == 0):
             t_sp, t_c8 = self._split_planes(shard)
             ztol = (plans[0].ztol_num, plans[0].ztol_den)
             if self._mesh is not None:
@@ -666,18 +679,8 @@ class CDSearchEngine:
                     pixel_match.score_query_batch_split(
                         t_sp, t_c8, *args, ztol_num=ztol[0],
                         ztol_den=ztol[1], n_straight=plans[0].n_straight)
-        elif self._mesh is not None and shard.t_pad % n_dev == 0:
-            from colormipsearch_tpu.parallel import shard_target_planes
-
-            planes = shard.device_planes
-            if planes is None or shard.mesh_token is not self._mesh:
-                planes = shard_target_planes(self._mesh, shard.planes)
-                shard.device_planes = planes
-                shard.mesh_token = self._mesh
-                # the sharded copy serves every path (incl. the neg
-                # pass); keep only it so device 0 is not pinned with the
-                # full unsharded stack alongside its shard
-                shard.planes = None
+        elif on_mesh:
+            planes = self._mesh_planes(shard)
             dense_needed = top_k == 0
             if top_k > 0:
                 # collective per-shard top-k: only D*k candidates per

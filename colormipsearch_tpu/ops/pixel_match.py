@@ -675,6 +675,10 @@ def build_key_intervals(q_cls: np.ndarray, q_s: np.ndarray,
     act = (q_cls > 0) & (q_s >= 1)
     q_rank = rank_tab[np.minimum(q_s, 255), np.minimum(q_p, 255)]
     anchor = np.maximum(q_rank, 1)
+    # the bisection assumes the anchor matches (gap 0 <= z); with a
+    # negative or NaN tolerance nothing matches and the degenerate
+    # edges would otherwise underflow span to "match everything"
+    act &= probe(q_cls, anchor)
     lo_i, hi_i = np.ones(n_q, np.int64), anchor.astype(np.int64)
     for _ in range(16):  # first j in [1, q_rank] with match (monotone)
         mid = (lo_i + hi_i) // 2

@@ -72,6 +72,35 @@ def test_intervals_match_oracle_on_ratio_grid(z_tol):
             assert (memb == truth).all(), (qc, tc)
 
 
+@pytest.mark.parametrize("z_tol", [-0.01, float("nan"), 0.0])
+def test_intervals_degenerate_tolerances(z_tol):
+    """Negative/NaN tolerances must still equal the oracle verdict —
+    the same-class bisection's degenerate edges previously underflowed
+    span to match-everything."""
+    vals, _ = common.ratio_rank_table()
+    sel = np.arange(1, 32000, 997)
+    sv, pv = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    valid = (pv >= 1) & (sv < pv)
+    s_all, p_all = sv[valid], pv[valid]
+    for qc in (1, 4):
+        q_s = s_all[sel].astype(np.int64)
+        q_p = p_all[sel].astype(np.int64)
+        q_cls = np.full(q_s.shape, qc, np.int64)
+        q_r = oracle_pixel.ratio_f64(q_cls, q_s, q_p)
+        lo, span = pixel_match.build_key_intervals(q_cls, q_s, q_p, z_tol)
+        t_ranks = np.arange(0, vals.size, 131)
+        for tc in range(1, 7):
+            keys = ((tc << common.KEY_RANK_BITS) | t_ranks).astype(
+                np.uint32)
+            gaps = oracle_pixel.pixel_gap(
+                q_cls[:, None], q_r[:, None], tc, vals[t_ranks][None, :])
+            truth = gaps <= z_tol
+            memb = np.zeros_like(truth)
+            for k in range(3):
+                memb |= (keys[None, :] - lo[k][:, None]) <= span[k][:, None]
+            assert (memb == truth).all(), (qc, tc, z_tol)
+
+
 def test_key_kernel_equals_oracle_per_variant():
     import jax.numpy as jnp
 
