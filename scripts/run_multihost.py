@@ -125,16 +125,43 @@ def selftest(out_path: str) -> int:
     # planes folded it above, so verdicts must agree exactly
     keys_ok = bool((kbest == ref_best).all())
 
-    ok = ok and keys_ok
+    # the split (gap-row / he-row) shape kernel over the same
+    # process-spanning mesh vs the single-device jit
+    from colormipsearch_tpu.ops import shape_score
+    from colormipsearch_tpu.parallel.mesh import (
+        make_sharded_shape_split_step,
+    )
+
+    s_gap, n_w = 64, 4
+    t_gap = rng.integers(0, 1 << 25, (2, s_gap, t_pad)).astype(np.uint32)
+    q_gap = rng.integers(0, 1 << 11, (2, s_gap)).astype(np.int32)
+    t_he = rng.integers(0, 1 << 32, (2, n_w, t_pad),
+                        dtype=np.uint64).astype(np.uint32)
+    q_he = rng.integers(0, 1 << 32, (2, n_w),
+                        dtype=np.uint64).astype(np.uint32)
+    sharding3 = NamedSharding(mesh, P(None, None, "targets"))
+    sh = lambda a: jax.make_array_from_callback(  # noqa: E731
+        a.shape, sharding3, lambda idx: a[idx])
+    sstep = make_sharded_shape_split_step(mesh)
+    got = sstep(sh(t_gap), jnp.asarray(q_gap), sh(t_he),
+                jnp.asarray(q_he))
+    got = [np.asarray(multihost_utils.process_allgather(g, tiled=True))
+           for g in got]
+    ref = [np.asarray(x) for x in shape_score.shape_score_pairs_split(
+        jnp.asarray(t_gap), jnp.asarray(q_gap), jnp.asarray(t_he),
+        jnp.asarray(q_he))]
+    shape_ok = all((r == g).all() for r, g in zip(ref, got))
+
+    ok = ok and keys_ok and shape_ok
     with open(out_path, "w") as f:
         json.dump({"process": jax.process_index(),
                    "num_processes": jax.process_count(),
                    "n_global_devices": len(jax.devices()),
-                   "ok": ok, "keys_ok": keys_ok,
+                   "ok": ok, "keys_ok": keys_ok, "shape_ok": shape_ok,
                    "scores": best.tolist(),
                    "global_max": np.asarray(gmax).reshape(-1).tolist()}, f)
-    print(f"[multihost] selftest ok={ok} (keys_ok={keys_ok})",
-          file=sys.stderr)
+    print(f"[multihost] selftest ok={ok} (keys_ok={keys_ok}, "
+          f"shape_ok={shape_ok})", file=sys.stderr)
     return 0 if ok else 1
 
 
