@@ -313,11 +313,13 @@ def test_slice_numbers_vs_java_transliteration():
 # ---------------------------------------------------------------------------
 
 
-def test_engine_matches_oracle_across_param_combos(tmp_path):
+@pytest.mark.parametrize("use_keys", [False, True],
+                         ids=["packed", "keys"])
+def test_engine_matches_oracle_across_param_combos(tmp_path, use_keys):
     """Property test: the full device engine (plans, batching, mesh,
-    flags + fallback) equals the float64 oracle for every pair, across
-    the CDS parameter grid (thresholds x xyShift x mirror x fluctuation
-    x label regions)."""
+    flags + fallback — or the exact rank-key path) equals the float64
+    oracle for every pair, across the CDS parameter grid (thresholds x
+    xyShift x mirror x fluctuation x label regions)."""
     from PIL import Image
 
     from colormipsearch_tpu.engine.cds import CDSParams, CDSearchEngine
@@ -365,7 +367,8 @@ def test_engine_matches_oracle_across_param_combos(tmp_path):
     ]
     for params_kw in combos:
         params = CDSParams(**params_kw)
-        engine = CDSearchEngine(params)  # auto-mesh on the 8-device CPU
+        # auto-mesh on the 8-device CPU
+        engine = CDSearchEngine(params, use_key_planes=use_keys)
         got = {}
         for m in engine.find_all_matches(mask_neurons, target_neurons):
             got[(m.mask_image.mip_id, m.matched_image.mip_id)] = \
