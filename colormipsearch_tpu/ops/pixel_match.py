@@ -808,3 +808,172 @@ def reduce_variant_scores(scores: np.ndarray, plan: QueryPlan):
         best = np.maximum(straight, mirrored)
         return best, mirrored > straight
     return straight, np.zeros(scores.shape[1], dtype=bool)
+
+
+# --- x-union lane form of the rank-key kernel ------------------------------
+#
+# The 9 xy-shift variants gather row sets that overlap heavily in x (the
+# shifts form a {dy} x {dx} grid): for each dy, the three dx-shifted
+# position sets share the x-dilated union U = {q + dx}.  Gathering U once
+# per dy-set (2*3 gathers instead of 18) and evaluating the dx variants as
+# predicate LANES with per-lane interval constants halves the gathered
+# rows/bytes — the measured kernel bottleneck (docs/DESIGN.md §6: row-issue
+# -bound gathers) — for 1.5x more range tests.  An earlier union kernel on
+# the banded-rules predicate lost 18% on hardware because that predicate
+# was already VPU-bound; the interval predicate is ~3x lighter, so the
+# trade reverses (A/B: scripts/perf_sweep.py --union-keys).
+#
+# Bit-exactness: a union row u on query row y serves lane dx iff
+# q = u - dx is a query position with q.x + dx in-bounds — exactly the
+# classic variant's membership rule; inactive (row, lane) elements carry
+# empty intervals (lo = _EMPTY_LO, span = 0) that no key can satisfy, and
+# out-of-bounds dy rows gather the all-zero sentinel row, whose key 0 is
+# outside every real interval (active lo >= 1 << KEY_RANK_BITS).
+
+
+@dataclasses.dataclass
+class UnionKeyPlan:
+    """Host-side precomputation for the x-union lane key kernel."""
+    u_pos: np.ndarray      # int32 [S, U] straight dy-set positions,
+    #                        sentinel-encoded (= n_pixels)
+    mu_pos: np.ndarray     # int32 [S or 0, U] mirrored dy-set positions
+    lane_lo: np.ndarray    # uint32 [L, 3, U] per-lane key intervals
+    lane_span: np.ndarray  # uint32 [L, 3, U]
+    query_size: int        # true (unpadded) number of query positions
+    mirror: bool
+
+    @property
+    def n_sets(self) -> int:
+        return self.u_pos.shape[0]
+
+    @property
+    def n_lanes(self) -> int:
+        return self.lane_lo.shape[0]
+
+    @property
+    def n_straight(self) -> int:
+        return self.n_sets * self.n_lanes
+
+
+def build_union_key_plan(query_rgb: np.ndarray, query_threshold: int, *,
+                         mirror: bool, xy_shift: int,
+                         pix_color_fluctuation,
+                         excluded_region: np.ndarray | None = None,
+                         pad_to: int | None = None
+                         ) -> UnionKeyPlan | None:
+    """Build the x-union lane plan (see UnionKeyPlan).
+
+    Returns None when the shift offsets do not form a {dy} x {dx} grid
+    (they do for the production xy_shift in {0, 2}); callers fall back
+    to the classic key plan.
+    """
+    offsets = oracle_pixel.shift_offsets(xy_shift)
+    dxs = sorted({dx for dx, _ in offsets})
+    dys = sorted({dy for _, dy in offsets})
+    if {(dx, dy) for dx in dxs for dy in dys} != set(offsets):
+        return None
+
+    h, w = query_rgb.shape[:2]
+    n_pixels = h * w
+    fg = (query_rgb > query_threshold).any(axis=-1)
+    if excluded_region is not None:
+        fg &= ~excluded_region
+    positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
+
+    cls, s, p = oracle_pixel.classify_rgb(query_rgb.reshape(-1, 3))
+
+    # x-dilated union of the query support (flat positions; dx shifts
+    # that leave the row are skipped, like the reference's -1 sentinel)
+    x = positions % w
+    union = np.unique(np.concatenate(
+        [(positions + dx)[(x + dx >= 0) & (x + dx < w)] for dx in dxs])) \
+        if positions.size else np.empty(0, np.int64)
+    u_count = union.size
+    ux = union % w
+    uy = union // w
+
+    # per-lane interval constants: lane dx at union row u reads query
+    # pixel q = u - dx (same image row, must be a query position);
+    # inactive elements get class 0, which build_key_intervals maps to
+    # the empty interval
+    qset = np.zeros(n_pixels, dtype=bool)
+    qset[positions] = True
+    ztol = float(pix_color_fluctuation) / 100.0
+    lane_lo = np.empty((len(dxs), 3, u_count), np.uint32)
+    lane_span = np.empty_like(lane_lo)
+    for j, dx in enumerate(dxs):
+        qx = ux - dx
+        src = union - dx
+        active = (qx >= 0) & (qx < w) & qset[np.clip(src, 0, n_pixels - 1)]
+        idx = np.where(active, src, 0)
+        lane_lo[j], lane_span[j] = build_key_intervals(
+            np.where(active, cls[idx], 0), np.where(active, s[idx], 0),
+            np.where(active, p[idx], 0), ztol)
+
+    # dy row sets (straight + mirrored); y overflow -> sentinel row
+    u_pos = np.full((len(dys), u_count), n_pixels, np.int32)
+    mu_pos = np.full((len(dys) if mirror else 0, u_count), n_pixels,
+                     np.int32)
+    mirror_u = union + (w - 1) - 2 * ux
+    for i, dy in enumerate(dys):
+        ok = (uy + dy >= 0) & (uy + dy < h)
+        u_pos[i] = np.where(ok, union + dy * w, n_pixels)
+        if mirror:
+            mu_pos[i] = np.where(ok, mirror_u + dy * w, n_pixels)
+
+    u_pad = pad_to if pad_to is not None else _bucket(u_count)
+    if u_pad < u_count:
+        raise ValueError(f"pad_to {u_pad} < union size {u_count}")
+    if u_pad > u_count:
+        padw = ((0, 0), (0, u_pad - u_count))
+        u_pos = np.pad(u_pos, padw, constant_values=n_pixels)
+        mu_pos = np.pad(mu_pos, padw, constant_values=n_pixels)
+        lane_lo = np.pad(lane_lo, ((0, 0), (0, 0), (0, u_pad - u_count)),
+                         constant_values=int(_EMPTY_LO))
+        lane_span = np.pad(lane_span,
+                           ((0, 0), (0, 0), (0, u_pad - u_count)))
+
+    return UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
+                        int(positions.size), mirror)
+
+
+def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
+                               mu_pos: jax.Array, lane_lo: jax.Array,
+                               lane_span: jax.Array):
+    """Union-lane key scoring of one plan.
+
+    Returns int32 [S*L*(1+mirror), T] exact per-variant counts; straight
+    slots first, ordered (dy set major, dx lane minor).
+    """
+    n_lanes = lane_lo.shape[0]
+    outs = []
+    pos_sets = [u_pos, mu_pos] if mu_pos.shape[0] else [u_pos]
+    for pos in pos_sets:
+        for i in range(pos.shape[0]):
+            g = jnp.take(t_keys, pos[i], axis=0).astype(jnp.uint32)  # [U, T]
+            for j in range(n_lanes):
+                lo, sp = lane_lo[j], lane_span[j]
+                m = ((g - lo[0][:, None]) <= sp[0][:, None]) \
+                    | ((g - lo[1][:, None]) <= sp[1][:, None]) \
+                    | ((g - lo[2][:, None]) <= sp[2][:, None])
+                outs.append(m.sum(axis=0, dtype=jnp.int32))
+    return jnp.stack(outs)
+
+
+@jax.jit
+def score_query_batch_union_keys(t_keys: jax.Array, u_pos: jax.Array,
+                                 mu_pos: jax.Array, lane_lo: jax.Array,
+                                 lane_span: jax.Array):
+    """Batched union-lane key scoring (args are [B, ...] stacks).
+
+    Returns (best [B, T], mirrored [B, T], pair_flags [B, T] — always
+    zero, kept for interface parity)."""
+    n_straight = u_pos.shape[1] * lane_lo.shape[1]
+
+    def one(args):
+        up, mp, lo, sp = args
+        scores = score_query_union_keys_raw(t_keys, up, mp, lo, sp)
+        return reduce_variants_device(
+            scores, jnp.zeros_like(scores), n_straight)
+
+    return jax.lax.map(one, (u_pos, mu_pos, lane_lo, lane_span))

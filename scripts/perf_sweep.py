@@ -146,6 +146,10 @@ def main():
     ap.add_argument("--keys", action="store_true",
                     help="A/B the rank-key interval kernel against the "
                          "packed-u32 kernel at the widest width")
+    ap.add_argument("--union-keys", action="store_true",
+                    help="A/B the x-union lane form of the key kernel "
+                         "against the classic key kernel (keys planes "
+                         "only — defaults to the production T=4096)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -164,6 +168,13 @@ def main():
         keys_kernel_experiment(
             t_width=int(args.widths.split(",")[-1]) if args.widths
             else 2048,
+            b=int(args.batches.split(",")[0]),
+            repeats_pairs=args.repeats_pairs)
+        return 0
+    if args.union_keys:
+        union_keys_experiment(
+            t_width=int(args.widths.split(",")[-1]) if args.widths
+            else 4096,
             b=int(args.batches.split(",")[0]),
             repeats_pairs=args.repeats_pairs)
         return 0
@@ -360,6 +371,110 @@ def keys_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
             "pairs_per_s": round(repeats * b * t_width / dt),
             "gather_gb_per_s": round(
                 repeats * b * v * q * t_width * 4 / dt / 1e9, 1),
+            "repeats": repeats, "secs": round(dt, 2)}), flush=True)
+
+
+def build_key_planes(target_rgb: np.ndarray, n_targets: int):
+    """Pack n_targets device-synthesized variants straight into rank-key
+    planes [P+1, n_targets] (threshold 20 folded), without ever holding
+    the packed-u32 planes — lets the A/B run at the production T=4096
+    inside 16 GB HBM."""
+    from colormipsearch_tpu.ops import common
+
+    h, w = target_rgb.shape[:2]
+    rng = np.random.default_rng(0)
+    shifts = rng.integers(0, [h, w], (n_targets, 2)).astype(np.int32)
+    shifts[0] = 0
+    flips = (np.arange(n_targets) % 2).astype(bool)
+    flips[0] = False
+    base = jnp.asarray(target_rgb)
+    lut = common.rank_lut_device()
+
+    @jax.jit
+    def make_chunk(img, sh, fl):
+        def one(s, f):
+            r = jnp.roll(img, (s[0], s[1]), axis=(0, 1))
+            return jnp.where(f, r[:, ::-1], r)
+
+        # drop the per-chunk sentinel row; the zeros-initialized final
+        # row of the destination is the shared sentinel
+        return common.pack_target_planes_keys(
+            jax.vmap(one)(sh, fl), 20, lut)[:-1]
+
+    chunk = 64
+    planes = jnp.zeros((h * w + 1, n_targets), jnp.int32)
+    for i in range(0, n_targets, chunk):
+        c = make_chunk(base, jnp.asarray(shifts[i:i + chunk]),
+                       jnp.asarray(flips[i:i + chunk]))
+        planes = _write_chunk(planes, jnp.pad(c, ((0, 1), (0, 0))),
+                              jnp.int32(i))
+    return jax.block_until_ready(planes)
+
+
+def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6):
+    """A/B: classic rank-key kernel vs its x-union lane form (gather the
+    x-dilated union once per dy-set, dx shifts as interval lanes — ~0.5x
+    the gathered rows for 1.5x the range tests; see docs/DESIGN.md §6)."""
+    import jax
+    import jax.numpy as jnp
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.pixel import label_regions_mask
+    from colormipsearch_tpu.ops import pixel_match
+
+    mask_rgb = read_image(MASK_TIF).as_rgb()
+    target_rgb = read_image(TARGET_TIF).as_rgb()
+    h, w = mask_rgb.shape[:2]
+    region = label_regions_mask(w, h)
+    plan = pixel_match.build_query_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    kplan = pixel_match.key_plan_from_query_plan(plan, h * w, 1.0)
+    uplan = pixel_match.build_union_key_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    v, q = kplan.positions.shape
+    n_sets = uplan.n_sets * (2 if uplan.mirror else 1)
+    u = uplan.u_pos.shape[1]
+    log(f"classic: {v} variants x Q_pad {q}; union: {n_sets} row sets x "
+        f"U_pad {u} (rows {n_sets * u / (v * q):.2f}x)")
+
+    t0 = time.perf_counter()
+    t_keys = build_key_planes(target_rgb, t_width)
+    log(f"T={t_width}: key planes ({t_keys.nbytes / 1e9:.1f} GB) in "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    kpos = jax.device_put(np.stack([kplan.positions] * b))
+    klo = jax.device_put(np.stack([kplan.lo] * b))
+    kspan = jax.device_put(np.stack([kplan.span] * b))
+    u_pos = jax.device_put(np.stack([uplan.u_pos] * b))
+    mu_pos = jax.device_put(np.stack([uplan.mu_pos] * b))
+    lane_lo = jax.device_put(np.stack([uplan.lane_lo] * b))
+    lane_span = jax.device_put(np.stack([uplan.lane_span] * b))
+    repeats = max(2, int(repeats_pairs / (b * t_width)))
+
+    def keys_once():
+        return pixel_match.score_query_batch_keys(
+            t_keys, kpos, klo, kspan, n_straight=plan.n_straight)
+
+    def union_once():
+        return pixel_match.score_query_batch_union_keys(
+            t_keys, u_pos, mu_pos, lane_lo, lane_span)
+
+    kb, km, _ = (np.asarray(x) for x in keys_once())
+    ub, um, _ = (np.asarray(x) for x in union_once())
+    log(f"union-vs-keys equality: {(kb == ub).all()} / {(km == um).all()}")
+    assert (kb == ub).all() and (km == um).all(), \
+        np.argwhere(kb != ub)[:5]
+
+    rows = {"rank_keys": v * q, "union_keys": n_sets * u}
+    for name, fn in (("rank_keys", keys_once),
+                     ("union_keys", union_once)):
+        dt = time_step(fn, repeats)
+        print(json.dumps({
+            "kind": name, "t_width": t_width, "mask_batch": b,
+            "pairs_per_s": round(repeats * b * t_width / dt),
+            "gather_gb_per_s": round(
+                repeats * b * rows[name] * t_width * 4 / dt / 1e9, 1),
             "repeats": repeats, "secs": round(dt, 2)}), flush=True)
 
 

@@ -181,6 +181,117 @@ def test_key_planes_from_packed_equals_direct_pack():
     assert (direct[-1] == 0).all()  # sentinel row
 
 
+def test_union_key_plan_grid_detection():
+    rng = np.random.default_rng(7)
+    img = _mk(rng, 20, 30, 100)
+    # xy_shift 4 offsets (identity + compass 2 + compass 4) are not a
+    # {dy} x {dx} grid -> no union plan, callers fall back
+    assert pixel_match.build_union_key_plan(
+        img, 20, mirror=True, xy_shift=4, pix_color_fluctuation=1.0) is None
+    up = pixel_match.build_union_key_plan(
+        img, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0)
+    assert up is not None and up.n_sets == 3 and up.n_lanes == 3
+    assert up.n_straight == 9 and up.mu_pos.shape == up.u_pos.shape
+
+
+def test_union_keys_per_variant_equals_oracle():
+    """Union rows (dy-set major, dx-lane minor) must equal the oracle's
+    per-variant counts for every shift/mirror variant."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    h, w = 40, 60
+    query = _mk(rng, h, w, 400)
+    query[0, 0] = (50, 0, 53)  # f32-ambiguity regression pair
+    targets = [_mk(rng, h, w, 300) for _ in range(5)] + [query]
+    targets[0][0, 0] = (151, 0, 158)
+    flu, thr = 1.23, 20
+
+    up = pixel_match.build_union_key_plan(
+        query, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(np.stack(targets)), thr, common.rank_lut_device())
+    scores = np.asarray(pixel_match.score_query_union_keys_raw(
+        t_keys, jnp.asarray(up.u_pos), jnp.asarray(up.mu_pos),
+        jnp.asarray(up.lane_lo), jnp.asarray(up.lane_span)))
+
+    offsets = oracle_pixel.shift_offsets(2)
+    dxs = sorted({dx for dx, _ in offsets})
+    dys = sorted({dy for _, dy in offsets})
+    rows = [dys.index(dy) * len(dxs) + dxs.index(dx) for dx, dy in offsets]
+    oracle = PixelMatchOracle(query, thr, mirror=True,
+                              target_threshold=thr, z_tolerance=flu / 100,
+                              xy_shift=2)
+    for i, t in enumerate(targets):
+        res = oracle.score(t)
+        assert (scores[rows, i] == res.per_variant).all(), i
+        mrows = [up.n_straight + r for r in rows]
+        assert (scores[mrows, i] == res.per_variant_mirror).all(), i
+
+
+def test_union_keys_batch_equals_classic_keys():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(19)
+    h, w = 30, 40
+    queries = [_mk(rng, h, w, 250) for _ in range(3)]
+    # one query with an empty-after-threshold support exercises padding
+    queries.append(np.zeros((h, w, 3), np.uint8))
+    targets = [_mk(rng, h, w, 200) for _ in range(7)] + [queries[0]]
+    thr, flu = 20, 1.0
+
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(np.stack(targets)), thr, common.rank_lut_device())
+    plans = [pixel_match.build_query_plan(
+        q, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
+        for q in queries]
+    kplans = [pixel_match.key_plan_from_query_plan(p, h * w, flu)
+              for p in plans]
+    best, mirrored, _ = pixel_match.score_query_batch_keys(
+        t_keys,
+        jnp.asarray(np.stack([kp.positions for kp in kplans])),
+        jnp.asarray(np.stack([kp.lo for kp in kplans])),
+        jnp.asarray(np.stack([kp.span for kp in kplans])),
+        n_straight=plans[0].n_straight)
+
+    uplans = [pixel_match.build_union_key_plan(
+        q, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
+        for q in queries]
+    u_pad = max(up.u_pos.shape[1] for up in uplans)
+    uplans = [pixel_match.build_union_key_plan(
+        q, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu,
+        pad_to=u_pad) for q in queries]
+    ubest, umirrored, uflags = pixel_match.score_query_batch_union_keys(
+        t_keys,
+        jnp.asarray(np.stack([up.u_pos for up in uplans])),
+        jnp.asarray(np.stack([up.mu_pos for up in uplans])),
+        jnp.asarray(np.stack([up.lane_lo for up in uplans])),
+        jnp.asarray(np.stack([up.lane_span for up in uplans])))
+    assert (np.asarray(uflags) == 0).all()
+    assert (np.asarray(ubest) == np.asarray(best)).all()
+    assert (np.asarray(umirrored) == np.asarray(mirrored)).all()
+    # self-match sanity: nonzero and equal through both kernels (it can
+    # be < query_size — dominance-less foreground pixels never match)
+    assert int(np.asarray(ubest)[0, 7]) > 0
+
+
+def test_union_keys_golden_87(mask_rgb, target_rgb):
+    import jax.numpy as jnp
+
+    h, w = mask_rgb.shape[:2]
+    region = oracle_pixel.label_regions_mask(w, h)
+    up = pixel_match.build_union_key_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(target_rgb[None]), 20, common.rank_lut_device())
+    best, mirrored, _ = pixel_match.score_query_batch_union_keys(
+        t_keys, jnp.asarray(up.u_pos[None]), jnp.asarray(up.mu_pos[None]),
+        jnp.asarray(up.lane_lo[None]), jnp.asarray(up.lane_span[None]))
+    assert int(np.asarray(best)[0, 0]) == 87
+    assert not bool(np.asarray(mirrored)[0, 0])
+
+
 def _engine_matches(tmp_path, use_keys, masks_neurons, targets_neurons,
                     params, **kw):
     from colormipsearch_tpu.engine.cds import CDSearchEngine
