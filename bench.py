@@ -178,11 +178,13 @@ def bench_tpu(mask_rgb, target_rgb, region):
     # released first: both sets at T=4096 would exceed the 16 GB HBM.
     packed_max = int(final.max())
     del planes, out, final
-    keys_rate = bench_tpu_keys(target_rgb, plan, packed_max)
-    return pairs / dt, gather_gb_s, keys_rate, plan
+    keys_rate, union_rate = bench_tpu_keys(target_rgb, plan, packed_max,
+                                           mask_rgb, region)
+    return pairs / dt, gather_gb_s, keys_rate, union_rate, plan
 
 
-def bench_tpu_keys(target_rgb, plan, packed_max: int) -> float:
+def bench_tpu_keys(target_rgb, plan, packed_max: int,
+                   mask_rgb, region) -> tuple[float, float]:
     import jax
 
     from colormipsearch_tpu.ops import pixel_match
@@ -208,7 +210,32 @@ def bench_tpu_keys(target_rgb, plan, packed_max: int) -> float:
     # the exact kernel must reproduce the packed kernel's top score
     # (this workload has no ambiguity flags)
     assert int(final.max()) == packed_max, (int(final.max()), packed_max)
-    return N_MASK_REPEATS * MASK_BATCH * N_TARGETS / dt
+    keys_rate = N_MASK_REPEATS * MASK_BATCH * N_TARGETS / dt
+
+    # x-union lane form of the same kernel on the same key planes (0.5x
+    # the gathered rows for 1.5x the range tests — the standing A/B of
+    # docs/DESIGN.md §6)
+    uplan = pixel_match.build_union_key_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    u_pos = jax.device_put(np.stack([uplan.u_pos] * MASK_BATCH))
+    mu_pos = jax.device_put(np.stack([uplan.mu_pos] * MASK_BATCH))
+    lane_lo = jax.device_put(np.stack([uplan.lane_lo] * MASK_BATCH))
+    lane_span = jax.device_put(np.stack([uplan.lane_span] * MASK_BATCH))
+
+    def union_once():
+        return pixel_match.score_query_batch_union_keys(
+            t_keys, u_pos, mu_pos, lane_lo, lane_span)
+
+    np.asarray(union_once()[0])
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(N_MASK_REPEATS):
+        out = union_once()
+    final = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    assert int(final.max()) == packed_max, (int(final.max()), packed_max)
+    return keys_rate, N_MASK_REPEATS * MASK_BATCH * N_TARGETS / dt
 
 
 def bench_shape_tpu(mask_rgb, target_rgb, region):
@@ -315,7 +342,7 @@ def bench_oracle_baseline(mask_rgb, targets, region):
 
 def main() -> int:
     mask_rgb, target_rgb, host_sample, region = build_workload()
-    tpu_rate, gather_gb_s, keys_rate, plan = bench_tpu(
+    tpu_rate, gather_gb_s, keys_rate, union_rate, plan = bench_tpu(
         mask_rgb, target_rgb, region)
     shape_rate = bench_shape_tpu(mask_rgb, target_rgb, region)
     baseline_rate = bench_oracle_baseline(mask_rgb, host_sample, region)
@@ -332,6 +359,9 @@ def main() -> int:
             "keys_pairs_per_s": round(keys_rate, 1),
             "keys_unit": "rank-key interval kernel (exact predicate, "
                          "docs/DESIGN.md §2.4) on the same workload",
+            "union_keys_pairs_per_s": round(union_rate, 1),
+            "union_keys_unit": "x-union lane form of the key kernel "
+                               "(0.5x gather rows; docs/DESIGN.md §6)",
             "shape_pairs_per_s": round(shape_rate, 1),
             "shape_unit": "shape-rescored mask-target pairs/s (mirror "
                           f"config, T={SHAPE_TARGETS})",
