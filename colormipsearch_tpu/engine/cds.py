@@ -55,6 +55,12 @@ _USE_SPLIT = os.environ.get("CDS_SPLIT_PLANES", "0") == "1"
 # --keys) before becoming the default
 _USE_KEYS = os.environ.get("CDS_KEY_PLANES", "0") == "1"
 
+# opt-in x-union lane form of the key kernel (implies key planes):
+# gathers the x-dilated union once per dy-set — half the gathered rows
+# for 1.5x the range tests; pending the hardware A/B
+# (scripts/perf_sweep.py --union-keys, docs/DESIGN.md §6)
+_USE_UNION = os.environ.get("CDS_UNION_KEYS", "0") == "1"
+
 
 @dataclasses.dataclass
 class CDSParams:
@@ -353,11 +359,25 @@ class CDSearchEngine:
                  neg_query_threshold: int | None = None,
                  mirror_neg_query: bool = False,
                  decode_concurrency: int = 8,
-                 use_key_planes: bool | None = None):
+                 use_key_planes: bool | None = None,
+                 use_union_keys: bool | None = None):
         self.params = params
         # rank-key planes + exact interval predicate (CDS_KEY_PLANES=1)
         self.use_key_planes = _USE_KEYS if use_key_planes is None \
             else use_key_planes
+        # x-union lane form of the key kernel (CDS_UNION_KEYS=1; implies
+        # key planes); requires the offsets to form a {dx} x {dy} grid —
+        # otherwise fall back to the classic key kernel
+        use_union = _USE_UNION if use_union_keys is None else use_union_keys
+        self.use_union_keys = (use_union and
+                               pixel_match.offsets_form_grid(params.xy_shift))
+        if use_union:
+            # union implies key planes; a non-grid offset set (xyShift
+            # > 2) falls back to the classic key kernel on those planes
+            self.use_key_planes = True
+            if not self.use_union_keys:
+                LOG.warning("union-keys disabled: xyShift %d offsets are "
+                            "not a {dx} x {dy} grid", params.xy_shift)
         self._key_plans: dict = {}
         # host-side decode/pack thread count (--cdsConcurrency; the
         # reference's executor pool sizing, CmdUtils.java:15-29 — the
@@ -419,6 +439,47 @@ class CDSearchEngine:
                     jnp.asarray(np.stack([kp.span for kp in kplans])))
 
         return self._cached_plan_args(("keys", n_pixels), plans, build)
+
+    def _union_keys_step(self, top_k: int = 0):
+        from colormipsearch_tpu.parallel.mesh import (
+            make_sharded_batch_step_union_keys,
+        )
+
+        key = ("ukeys", top_k)
+        if key not in self._sharded_steps:
+            self._sharded_steps[key] = make_sharded_batch_step_union_keys(
+                self._mesh, top_k=top_k)
+        return self._sharded_steps[key]
+
+    def _stacked_union_args(self, batch, n_pixels: int):
+        """Stacked union-key plan device arrays for one mask batch.
+
+        Union plans are built here (not at group time) because only the
+        union path needs them; the batch's plans pad to a common bucket
+        so they stack into one dispatch.  Cached on the classic plans'
+        identities — each batch uploads once for all target shards."""
+        plans = [e[3] for e in batch]
+        p = self.params
+
+        def build():
+            ups = []
+            for _mask, mask_rgb, region, _plan, _neg in batch:
+                up = pixel_match.build_union_key_plan(
+                    mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
+                    xy_shift=p.xy_shift,
+                    pix_color_fluctuation=p.pix_color_fluctuation,
+                    excluded_region=region)
+                assert up is not None  # grid-checked at engine init
+                ups.append(up)
+            u_pad = max(up.u_pos.shape[1] for up in ups)
+            ups = [pixel_match.pad_union_key_plan(up, u_pad, n_pixels)
+                   for up in ups]
+            return (jnp.asarray(np.stack([up.u_pos for up in ups])),
+                    jnp.asarray(np.stack([up.mu_pos for up in ups])),
+                    jnp.asarray(np.stack([up.lane_lo for up in ups])),
+                    jnp.asarray(np.stack([up.lane_span for up in ups])))
+
+        return self._cached_plan_args(("ukeys", n_pixels), plans, build)
 
     def _mesh_planes(self, shard: TargetShard):
         """The shard's planes sharded over the current mesh, built
@@ -646,21 +707,30 @@ class CDSearchEngine:
         if use_keys:
             # rank-key planes: exact interval predicate (flags are
             # structurally zero, so no oracle fallback and no flag-leak
-            # dense pulls on the top-k path)
+            # dense pulls on the top-k path).  CDS_UNION_KEYS=1 swaps in
+            # the x-union lane form on the same planes.
+            union = self.use_union_keys
             n_pixels = shard.shape[0] * shard.shape[1]
-            kargs = self._stacked_key_args(plans, n_pixels)
+            kargs = (self._stacked_union_args(batch, n_pixels) if union
+                     else self._stacked_key_args(plans, n_pixels))
             if on_mesh:
                 planes = self._mesh_planes(shard)
                 if top_k > 0:
-                    step = self._keys_step(plans[0].n_straight, top_k)
+                    step = (self._union_keys_step(top_k) if union else
+                            self._keys_step(plans[0].n_straight, top_k))
                     scores_k, idx_k, mirr_k, flags_k, _gmax, _nf = \
                         step(planes, *kargs)
                     return self._emit_from_topk(
                         batch, shard, np.asarray(scores_k),
                         np.asarray(idx_k), np.asarray(mirr_k),
                         np.asarray(flags_k), tags, session_ref_id)
-                step = self._keys_step(plans[0].n_straight)
+                step = (self._union_keys_step() if union else
+                        self._keys_step(plans[0].n_straight))
                 best, mirrored, pair_flags, _gmax = step(planes, *kargs)
+            elif union:
+                best, mirrored, pair_flags = \
+                    pixel_match.score_query_batch_union_keys(
+                        shard.planes, *kargs)
             else:
                 best, mirrored, pair_flags = \
                     pixel_match.score_query_batch_keys(

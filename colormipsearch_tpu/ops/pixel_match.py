@@ -855,6 +855,16 @@ class UnionKeyPlan:
         return self.n_sets * self.n_lanes
 
 
+def offsets_form_grid(xy_shift: int) -> bool:
+    """True when shift_offsets(xy_shift) is a full {dx} x {dy} grid —
+    the precondition of the x-union lane factorization (holds for the
+    production xy_shift in {0, 2}; not for > 2)."""
+    offsets = oracle_pixel.shift_offsets(xy_shift)
+    dxs = sorted({dx for dx, _ in offsets})
+    dys = sorted({dy for _, dy in offsets})
+    return {(dx, dy) for dx in dxs for dy in dys} == set(offsets)
+
+
 def build_union_key_plan(query_rgb: np.ndarray, query_threshold: int, *,
                          mirror: bool, xy_shift: int,
                          pix_color_fluctuation,
@@ -867,11 +877,11 @@ def build_union_key_plan(query_rgb: np.ndarray, query_threshold: int, *,
     (they do for the production xy_shift in {0, 2}); callers fall back
     to the classic key plan.
     """
+    if not offsets_form_grid(xy_shift):
+        return None
     offsets = oracle_pixel.shift_offsets(xy_shift)
     dxs = sorted({dx for dx, _ in offsets})
     dys = sorted({dy for _, dy in offsets})
-    if {(dx, dy) for dx in dxs for dy in dys} != set(offsets):
-        return None
 
     h, w = query_rgb.shape[:2]
     n_pixels = h * w
@@ -921,20 +931,30 @@ def build_union_key_plan(query_rgb: np.ndarray, query_threshold: int, *,
         if mirror:
             mu_pos[i] = np.where(ok, mirror_u + dy * w, n_pixels)
 
-    u_pad = pad_to if pad_to is not None else _bucket(u_count)
-    if u_pad < u_count:
-        raise ValueError(f"pad_to {u_pad} < union size {u_count}")
-    if u_pad > u_count:
-        padw = ((0, 0), (0, u_pad - u_count))
-        u_pos = np.pad(u_pos, padw, constant_values=n_pixels)
-        mu_pos = np.pad(mu_pos, padw, constant_values=n_pixels)
-        lane_lo = np.pad(lane_lo, ((0, 0), (0, 0), (0, u_pad - u_count)),
-                         constant_values=int(_EMPTY_LO))
-        lane_span = np.pad(lane_span,
-                           ((0, 0), (0, 0), (0, u_pad - u_count)))
-
-    return UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
+    plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
                         int(positions.size), mirror)
+    return pad_union_key_plan(
+        plan, pad_to if pad_to is not None else _bucket(u_count), n_pixels)
+
+
+def pad_union_key_plan(plan: UnionKeyPlan, u_pad: int,
+                       n_pixels: int) -> UnionKeyPlan:
+    """Re-pad a union plan to a wider bucket (sentinel positions, empty
+    intervals) — lets a batch of plans with different natural buckets
+    stack into one dispatch without rebuilding the bisections."""
+    u = plan.u_pos.shape[1]
+    if u_pad == u:
+        return plan
+    if u_pad < u:
+        raise ValueError(f"pad_to {u_pad} < union size {u}")
+    padw = ((0, 0), (0, u_pad - u))
+    lane_pad = ((0, 0), (0, 0), (0, u_pad - u))
+    return UnionKeyPlan(
+        np.pad(plan.u_pos, padw, constant_values=n_pixels),
+        np.pad(plan.mu_pos, padw, constant_values=n_pixels),
+        np.pad(plan.lane_lo, lane_pad, constant_values=int(_EMPTY_LO)),
+        np.pad(plan.lane_span, lane_pad),
+        plan.query_size, plan.mirror)
 
 
 def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,

@@ -254,6 +254,36 @@ def make_sharded_batch_step_keys(mesh: Mesh, *, n_straight: int,
     return jax.jit(step)
 
 
+def make_sharded_batch_step_union_keys(mesh: Mesh, *, top_k: int = 0):
+    """x-union lane twin of make_sharded_batch_step_keys: the same
+    rank-key planes, but positions come as per-dy-set unions and the dx
+    shifts are interval lanes (ops/pixel_match.build_union_key_plan) —
+    half the gathered rows per mask.  Flags are structurally zero."""
+
+    def local_step(t_keys, u_pos, mu_pos, lane_lo, lane_span):
+        n_straight = u_pos.shape[1] * lane_lo.shape[1]
+
+        def one(args):
+            up, mp, lo, sp = args
+            scores = pixel_match.score_query_union_keys_raw(
+                t_keys, up, mp, lo, sp)
+            return pixel_match.reduce_variants_device(
+                scores, jnp.zeros_like(scores), n_straight)
+
+        best, mirrored, pair_flags = jax.lax.map(
+            one, (u_pos, mu_pos, lane_lo, lane_span))
+        return _finish_batched_step(best, mirrored, pair_flags, top_k)
+
+    step = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(None, TARGET_AXIS), P(None, None, None),
+                  P(None, None, None), P(None, None, None, None),
+                  P(None, None, None, None)),
+        out_specs=_batched_out_specs(top_k),
+        check_rep=False)
+    return jax.jit(step)
+
+
 def make_sharded_batch_step(mesh: Mesh, *, target_threshold: int,
                             ztol_num: int, ztol_den: int, n_straight: int,
                             top_k: int = 0):

@@ -377,6 +377,101 @@ def test_engine_key_path_golden_87(tmp_path, mask_rgb, target_rgb):
     assert ms[0].matching_pixels == 87 and not ms[0].mirrored
 
 
+def test_engine_union_keys_equals_packed_path(tmp_path):
+    from colormipsearch_tpu.engine.cds import CDSParams
+
+    rng = np.random.default_rng(29)
+    h, w = 36, 48
+    masks = [_mk(rng, h, w, 350) for _ in range(3)]
+    targets = [_mk(rng, h, w, 300) for _ in range(9)] + [masks[0]]
+    mask_neurons = _write_neurons(tmp_path, masks, "um")
+    target_neurons = _write_neurons(tmp_path, targets, "ut")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True)
+    ref = _engine_matches(tmp_path, False, mask_neurons, target_neurons,
+                          params)
+    got = _engine_matches(tmp_path, True, mask_neurons, target_neurons,
+                          params, use_union_keys=True)
+    assert got == ref and len(ref) > 0
+
+
+def test_engine_union_keys_top_k(tmp_path):
+    from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
+
+    rng = np.random.default_rng(31)
+    h, w = 36, 48
+    masks = [_mk(rng, h, w, 350) for _ in range(2)]
+    targets = [_mk(rng, h, w, 300) for _ in range(12)] + [masks[0]]
+    mask_neurons = _write_neurons(tmp_path, masks, "ukm")
+    target_neurons = _write_neurons(tmp_path, targets, "ukt")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True)
+    ref = CDSearchEngine(params, use_key_planes=True).find_all_matches(
+        mask_neurons, target_neurons, max_matches_per_mask=3)
+    got = CDSearchEngine(params, use_union_keys=True).find_all_matches(
+        mask_neurons, target_neurons, max_matches_per_mask=3)
+    key = lambda m: (m.mask_image.mip_id, -m.matching_pixels,  # noqa: E731
+                     m.matched_image.mip_id)
+    assert [(m.mask_image.mip_id, m.matched_image.mip_id,
+             m.matching_pixels) for m in sorted(got, key=key)] == \
+        [(m.mask_image.mip_id, m.matched_image.mip_id,
+          m.matching_pixels) for m in sorted(ref, key=key)]
+
+
+def test_engine_union_keys_golden_87(tmp_path, mask_rgb, target_rgb):
+    from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
+
+    mask_neurons = _write_neurons(tmp_path, [mask_rgb], "ugm")
+    target_neurons = _write_neurons(tmp_path, [target_rgb], "ugt")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True, with_name_label_region=True,
+                       with_color_scale_region=True)
+    ms = CDSearchEngine(params, use_union_keys=True).find_all_matches(
+        mask_neurons, target_neurons)
+    assert len(ms) == 1
+    assert ms[0].matching_pixels == 87 and not ms[0].mirrored
+
+
+def test_engine_union_keys_neg_query_and_grid_fallback(tmp_path):
+    """Union path with a negative query (the neg pass runs the classic
+    key kernel) must equal the packed path; a non-grid xyShift must
+    silently fall back to the classic key kernel."""
+    from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
+
+    rng = np.random.default_rng(33)
+    h, w = 36, 48
+    mask = _mk(rng, h, w, 400)
+    neg = _mk(rng, h, w, 150)
+    targets = [_mk(rng, h, w, 300) for _ in range(5)] + [mask]
+    mask_neurons = _write_neurons(tmp_path, [mask], "unm")
+    target_neurons = _write_neurons(tmp_path, targets, "unt")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True)
+    kw = dict(neg_query_rgb=neg, mirror_neg_query=True)
+    ref = _engine_matches(tmp_path, False, mask_neurons, target_neurons,
+                          params, **kw)
+    got = _engine_matches(tmp_path, True, mask_neurons, target_neurons,
+                          params, use_union_keys=True, **kw)
+    assert got == ref and len(ref) > 0
+
+    params4 = CDSParams(mask_threshold=20, data_threshold=20,
+                        pix_color_fluctuation=1.0, xy_shift=4,
+                        mirror_mask=True)
+    eng = CDSearchEngine(params4, use_union_keys=True)
+    assert not eng.use_union_keys and eng.use_key_planes
+    ref4 = _engine_matches(tmp_path, False, mask_neurons, target_neurons,
+                           params4)
+    got4 = sorted(
+        ((m.mask_image.mip_id, m.matched_image.mip_id, m.matching_pixels,
+          m.mirrored, round(m.matching_pixels_ratio, 12))
+         for m in eng.find_all_matches(mask_neurons, target_neurons)))
+    assert got4 == ref4 and len(ref4) > 0
+
+
 def test_engine_key_path_neg_query(tmp_path):
     from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
 
