@@ -89,6 +89,12 @@ def _add_cds_params(sp):
                     help="rank-key interval kernel: exact device "
                          "verdicts with no oracle fallback "
                          "(docs/DESIGN.md §2.4; also CDS_KEY_PLANES=1)")
+    sp.add_argument("--use-union-keys", action="store_true",
+                    default=None,
+                    help="x-union lane form of the rank-key kernel "
+                         "(half the gathered rows; implies "
+                         "--use-key-planes; docs/DESIGN.md §6; also "
+                         "CDS_UNION_KEYS=1)")
 
 
 def _neuron_name_filter(neurons, patterns):
@@ -347,7 +353,8 @@ def cmd_color_depth_search(args) -> int:
         params,
         decode_concurrency=getattr(args, "cdsConcurrency", 0)
         if getattr(args, "cdsConcurrency", 0) > 0 else 8,
-        use_key_planes=getattr(args, "use_key_planes", None))
+        use_key_planes=getattr(args, "use_key_planes", None),
+        use_union_keys=getattr(args, "use_union_keys", None))
     tags = [args.processingTag] if args.processingTag else []
     cap = max(args.maxMatchesPerMask, 0)
     batch_size = max(args.writeBatchSize, 1)
@@ -863,7 +870,8 @@ def _cds_name(args) -> str:
 def _run_v2_search(args, masks, targets, mip_by_key) -> int:
     params = _cds_params(args)
     engine = CDSearchEngine(
-        params, use_key_planes=getattr(args, "use_key_planes", None))
+        params, use_key_planes=getattr(args, "use_key_planes", None),
+        use_union_keys=getattr(args, "use_union_keys", None))
     if getattr(args, "outputDir", None):
         out_dir = Path(args.outputDir)
         out_dir.mkdir(parents=True, exist_ok=True)
