@@ -178,13 +178,14 @@ def bench_tpu(mask_rgb, target_rgb, region):
     # released first: both sets at T=4096 would exceed the 16 GB HBM.
     packed_max = int(final.max())
     del planes, out, final
-    keys_rate, union_rate = bench_tpu_keys(target_rgb, plan, packed_max,
-                                           mask_rgb, region)
-    return pairs / dt, gather_gb_s, keys_rate, union_rate, plan
+    keys_rate, union_rate, full_union_rate = bench_tpu_keys(
+        target_rgb, plan, packed_max, mask_rgb, region)
+    return (pairs / dt, gather_gb_s, keys_rate, union_rate,
+            full_union_rate, plan)
 
 
 def bench_tpu_keys(target_rgb, plan, packed_max: int,
-                   mask_rgb, region) -> tuple[float, float]:
+                   mask_rgb, region) -> tuple[float, float, float]:
     import jax
 
     from colormipsearch_tpu.ops import pixel_match
@@ -235,7 +236,31 @@ def bench_tpu_keys(target_rgb, plan, packed_max: int,
     final = np.asarray(out[0])
     dt = time.perf_counter() - t0
     assert int(final.max()) == packed_max, (int(final.max()), packed_max)
-    return keys_rate, N_MASK_REPEATS * MASK_BATCH * N_TARGETS / dt
+    union_rate = N_MASK_REPEATS * MASK_BATCH * N_TARGETS / dt
+
+    # full (x+y) union form: one gathered row set per orientation
+    fplan = pixel_match.build_full_union_key_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    f_pos = jax.device_put(np.stack([fplan.u_pos] * MASK_BATCH))
+    fm_pos = jax.device_put(np.stack([fplan.mu_pos] * MASK_BATCH))
+    f_lo = jax.device_put(np.stack([fplan.lane_lo] * MASK_BATCH))
+    f_span = jax.device_put(np.stack([fplan.lane_span] * MASK_BATCH))
+
+    def full_union_once():
+        return pixel_match.score_query_batch_union_keys(
+            t_keys, f_pos, fm_pos, f_lo, f_span)
+
+    np.asarray(full_union_once()[0])
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(N_MASK_REPEATS):
+        out = full_union_once()
+    final = np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    assert int(final.max()) == packed_max, (int(final.max()), packed_max)
+    return (keys_rate, union_rate,
+            N_MASK_REPEATS * MASK_BATCH * N_TARGETS / dt)
 
 
 def bench_shape_tpu(mask_rgb, target_rgb, region):
@@ -342,8 +367,8 @@ def bench_oracle_baseline(mask_rgb, targets, region):
 
 def main() -> int:
     mask_rgb, target_rgb, host_sample, region = build_workload()
-    tpu_rate, gather_gb_s, keys_rate, union_rate, plan = bench_tpu(
-        mask_rgb, target_rgb, region)
+    (tpu_rate, gather_gb_s, keys_rate, union_rate, full_union_rate,
+     plan) = bench_tpu(mask_rgb, target_rgb, region)
     shape_rate = bench_shape_tpu(mask_rgb, target_rgb, region)
     baseline_rate = bench_oracle_baseline(mask_rgb, host_sample, region)
     result = {
@@ -362,6 +387,9 @@ def main() -> int:
             "union_keys_pairs_per_s": round(union_rate, 1),
             "union_keys_unit": "x-union lane form of the key kernel "
                                "(0.5x gather rows; docs/DESIGN.md §6)",
+            "full_union_keys_pairs_per_s": round(full_union_rate, 1),
+            "full_union_keys_unit": "full (x+y) union form (0.25x "
+                                    "gather rows; docs/DESIGN.md §6)",
             "shape_pairs_per_s": round(shape_rate, 1),
             "shape_unit": "shape-rescored mask-target pairs/s (mirror "
                           f"config, T={SHAPE_TARGETS})",

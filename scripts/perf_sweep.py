@@ -432,11 +432,17 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6):
     uplan = pixel_match.build_union_key_plan(
         mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
         excluded_region=region)
+    fplan = pixel_match.build_full_union_key_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
     v, q = kplan.positions.shape
     n_sets = uplan.n_sets * (2 if uplan.mirror else 1)
     u = uplan.u_pos.shape[1]
-    log(f"classic: {v} variants x Q_pad {q}; union: {n_sets} row sets x "
-        f"U_pad {u} (rows {n_sets * u / (v * q):.2f}x)")
+    f_sets = fplan.n_sets * (2 if fplan.mirror else 1)
+    fu = fplan.u_pos.shape[1]
+    log(f"classic: {v} variants x Q_pad {q}; x-union: {n_sets} row sets "
+        f"x U_pad {u} (rows {n_sets * u / (v * q):.2f}x); full union: "
+        f"{f_sets} x U_pad {fu} (rows {f_sets * fu / (v * q):.2f}x)")
 
     t0 = time.perf_counter()
     t_keys = build_key_planes(target_rgb, t_width)
@@ -450,6 +456,10 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6):
     mu_pos = jax.device_put(np.stack([uplan.mu_pos] * b))
     lane_lo = jax.device_put(np.stack([uplan.lane_lo] * b))
     lane_span = jax.device_put(np.stack([uplan.lane_span] * b))
+    f_pos = jax.device_put(np.stack([fplan.u_pos] * b))
+    fm_pos = jax.device_put(np.stack([fplan.mu_pos] * b))
+    f_lo = jax.device_put(np.stack([fplan.lane_lo] * b))
+    f_span = jax.device_put(np.stack([fplan.lane_span] * b))
     repeats = max(2, int(repeats_pairs / (b * t_width)))
 
     def keys_once():
@@ -460,15 +470,26 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6):
         return pixel_match.score_query_batch_union_keys(
             t_keys, u_pos, mu_pos, lane_lo, lane_span)
 
+    def full_union_once():
+        return pixel_match.score_query_batch_union_keys(
+            t_keys, f_pos, fm_pos, f_lo, f_span)
+
     kb, km, _ = (np.asarray(x) for x in keys_once())
     ub, um, _ = (np.asarray(x) for x in union_once())
-    log(f"union-vs-keys equality: {(kb == ub).all()} / {(km == um).all()}")
+    fb, fm, _ = (np.asarray(x) for x in full_union_once())
+    log(f"x-union-vs-keys equality: {(kb == ub).all()} / "
+        f"{(km == um).all()}; full-union: {(kb == fb).all()} / "
+        f"{(km == fm).all()}")
     assert (kb == ub).all() and (km == um).all(), \
         np.argwhere(kb != ub)[:5]
+    assert (kb == fb).all() and (km == fm).all(), \
+        np.argwhere(kb != fb)[:5]
 
-    rows = {"rank_keys": v * q, "union_keys": n_sets * u}
+    rows = {"rank_keys": v * q, "union_keys": n_sets * u,
+            "full_union_keys": f_sets * fu}
     for name, fn in (("rank_keys", keys_once),
-                     ("union_keys", union_once)):
+                     ("union_keys", union_once),
+                     ("full_union_keys", full_union_once)):
         dt = time_step(fn, repeats)
         print(json.dumps({
             "kind": name, "t_width": t_width, "mask_batch": b,

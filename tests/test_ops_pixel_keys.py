@@ -292,6 +292,98 @@ def test_union_keys_golden_87(mask_rgb, target_rgb):
     assert not bool(np.asarray(mirrored)[0, 0])
 
 
+def test_full_union_keys_per_variant_equals_oracle():
+    """Full-union rows (one row set, lanes in shift_offsets order) must
+    equal the oracle's per-variant counts, straight and mirrored."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    h, w = 40, 60
+    query = _mk(rng, h, w, 400)
+    query[0, 0] = (50, 0, 53)
+    targets = [_mk(rng, h, w, 300) for _ in range(5)] + [query]
+    targets[0][0, 0] = (151, 0, 158)
+    flu, thr = 1.23, 20
+
+    fp = pixel_match.build_full_union_key_plan(
+        query, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
+    assert fp.n_sets == 1 and fp.n_lanes == 9 and fp.n_straight == 9
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(np.stack(targets)), thr, common.rank_lut_device())
+    scores = np.asarray(pixel_match.score_query_union_keys_raw(
+        t_keys, jnp.asarray(fp.u_pos), jnp.asarray(fp.mu_pos),
+        jnp.asarray(fp.lane_lo), jnp.asarray(fp.lane_span)))
+
+    oracle = PixelMatchOracle(query, thr, mirror=True,
+                              target_threshold=thr, z_tolerance=flu / 100,
+                              xy_shift=2)
+    for i, t in enumerate(targets):
+        res = oracle.score(t)
+        assert (scores[:9, i] == res.per_variant).all(), i
+        assert (scores[9:, i] == res.per_variant_mirror).all(), i
+
+
+@pytest.mark.parametrize("xy_shift", [0, 2, 4])
+def test_full_union_keys_batch_equals_classic_keys(xy_shift):
+    """Best/mirrored equality vs the classic key kernel — including
+    xyShift 4, where the x-union form has no plan at all."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(27 + xy_shift)
+    h, w = 30, 40
+    queries = [_mk(rng, h, w, 250) for _ in range(3)]
+    queries.append(np.zeros((h, w, 3), np.uint8))
+    targets = [_mk(rng, h, w, 200) for _ in range(7)] + [queries[0]]
+    thr, flu = 20, 1.0
+
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(np.stack(targets)), thr, common.rank_lut_device())
+    plans = [pixel_match.build_query_plan(
+        q, thr, mirror=True, xy_shift=xy_shift, pix_color_fluctuation=flu)
+        for q in queries]
+    kplans = [pixel_match.key_plan_from_query_plan(p, h * w, flu)
+              for p in plans]
+    best, mirrored, _ = pixel_match.score_query_batch_keys(
+        t_keys,
+        jnp.asarray(np.stack([kp.positions for kp in kplans])),
+        jnp.asarray(np.stack([kp.lo for kp in kplans])),
+        jnp.asarray(np.stack([kp.span for kp in kplans])),
+        n_straight=plans[0].n_straight)
+
+    fplans = [pixel_match.build_full_union_key_plan(
+        q, thr, mirror=True, xy_shift=xy_shift, pix_color_fluctuation=flu)
+        for q in queries]
+    u_pad = max(fp.u_pos.shape[1] for fp in fplans)
+    fplans = [pixel_match.pad_union_key_plan(fp, u_pad, h * w)
+              for fp in fplans]
+    ubest, umirrored, uflags = pixel_match.score_query_batch_union_keys(
+        t_keys,
+        jnp.asarray(np.stack([fp.u_pos for fp in fplans])),
+        jnp.asarray(np.stack([fp.mu_pos for fp in fplans])),
+        jnp.asarray(np.stack([fp.lane_lo for fp in fplans])),
+        jnp.asarray(np.stack([fp.lane_span for fp in fplans])))
+    assert (np.asarray(uflags) == 0).all()
+    assert (np.asarray(ubest) == np.asarray(best)).all()
+    assert (np.asarray(umirrored) == np.asarray(mirrored)).all()
+
+
+def test_full_union_keys_golden_87(mask_rgb, target_rgb):
+    import jax.numpy as jnp
+
+    h, w = mask_rgb.shape[:2]
+    region = oracle_pixel.label_regions_mask(w, h)
+    fp = pixel_match.build_full_union_key_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(target_rgb[None]), 20, common.rank_lut_device())
+    best, mirrored, _ = pixel_match.score_query_batch_union_keys(
+        t_keys, jnp.asarray(fp.u_pos[None]), jnp.asarray(fp.mu_pos[None]),
+        jnp.asarray(fp.lane_lo[None]), jnp.asarray(fp.lane_span[None]))
+    assert int(np.asarray(best)[0, 0]) == 87
+    assert not bool(np.asarray(mirrored)[0, 0])
+
+
 def _engine_matches(tmp_path, use_keys, masks_neurons, targets_neurons,
                     params, **kw):
     from colormipsearch_tpu.engine.cds import CDSearchEngine
