@@ -55,11 +55,13 @@ _USE_SPLIT = os.environ.get("CDS_SPLIT_PLANES", "0") == "1"
 # --keys) before becoming the default
 _USE_KEYS = os.environ.get("CDS_KEY_PLANES", "0") == "1"
 
-# opt-in x-union lane form of the key kernel (implies key planes):
-# gathers the x-dilated union once per dy-set — half the gathered rows
-# for 1.5x the range tests; pending the hardware A/B
-# (scripts/perf_sweep.py --union-keys, docs/DESIGN.md §6)
-_USE_UNION = os.environ.get("CDS_UNION_KEYS", "0") == "1"
+# opt-in union lane forms of the key kernel (imply key planes):
+# "1"/"x" gathers the x-dilated union once per dy-set (0.5x the
+# gathered rows for 1.5x the range tests); "full" gathers one fully
+# dilated union per orientation (0.25x rows, 3x tests); pending the
+# hardware A/B (scripts/perf_sweep.py --union-keys, docs/DESIGN.md §6)
+_USE_UNION = os.environ.get("CDS_UNION_KEYS", "0")
+_USE_UNION = False if _USE_UNION == "0" else _USE_UNION
 
 
 @dataclasses.dataclass
@@ -365,19 +367,30 @@ class CDSearchEngine:
         # rank-key planes + exact interval predicate (CDS_KEY_PLANES=1)
         self.use_key_planes = _USE_KEYS if use_key_planes is None \
             else use_key_planes
-        # x-union lane form of the key kernel (CDS_UNION_KEYS=1; implies
-        # key planes); requires the offsets to form a {dx} x {dy} grid —
-        # otherwise fall back to the classic key kernel
+        # union lane forms of the key kernel (CDS_UNION_KEYS=1|x|full;
+        # implies key planes).  "x" gathers the x-dilated union per
+        # dy-set and requires the offsets to form a {dx} x {dy} grid
+        # (falls back to the classic key kernel otherwise); "full"
+        # gathers ONE fully-dilated union per orientation and covers any
+        # xyShift (docs/DESIGN.md §6)
         use_union = _USE_UNION if use_union_keys is None else use_union_keys
-        self.use_union_keys = (use_union and
-                               pixel_match.offsets_form_grid(params.xy_shift))
+        if use_union in (True, 1, "1"):
+            use_union = "x"
+        if use_union in (False, 0, "0", None):
+            use_union = False
+        if use_union not in (False, "x", "full"):
+            raise ValueError(f"use_union_keys: {use_union!r} "
+                             "(expected False, 'x' or 'full')")
+        self.use_union_keys = use_union
+        if use_union == "x" and \
+                not pixel_match.offsets_form_grid(params.xy_shift):
+            # a non-grid offset set (xyShift > 2) falls back to the
+            # classic key kernel on the same planes
+            self.use_union_keys = False
+            LOG.warning("x-union keys disabled: xyShift %d offsets are "
+                        "not a {dx} x {dy} grid", params.xy_shift)
         if use_union:
-            # union implies key planes; a non-grid offset set (xyShift
-            # > 2) falls back to the classic key kernel on those planes
             self.use_key_planes = True
-            if not self.use_union_keys:
-                LOG.warning("union-keys disabled: xyShift %d offsets are "
-                            "not a {dx} x {dy} grid", params.xy_shift)
         self._key_plans: dict = {}
         # host-side decode/pack thread count (--cdsConcurrency; the
         # reference's executor pool sizing, CmdUtils.java:15-29 — the
@@ -461,10 +474,14 @@ class CDSearchEngine:
         plans = [e[3] for e in batch]
         p = self.params
 
+        builder = (pixel_match.build_full_union_key_plan
+                   if self.use_union_keys == "full"
+                   else pixel_match.build_union_key_plan)
+
         def build():
             ups = []
             for _mask, mask_rgb, region, _plan, _neg in batch:
-                up = pixel_match.build_union_key_plan(
+                up = builder(
                     mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
                     xy_shift=p.xy_shift,
                     pix_color_fluctuation=p.pix_color_fluctuation,
@@ -479,7 +496,8 @@ class CDSearchEngine:
                     jnp.asarray(np.stack([up.lane_lo for up in ups])),
                     jnp.asarray(np.stack([up.lane_span for up in ups])))
 
-        return self._cached_plan_args(("ukeys", n_pixels), plans, build)
+        return self._cached_plan_args(
+            ("ukeys", self.use_union_keys, n_pixels), plans, build)
 
     def _mesh_planes(self, shard: TargetShard):
         """The shard's planes sharded over the current mesh, built

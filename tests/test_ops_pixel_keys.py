@@ -469,22 +469,23 @@ def test_engine_key_path_golden_87(tmp_path, mask_rgb, target_rgb):
     assert ms[0].matching_pixels == 87 and not ms[0].mirrored
 
 
-def test_engine_union_keys_equals_packed_path(tmp_path):
+@pytest.mark.parametrize("mode", ["x", "full"])
+def test_engine_union_keys_equals_packed_path(tmp_path, mode):
     from colormipsearch_tpu.engine.cds import CDSParams
 
     rng = np.random.default_rng(29)
     h, w = 36, 48
     masks = [_mk(rng, h, w, 350) for _ in range(3)]
     targets = [_mk(rng, h, w, 300) for _ in range(9)] + [masks[0]]
-    mask_neurons = _write_neurons(tmp_path, masks, "um")
-    target_neurons = _write_neurons(tmp_path, targets, "ut")
+    mask_neurons = _write_neurons(tmp_path, masks, "um" + mode)
+    target_neurons = _write_neurons(tmp_path, targets, "ut" + mode)
     params = CDSParams(mask_threshold=20, data_threshold=20,
                        pix_color_fluctuation=1.0, xy_shift=2,
                        mirror_mask=True)
     ref = _engine_matches(tmp_path, False, mask_neurons, target_neurons,
                           params)
     got = _engine_matches(tmp_path, True, mask_neurons, target_neurons,
-                          params, use_union_keys=True)
+                          params, use_union_keys=mode)
     assert got == ref and len(ref) > 0
 
 
@@ -562,6 +563,16 @@ def test_engine_union_keys_neg_query_and_grid_fallback(tmp_path):
           m.mirrored, round(m.matching_pixels_ratio, 12))
          for m in eng.find_all_matches(mask_neurons, target_neurons)))
     assert got4 == ref4 and len(ref4) > 0
+
+    # the full-union form needs no grid: it must run (not fall back)
+    # at xyShift 4 and still equal the packed path
+    engf = CDSearchEngine(params4, use_union_keys="full")
+    assert engf.use_union_keys == "full"
+    gotf = sorted(
+        ((m.mask_image.mip_id, m.matched_image.mip_id, m.matching_pixels,
+          m.mirrored, round(m.matching_pixels_ratio, 12))
+         for m in engf.find_all_matches(mask_neurons, target_neurons)))
+    assert gotf == ref4
 
 
 def test_engine_key_path_neg_query(tmp_path):
