@@ -313,13 +313,13 @@ def test_slice_numbers_vs_java_transliteration():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("use_keys", [False, True],
-                         ids=["packed", "keys"])
-def test_engine_matches_oracle_across_param_combos(tmp_path, use_keys):
+@pytest.mark.parametrize(
+    "kernel", ["packed", "keys", "union-x", "union-full"])
+def test_engine_matches_oracle_across_param_combos(tmp_path, kernel):
     """Property test: the full device engine (plans, batching, mesh,
-    flags + fallback — or the exact rank-key path) equals the float64
-    oracle for every pair, across the CDS parameter grid (thresholds x
-    xyShift x mirror x fluctuation x label regions)."""
+    flags + fallback — or the exact rank-key / union-key paths) equals
+    the float64 oracle for every pair, across the CDS parameter grid
+    (thresholds x xyShift x mirror x fluctuation x label regions)."""
     from PIL import Image
 
     from colormipsearch_tpu.engine.cds import CDSParams, CDSearchEngine
@@ -365,10 +365,16 @@ def test_engine_matches_oracle_across_param_combos(tmp_path, use_keys):
              with_name_label_region=False,
              with_color_scale_region=False),
     ]
+    engine_kw = {
+        "packed": dict(use_key_planes=False),
+        "keys": dict(use_key_planes=True),
+        "union-x": dict(use_union_keys="x"),
+        "union-full": dict(use_union_keys="full"),
+    }[kernel]
     for params_kw in combos:
         params = CDSParams(**params_kw)
         # auto-mesh on the 8-device CPU
-        engine = CDSearchEngine(params, use_key_planes=use_keys)
+        engine = CDSearchEngine(params, **engine_kw)
         got = {}
         for m in engine.find_all_matches(mask_neurons, target_neurons):
             got[(m.mask_image.mip_id, m.matched_image.mip_id)] = \
