@@ -110,27 +110,36 @@ class GradScoreEngine:
             update_normalized_scores(mask_matches)
         return scored
 
-    # decode+pack worker threads: PIL/zlib decode and numpy packing all
-    # release the GIL, so a small pool pipelines well; host image memory
-    # is bounded at (PREFETCH_WORKERS + 1) in-flight tiles
+    # tile lookahead: while the device scores tile i, tile i+1..i+N
+    # decode+pack (the per-target work inside a tile parallelizes over
+    # DECODE_WORKERS, so 2 in-flight tiles suffice to hide the device)
     PREFETCH_WORKERS = 2
+    # per-target decode+select threads shared by all tiles: native/PIL
+    # decode and numpy gathers release the GIL, so this scales with
+    # cores (measured 3x at 4 cores — scripts/gradscore_host_profile.py)
+    DECODE_WORKERS = None  # default: os.cpu_count()
 
-    def _iter_group_tiles(self, group, mask_shape, region, prep=None):
+    def _iter_group_tiles(self, group, mask_shape, region, prep=None,
+                          select=None):
         """Stream GROUP_TILE-sized lists of loaded targets with
         PREFETCH_WORKERS-deep lookahead (in-order yield): while the
-        device scores tile i, worker threads decode tiles i+1..i+N
-        (the CDS pass's double-buffering, widened — the split kernel is
-        fast enough that decode+pack is the shape pass's bottleneck).
+        device scores tile i, tiles i+1..i+N decode (the CDS pass's
+        double-buffering, widened — the split kernel is fast enough
+        that decode+pack is the shape pass's bottleneck).  The
+        per-target work inside each tile fans out over the shared
+        decode pool (see _load_group_targets).
 
-        `prep` (optional) runs on the loaded tile INSIDE the worker
-        thread and its result is what gets yielded — the device path
-        passes the host-side pack here so decode+pack both overlap the
-        previous tile's device dispatch."""
+        `select` runs per target inside the decode workers (entries
+        become (match, select_result)); `prep` runs on the loaded tile
+        and its result is what gets yielded — the device path passes
+        the support-column slice and the tile assembly here so both
+        overlap the previous tile's device dispatch."""
         import collections
         import concurrent.futures
 
         def load(chunk):
-            loaded = self._load_group_targets(chunk, mask_shape, region)
+            loaded = self._load_group_targets(chunk, mask_shape, region,
+                                              select=select)
             return prep(loaded) if prep is not None else loaded
 
         chunks = [group[i:i + self.GROUP_TILE]
@@ -152,17 +161,36 @@ class GradScoreEngine:
                     nxt += 1
                 yield loaded
 
-    def _load_group_targets(self, group, mask_shape, region):
+    def _decode_pool(self):
+        """Shared per-target decode/select pool (lazy; sized to cores)."""
+        import concurrent.futures
+        import os
+
+        pool = getattr(self, "_decode_pool_obj", None)
+        if pool is None:
+            n = self.DECODE_WORKERS or os.cpu_count() or 4
+            pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=n, thread_name_prefix="gradscore-decode")
+            self._decode_pool_obj = pool
+        return pool
+
+    def _load_group_targets(self, group, mask_shape, region, select=None):
         """Load target/gradient/zgap images for each match; matches with
         missing target or gradient get gradientAreaGap = -1 (the
-        reference's hasGradScore filter then drops them)."""
+        reference's hasGradScore filter then drops them).
+
+        Targets decode in parallel on the shared decode pool (native
+        decoder + numpy release the GIL).  With `select`, each worker
+        applies it to (t_rgb, grad, zgap) right after decoding and the
+        entry becomes (match, select_result) — the device path passes
+        the per-target support-column slice here, so the multi-MB images
+        are dropped per TARGET and never accumulate per tile."""
         from colormipsearch_tpu.oracle.shape import (
             clear_region, dilate_rgb, mask_rgb as mask_fn)
 
         from colormipsearch_tpu.io import cache as mips_cache
 
-        loaded = []
-        for m in group:
+        def load_one(m):
             target = m.matched_image
             t_mip = mips_cache.load_mip(
                 target, ComputeFileType.InputColorDepthImage)
@@ -170,7 +198,7 @@ class GradScoreEngine:
                     t_mip.image.pixels.shape[:2] != mask_shape:
                 m.gradient_area_gap = -1
                 m.high_expression_area = -1
-                continue
+                return None
             g_mip = mips_cache.load_mip(
                 target, ComputeFileType.GradientImage)
             if not g_mip.has_image:
@@ -178,7 +206,7 @@ class GradScoreEngine:
                 # (ShapeMatchColorDepthSearchAlgorithm:142-144)
                 m.gradient_area_gap = -1
                 m.high_expression_area = -1
-                continue
+                return None
             grad = g_mip.image.pixels
             if grad.ndim == 3:
                 # gradient images are 16-bit gray; tolerate RGB encodes
@@ -186,7 +214,7 @@ class GradScoreEngine:
             if grad.shape != mask_shape:
                 m.gradient_area_gap = -1
                 m.high_expression_area = -1
-                continue
+                return None
             z_mip = mips_cache.load_mip(
                 target, ComputeFileType.ZGapImage)
             t_rgb = t_mip.image.as_rgb()
@@ -200,12 +228,17 @@ class GradScoreEngine:
                     mask_fn(clear_region(t_rgb, region),
                             self.params.mask_threshold),
                     self.params.negative_radius)
-            loaded.append((m, t_rgb, grad.astype(np.uint16), zgap))
-        return loaded
+            grad = grad.astype(np.uint16)
+            if select is not None:
+                return (m, select(t_rgb, grad, zgap))
+            return (m, t_rgb, grad, zgap)
 
-    # targets per decode/pack chunk: bounds the in-flight host images
-    # (~2.8 GB RGB+grad+zgap per tile x (PREFETCH_WORKERS + 1)); the
-    # packed planes are support-row sparse and much smaller
+        results = self._decode_pool().map(load_one, group)
+        return [r for r in results if r is not None]
+
+    # targets per decode/pack chunk (device path holds full images only
+    # per in-flight DECODE_WORKER, ~17 MB each — tiles carry the small
+    # support-column slices; the oracle path still holds a full tile)
     GROUP_TILE = 512
     # targets per device dispatch: packed chunks accumulate to this
     # width before scoring (wide columns amortize dispatch overhead),
@@ -250,21 +283,25 @@ class GradScoreEngine:
         q_gap = np.stack([g for g, _ in qs])
         q_he = np.stack([h for _, h in qs])
 
-        def pack_tile(loaded):
-            # runs inside the prefetch worker: decode+pack of tile i+1
-            # overlaps the device scoring of tile i, and the multi-MB
-            # per-target images are dropped here, so only the small
-            # packed support-row planes cross the thread boundary
-            if not loaded:
-                return [], None
-            t_gap, t_he = shape_score.pack_target_rows_split(
-                [t for _, t, _, _ in loaded],
-                [g for _, _, g, _ in loaded],
-                [z for _, _, _, z in loaded],
-                pos_gap, n_gap_pad, pos_he, n_he_w,
+        def select_cols(t_rgb, grad, zgap):
+            # runs per target inside the decode workers: the support
+            # columns are sliced right after decode and the multi-MB
+            # images dropped per target (select_target_cols_split)
+            return shape_score.select_target_cols_split(
+                t_rgb, grad, zgap, pos_gap, n_gap_pad, pos_he, n_he_w,
                 mask_threshold=p.mask_threshold, excluded=region,
                 mirror=p.mirror_mask)
-            return [m for m, _, _, _ in loaded], (t_gap, t_he)
+
+        def pack_tile(loaded):
+            # runs inside the prefetch worker: tile assembly (stack of
+            # the per-target columns) overlaps the previous tile's
+            # device dispatch; only ~26 KB/target crosses the boundary
+            if not loaded:
+                return [], None
+            t_gap, t_he = shape_score.assemble_target_rows_split(
+                [c for _, c in loaded], n_gap_pad, n_he_w,
+                mirror=p.mirror_mask)
+            return [m for m, _ in loaded], (t_gap, t_he)
 
         # decode/pack streams in GROUP_TILE chunks (host-image bound),
         # but the packed planes are small (~16 KB gap + ~10 KB he per
@@ -301,7 +338,8 @@ class GradScoreEngine:
             acc, acc_t = [], 0
 
         for matches, planes in self._iter_group_tiles(
-                group, mask_shape, region, prep=pack_tile):
+                group, mask_shape, region, prep=pack_tile,
+                select=select_cols):
             if matches:
                 acc.append((matches, planes[0], planes[1]))
                 acc_t += len(matches)

@@ -367,6 +367,76 @@ def sparse_query_split(q_pack: np.ndarray, pos_gap: np.ndarray,
     return q_gap, q_he
 
 
+def select_target_cols_split(t_rgb, grad, zgap_rgb,
+                             pos_gap: np.ndarray, n_gap_pad: int,
+                             pos_he: np.ndarray, n_he_words: int, *,
+                             mask_threshold: int,
+                             excluded: np.ndarray | None = None,
+                             mirror: bool = True):
+    """ONE target's split-pack columns: (gap_cols uint32 [n_or, Sg_pad],
+    he_cols uint32 [n_or, n_he_words]) with n_or = 2 (straight, mirror)
+    or 1.
+
+    The per-target half of pack_target_rows_split, factored out so the
+    engine's decode workers can slice the support columns right after
+    decoding — the multi-MB images are dropped per TARGET (not per
+    tile), and the select work parallelizes across the decode pool.
+    assemble_target_rows_split stacks the columns into dispatch planes.
+    """
+    from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
+
+    w = t_rgb.shape[1]
+
+    def mirror_of(pos):
+        y, x = pos // w, pos % w
+        return y * w + (w - 1 - x)
+
+    n_or = 2 if mirror else 1
+    sg = pos_gap.size
+
+    # gap rows: slice part once, gradient per orientation
+    zsel = zgap_rgb.reshape(-1, 3)[pos_gap]
+    z_part = slice_numbers_lut(zsel).astype(np.uint32) << _SL_SHIFT
+    g_pos = (np.concatenate([pos_gap, mirror_of(pos_gap)]) if mirror
+             else pos_gap)
+    gsel = grad.reshape(-1)[g_pos]
+    g_thr = np.where(gsel > GAP_THRESHOLD, gsel, 0).astype(np.uint32)
+    gap_cols = np.zeros((n_or, n_gap_pad), np.uint32)
+    gap_cols[0, :sg] = z_part | g_thr[:sg]
+    if mirror:
+        gap_cols[1, :sg] = z_part | g_thr[sg:]
+
+    # he rows: foreground bit only, bitpacked 32 rows/word
+    h_pos = (np.concatenate([pos_he, mirror_of(pos_he)]) if mirror
+             else pos_he)
+    tsel = t_rgb.reshape(-1, 3)[h_pos]
+    tfg = (tsel > mask_threshold).any(axis=-1)
+    if excluded is not None:
+        tfg &= ~excluded.reshape(-1)[h_pos]
+    sh = pos_he.size
+    he_cols = np.empty((n_or, n_he_words), np.uint32)
+    he_cols[0] = _packbits32(tfg[:sh], n_he_words)
+    if mirror:
+        he_cols[1] = _packbits32(tfg[sh:], n_he_words)
+    return gap_cols, he_cols
+
+
+def assemble_target_rows_split(cols: list, n_gap_pad: int,
+                               n_he_words: int, *, mirror: bool = True):
+    """Stack per-target select_target_cols_split outputs into the
+    (t_gap uint32 [n_or, Sg_pad, T], t_he uint32 [n_or, W, T]) host
+    planes shape_score_pairs_split consumes.  Callers accumulate/pad on
+    the host and upload once per dispatch (the jit converts on call),
+    keeping device memory at a single plane set."""
+    n_or = 2 if mirror else 1
+    if not cols:
+        return (np.zeros((n_or, n_gap_pad, 0), np.uint32),
+                np.zeros((n_or, n_he_words, 0), np.uint32))
+    t_gap = np.stack([c[0] for c in cols], axis=2)
+    t_he = np.stack([c[1] for c in cols], axis=2)
+    return t_gap, t_he
+
+
 def pack_target_rows_split(t_rgbs, grads, zgap_rgbs,
                            pos_gap: np.ndarray, n_gap_pad: int,
                            pos_he: np.ndarray, n_he_words: int, *,
@@ -382,48 +452,18 @@ def pack_target_rows_split(t_rgbs, grads, zgap_rgbs,
     plane).  He rows carry ONLY the target-foreground bit (straight and
     mirrored columns, masked by the excluded region like the dense
     pack), BITPACKED 32 ring rows per uint32 word — the he term is a
-    popcount of t & q words.  Device arrays, ready for
-    shape_score_pairs_split."""
-    from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
+    popcount of t & q words.  Reference semantics:
+    ShapeMatchColorDepthSearchAlgorithm:191-240.
 
-    t = len(t_rgbs)
-    w = t_rgbs[0].shape[1]
-
-    def mirror_of(pos):
-        y, x = pos // w, pos % w
-        return y * w + (w - 1 - x)
-
-    # gap rows: slice part once, gradient per orientation
-    zsel = np.stack([z.reshape(-1, 3)[pos_gap] for z in zgap_rgbs])
-    sl = slice_numbers_lut(zsel).astype(np.uint32)
-    g_pos = (np.concatenate([pos_gap, mirror_of(pos_gap)]) if mirror
-             else pos_gap)
-    gsel = np.stack([g.reshape(-1)[g_pos] for g in grads])
-    g_thr = np.where(gsel > GAP_THRESHOLD, gsel, 0).astype(np.uint32)
-    sg = pos_gap.size
-    n_or = 2 if mirror else 1
-    t_gap = np.zeros((n_or, n_gap_pad, t), np.uint32)
-    z_part = sl << _SL_SHIFT
-    t_gap[0, :sg] = (z_part | g_thr[:, :sg]).T
-    if mirror:
-        t_gap[1, :sg] = (z_part | g_thr[:, sg:]).T
-
-    # he rows: foreground bit only, bitpacked 32 rows/word
-    h_pos = (np.concatenate([pos_he, mirror_of(pos_he)]) if mirror
-             else pos_he)
-    tsel = np.stack([i.reshape(-1, 3)[h_pos] for i in t_rgbs])
-    tfg = (tsel > mask_threshold).any(axis=-1)
-    if excluded is not None:
-        tfg &= ~excluded.reshape(-1)[h_pos]
-    sh = pos_he.size
-    t_he = np.empty((n_or, n_he_words, t), np.uint32)
-    t_he[0] = _packbits32(tfg[:, :sh], n_he_words).T
-    if mirror:
-        t_he[1] = _packbits32(tfg[:, sh:], n_he_words).T
-    # host arrays: callers accumulate/pad on the host and upload once per
-    # dispatch (the jit converts on call), keeping device memory at a
-    # single plane set
-    return t_gap, t_he
+    Composition of select_target_cols_split + assemble_target_rows_split
+    (the engine calls those directly from its decode workers)."""
+    cols = [select_target_cols_split(
+                t, g, z, pos_gap, n_gap_pad, pos_he, n_he_words,
+                mask_threshold=mask_threshold, excluded=excluded,
+                mirror=mirror)
+            for t, g, z in zip(t_rgbs, grads, zgap_rgbs)]
+    return assemble_target_rows_split(cols, n_gap_pad, n_he_words,
+                                      mirror=mirror)
 
 
 # -------------------------------------------------------------------------
