@@ -14,6 +14,7 @@ fused slice-gap/gradient kernels (ops/shape_score.py); the float64 oracle
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Sequence
 
@@ -25,6 +26,22 @@ from colormipsearch_tpu.oracle.shape import ShapeMatchOracle, normalized_score
 from colormipsearch_tpu.engine.cds import CDSParams
 
 LOG = logging.getLogger(__name__)
+
+_pool_lock = threading.Lock()
+_decode_pools: dict = {}
+
+
+def _shared_decode_pool(n_workers: int):
+    import concurrent.futures
+
+    with _pool_lock:
+        pool = _decode_pools.get(n_workers)
+        if pool is None:
+            pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=n_workers,
+                thread_name_prefix="gradscore-decode")
+            _decode_pools[n_workers] = pool
+        return pool
 
 
 class GradScoreEngine:
@@ -162,17 +179,13 @@ class GradScoreEngine:
                 yield loaded
 
     def _decode_pool(self):
-        """Shared per-target decode/select pool (lazy; sized to cores)."""
-        import concurrent.futures
+        """Per-target decode/select pool, shared process-wide by size
+        (engines are created per command; a per-engine pool would leak
+        idle threads across test runs)."""
         import os
 
-        pool = getattr(self, "_decode_pool_obj", None)
-        if pool is None:
-            n = self.DECODE_WORKERS or os.cpu_count() or 4
-            pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=n, thread_name_prefix="gradscore-decode")
-            self._decode_pool_obj = pool
-        return pool
+        return _shared_decode_pool(self.DECODE_WORKERS
+                                   or os.cpu_count() or 4)
 
     def _load_group_targets(self, group, mask_shape, region, select=None):
         """Load target/gradient/zgap images for each match; matches with
