@@ -459,7 +459,9 @@ def cmd_gradient_scores(args) -> int:
     from colormipsearch_tpu.engine.gradscore import GradScoreEngine
 
     params = _cds_params(args)
-    engine = GradScoreEngine(params, use_device=args.use_device)
+    engine = GradScoreEngine(
+        params, use_device=args.use_device,
+        decode_workers=getattr(args, "cdsConcurrency", 0) or None)
 
     use_db = args.resultsStorage == "DB"
     if use_db:
@@ -904,7 +906,10 @@ def _run_v2_search(args, masks, targets, mip_by_key) -> int:
             if z is not None:
                 m.matched_image.set_compute_file(
                     ComputeFileType.ZGapImage, z)
-        GradScoreEngine(params).score_matches(matches)
+        GradScoreEngine(
+            params,
+            decode_workers=getattr(args, "cdsConcurrency", 0) or None,
+        ).score_matches(matches)
 
     rows = []
     for m in matches:

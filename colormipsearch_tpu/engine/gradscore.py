@@ -46,11 +46,16 @@ def _shared_decode_pool(n_workers: int):
 
 class GradScoreEngine:
     def __init__(self, params: CDSParams, *, use_device: bool = True,
-                 use_mesh: bool | None = None):
+                 use_mesh: bool | None = None,
+                 decode_workers: int | None = None):
         import jax
 
         self.params = params
         self.use_device = use_device
+        if decode_workers:
+            # --cdsConcurrency: host decode/select thread count
+            # (defaults to os.cpu_count via the class attribute)
+            self.DECODE_WORKERS = decode_workers
         if use_mesh is None:
             use_mesh = len(jax.devices()) > 1
         self._mesh = None
