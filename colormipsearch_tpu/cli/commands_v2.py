@@ -216,8 +216,7 @@ def cmd_gradient_score_v2(args) -> int:
                 mask_rgb, args.maskThreshold, mirror=args.mirrorMask,
                 negative_radius=args.negativeRadius,
                 excluded_region=region)
-        rows = []
-        for r in selected:
+        def load_row(r):
             t_fd = r.target.file_data()
             # the MIP's own variants dictionary wins over location
             # conventions (MIPsUtils.getMIPVariantInfo:223-228)
@@ -226,16 +225,16 @@ def cmd_gradient_score_v2(args) -> int:
                     t_fd, args.gradientPath, args.gradientSuffix,
                     cdm_suffix=args.librarySuffix)
             if grad_fd is None:
-                continue
+                return None
             try:
                 t_rgb = mips_io.load_image(t_fd).as_rgb()
                 grad_img = mips_io.load_image(grad_fd).pixels
             except (OSError, FileNotFoundError, ValueError):
-                continue
+                return None
             if grad_img.ndim == 3:
                 grad_img = grad_img.astype(np.int32).max(axis=-1)
             if t_rgb.shape[:2] != (h, w) or grad_img.shape != (h, w):
-                continue
+                return None
             zgap_rgb = None
             z_fd = r.target.variant_file_data(args.zgapVariant) \
                 or mips_io.find_variant(t_fd, args.zgapPath,
@@ -254,7 +253,16 @@ def cmd_gradient_score_v2(args) -> int:
                 zgap_rgb = dilate_rgb(
                     mask_fn(clear_region(t_rgb, region),
                             args.maskThreshold), args.negativeRadius)
-            rows.append((r, t_rgb, grad_img.astype(np.uint16), zgap_rgb))
+            return (r, t_rgb, grad_img.astype(np.uint16), zgap_rgb)
+
+        # decode the selected targets in parallel (same shared pool as
+        # the v3 shape pass; decode and dilation release the GIL)
+        from colormipsearch_tpu.engine.gradscore import _shared_decode_pool
+
+        n_workers = (getattr(args, "cdsConcurrency", 0)
+                     or os.cpu_count() or 4)
+        rows = [r for r in _shared_decode_pool(n_workers).map(
+            load_row, selected) if r is not None]
         max_pixels, max_neg = -1, -1
         if rows and use_device:
             _score_rows_device(mask_rgb, region, args, rows)
