@@ -125,6 +125,36 @@ def selftest(out_path: str) -> int:
     # planes folded it above, so verdicts must agree exactly
     keys_ok = bool((kbest == ref_best).all())
 
+    # the union-lane key kernels (x and full forms) over the same mesh:
+    # every production pixel kernel gets a cross-process equality proof
+    from colormipsearch_tpu.parallel.mesh import (
+        make_sharded_batch_step_union_keys,
+    )
+
+    def union_batch(build):
+        uplans = [build(m) for m in masks]
+        u_pad = max(up.u_pos.shape[1] for up in uplans)
+        uplans = [pixel_match.pad_union_key_plan(up, u_pad, h * w)
+                  for up in uplans]
+        return (jnp.asarray(np.stack([up.u_pos for up in uplans])),
+                jnp.asarray(np.stack([up.mu_pos for up in uplans])),
+                jnp.asarray(np.stack([up.lane_lo for up in uplans])),
+                jnp.asarray(np.stack([up.lane_span for up in uplans])))
+
+    ustep = make_sharded_batch_step_union_keys(mesh)
+    union_ok = True
+    for build in (
+            lambda m: pixel_match.build_union_key_plan(
+                m, 20, mirror=True, xy_shift=2,
+                pix_color_fluctuation=2.0),
+            lambda m: pixel_match.build_full_union_key_plan(
+                m, 20, mirror=True, xy_shift=2,
+                pix_color_fluctuation=2.0)):
+        ubest = ustep(key_planes, *union_batch(build))[0]
+        ubest = np.asarray(multihost_utils.process_allgather(
+            ubest, tiled=True))[:, :n_targets]
+        union_ok = union_ok and bool((ubest == ref_best).all())
+
     # the split (gap-row / he-row) shape kernel over the same
     # process-spanning mesh vs the single-device jit
     from colormipsearch_tpu.ops import shape_score
@@ -152,16 +182,17 @@ def selftest(out_path: str) -> int:
         jnp.asarray(q_he))]
     shape_ok = all((r == g).all() for r, g in zip(ref, got))
 
-    ok = ok and keys_ok and shape_ok
+    ok = ok and keys_ok and union_ok and shape_ok
     with open(out_path, "w") as f:
         json.dump({"process": jax.process_index(),
                    "num_processes": jax.process_count(),
                    "n_global_devices": len(jax.devices()),
-                   "ok": ok, "keys_ok": keys_ok, "shape_ok": shape_ok,
+                   "ok": ok, "keys_ok": keys_ok, "union_ok": union_ok,
+                   "shape_ok": shape_ok,
                    "scores": best.tolist(),
                    "global_max": np.asarray(gmax).reshape(-1).tolist()}, f)
     print(f"[multihost] selftest ok={ok} (keys_ok={keys_ok}, "
-          f"shape_ok={shape_ok})", file=sys.stderr)
+          f"union_ok={union_ok}, shape_ok={shape_ok})", file=sys.stderr)
     return 0 if ok else 1
 
 
