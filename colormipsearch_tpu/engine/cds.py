@@ -568,18 +568,17 @@ class CDSearchEngine:
         import concurrent.futures
 
         # precompute all query plans, grouped by (shape, padded Q) so a
-        # whole group goes through one batched dispatch; mask decodes run
-        # on a thread pool (native decode + PIL release the GIL)
-        groups: dict[tuple, list] = {}
-        with concurrent.futures.ThreadPoolExecutor(
-                max_workers=self.decode_concurrency) as pool:
-            mask_mips = list(pool.map(
-                lambda m: mips_io.load_compute_file(
-                    m, ComputeFileType.InputColorDepthImage), masks))
-        for mask, mask_mip in zip(masks, mask_mips):
+        # whole group goes through one batched dispatch; mask decode AND
+        # plan building run on a thread pool (native decode, PIL, and
+        # the numpy classify/shift work all release the GIL) — at
+        # production scale (44k masks x ~36 ms/plan) a serial build
+        # would exceed the device scoring time
+        def prep_mask(mask):
+            mask_mip = mips_io.load_compute_file(
+                mask, ComputeFileType.InputColorDepthImage)
             if not mask_mip.has_image:
                 LOG.warning("mask %s has no loadable image", mask.mip_id)
-                continue
+                return None
             mask_rgb = mask_mip.image.as_rgb()
             h, w = mask_rgb.shape[:2]
             region = p.excluded_region(h, w)
@@ -589,7 +588,7 @@ class CDSearchEngine:
                 pix_color_fluctuation=p.pix_color_fluctuation,
                 excluded_region=region)
             if plan.query_size == 0:
-                continue
+                return None
             neg_plan = None
             if self.neg_query_rgb is not None:
                 neg_plan = pixel_match.build_neg_query_plan(
@@ -599,10 +598,19 @@ class CDSearchEngine:
                     xy_shift=p.xy_shift,
                     pix_color_fluctuation=p.pix_color_fluctuation,
                     excluded_region=region)
-            key = ((h, w), plan.positions.shape[1],
+            return (mask, mask_rgb, region, plan, neg_plan)
+
+        groups: dict[tuple, list] = {}
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=self.decode_concurrency) as pool:
+            prepped = list(pool.map(prep_mask, masks))
+        for entry in prepped:
+            if entry is None:
+                continue
+            _, mask_rgb, _, plan, neg_plan = entry
+            key = (mask_rgb.shape[:2], plan.positions.shape[1],
                    None if neg_plan is None else neg_plan.positions.shape[1])
-            groups.setdefault(key, []).append(
-                (mask, mask_rgb, region, plan, neg_plan))
+            groups.setdefault(key, []).append(entry)
 
         n_matches = 0
         n_targets = 0

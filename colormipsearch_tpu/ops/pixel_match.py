@@ -632,29 +632,25 @@ def _adj_direction_tables():
     return tc, prefix
 
 
-def build_key_intervals(q_cls: np.ndarray, q_s: np.ndarray,
-                        q_p: np.ndarray, z_tol: float):
-    """Per-query-pixel key intervals (lo uint32 [3, Q], span uint32 [3, Q]).
+def _bisect_key_intervals(q_cls: np.ndarray, q_rank: np.ndarray,
+                          z_tol: float):
+    """Key intervals by f64-oracle bisection for (class, ratio-rank)
+    query summaries (the core of build_key_intervals; see there).
 
-    A target key k matches query pixel i iff
-    (k - lo[slot, i]) mod 2^32 <= span[slot, i] for some slot.  Endpoints
-    are found by vectorized bisection of the float64 oracle predicate
-    (pixel_gap(q, t) <= z_tol), so membership equals the reference's f64
-    verdict exactly — including the query-side rule preconditions, which
-    the oracle evaluates internally (a failed precondition makes every
-    probe miss and the interval comes out empty).
+    The oracle predicate depends on the query pixel only through
+    (class, float64 ratio), and equal rationals give identical float64
+    quotients, so (cls, rank) fully determines the intervals.
     """
     from colormipsearch_tpu.ops.common import (
         KEY_RANK_BITS,
         ratio_rank_table,
     )
 
-    vals, rank_tab = ratio_rank_table()
+    vals, _ = ratio_rank_table()
     n_ratios = vals.size
     q_cls = np.asarray(q_cls, np.int64)
-    q_s = np.asarray(q_s, np.int64)
-    q_p = np.asarray(q_p, np.int64)
-    q_r = oracle_pixel.ratio_f64(q_cls, q_s, q_p)
+    q_rank = np.asarray(q_rank, np.int64)
+    q_r = vals[q_rank]
     n_q = q_cls.shape[0]
 
     lo = np.full((3, n_q), _EMPTY_LO, np.uint32)
@@ -672,8 +668,7 @@ def build_key_intervals(q_cls: np.ndarray, q_s: np.ndarray,
     # slot 0: same class.  Non-empty iff the ratio is positive (r2 > 0
     # is also required, hence ranks start at 1); the window contains
     # q's own rank (gap 0), so bisect each edge from there.
-    act = (q_cls > 0) & (q_s >= 1)
-    q_rank = rank_tab[np.minimum(q_s, 255), np.minimum(q_p, 255)]
+    act = (q_cls > 0) & (q_rank >= 1)
     anchor = np.maximum(q_rank, 1)
     # the bisection assumes the anchor matches (gap 0 <= z); with a
     # negative or NaN tolerance nothing matches and the degenerate
@@ -718,6 +713,65 @@ def build_key_intervals(q_cls: np.ndarray, q_s: np.ndarray,
         fill(k + 1, act, tc,
              np.where(pref, 0, lo_i), np.where(pref, lo_i, n_ratios - 1))
     return lo, span
+
+
+@functools.lru_cache(maxsize=4)
+def _key_interval_table(z_tol: float):
+    """(lo, span) uint32 [3, 7 << KEY_RANK_BITS] interval tables for one
+    z-tolerance, indexed by the query pixel's OWN key
+    (cls << KEY_RANK_BITS) | rank.  Built once by bisecting every
+    achievable (class, rank) pair (~119k) and cached per tolerance —
+    plan builds then cost a table gather instead of re-running the
+    bisections per pixel per lane (the full-union build probes each
+    query pixel up to 18x otherwise)."""
+    from colormipsearch_tpu.ops.common import (
+        KEY_RANK_BITS,
+        ratio_rank_table,
+    )
+
+    vals, _ = ratio_rank_table()
+    n_ratios = vals.size
+    cls = np.repeat(np.arange(1, 7, dtype=np.int64), n_ratios)
+    rank = np.tile(np.arange(n_ratios, dtype=np.int64), 6)
+    lo, span = _bisect_key_intervals(cls, rank, z_tol)
+    n = 7 << KEY_RANK_BITS
+    tab_lo = np.full((3, n), _EMPTY_LO, np.uint32)
+    tab_span = np.zeros((3, n), np.uint32)
+    idx = (cls << KEY_RANK_BITS) | rank
+    tab_lo[:, idx] = lo
+    tab_span[:, idx] = span
+    return tab_lo, tab_span
+
+
+def build_key_intervals(q_cls: np.ndarray, q_s: np.ndarray,
+                        q_p: np.ndarray, z_tol: float):
+    """Per-query-pixel key intervals (lo uint32 [3, Q], span uint32 [3, Q]).
+
+    A target key k matches query pixel i iff
+    (k - lo[slot, i]) mod 2^32 <= span[slot, i] for some slot.  Endpoints
+    are found by vectorized bisection of the float64 oracle predicate
+    (pixel_gap(q, t) <= z_tol), so membership equals the reference's f64
+    verdict exactly — including the query-side rule preconditions, which
+    the oracle evaluates internally (a failed precondition makes every
+    probe miss and the interval comes out empty).  The bisections run
+    once per (class, rank, tolerance) via a cached table
+    (_key_interval_table); this is a gather.
+    """
+    from colormipsearch_tpu.ops.common import (
+        KEY_RANK_BITS,
+        ratio_rank_table,
+    )
+
+    _, rank_tab = ratio_rank_table()
+    q_cls = np.asarray(q_cls, np.int64)
+    q_s = np.asarray(q_s, np.int64)
+    q_p = np.asarray(q_p, np.int64)
+    rank = rank_tab[np.minimum(q_s, 255), np.minimum(q_p, 255)]
+    # class 0 (padded / inactive) maps to key 0, whose table entries are
+    # the initialization value: the empty interval
+    key = np.where(q_cls > 0, (q_cls << KEY_RANK_BITS) | rank, 0)
+    tab_lo, tab_span = _key_interval_table(float(z_tol))
+    return tab_lo[:, key], tab_span[:, key]
 
 
 @dataclasses.dataclass
