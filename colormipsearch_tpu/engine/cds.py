@@ -478,16 +478,26 @@ class CDSearchEngine:
                    if self.use_union_keys == "full"
                    else pixel_match.build_union_key_plan)
 
+        def build_one(entry):
+            _mask, mask_rgb, region, _plan, _neg = entry
+            up = builder(
+                mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
+                xy_shift=p.xy_shift,
+                pix_color_fluctuation=p.pix_color_fluctuation,
+                excluded_region=region)
+            assert up is not None  # grid-checked at engine init
+            return up
+
         def build():
-            ups = []
-            for _mask, mask_rgb, region, _plan, _neg in batch:
-                up = builder(
-                    mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
-                    xy_shift=p.xy_shift,
-                    pix_color_fluctuation=p.pix_color_fluctuation,
-                    excluded_region=region)
-                assert up is not None  # grid-checked at engine init
-                ups.append(up)
+            import concurrent.futures
+
+            # union builds are the heaviest host plan work (per-lane
+            # table gathers over the dilated support); fan the batch out
+            # like the mask prep does
+            with concurrent.futures.ThreadPoolExecutor(
+                    max_workers=min(len(batch),
+                                    self.decode_concurrency)) as pool:
+                ups = list(pool.map(build_one, batch))
             u_pad = max(up.u_pos.shape[1] for up in ups)
             ups = [pixel_match.pad_union_key_plan(up, u_pad, n_pixels)
                    for up in ups]
