@@ -72,6 +72,26 @@ def test_intervals_match_oracle_on_ratio_grid(z_tol):
             assert (memb == truth).all(), (qc, tc)
 
 
+def test_interval_table_equals_direct_bisection():
+    """build_key_intervals gathers from the per-tolerance memo table
+    (_key_interval_table); the gather must equal running the bisection
+    directly on the pixels' (class, rank) summaries."""
+    _, rank_tab = common.ratio_rank_table()
+    rng = np.random.default_rng(11)
+    q_p = rng.integers(1, 256, 4096).astype(np.int64)
+    q_s = (q_p * rng.random(4096)).astype(np.int64)  # s < p
+    q_cls = rng.integers(0, 7, 4096).astype(np.int64)
+    lo, span = pixel_match.build_key_intervals(q_cls, q_s, q_p, 0.01)
+    rank = rank_tab[q_s, q_p]
+    d_lo, d_span = pixel_match._bisect_key_intervals(q_cls, rank, 0.01)
+    live = q_cls > 0
+    assert (lo[:, live] == d_lo[:, live]).all()
+    assert (span[:, live] == d_span[:, live]).all()
+    # class-0 summaries must map to the empty interval
+    assert (span[:, ~live] == 0).all()
+    assert (lo[:, ~live] == pixel_match._EMPTY_LO).all()
+
+
 @pytest.mark.parametrize("z_tol", [-0.01, float("nan"), 0.0])
 def test_intervals_degenerate_tolerances(z_tol):
     """Negative/NaN tolerances must still equal the oracle verdict —
