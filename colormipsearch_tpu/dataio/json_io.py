@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 from pathlib import Path
 from typing import Callable, Sequence
@@ -24,6 +25,8 @@ from colormipsearch_tpu.results.grouping import (
     group_by_target,
     sort_matches_desc,
 )
+
+LOG = logging.getLogger(__name__)
 
 
 def read_neurons_json(path, offset: int = 0, size: int = -1) -> list[Neuron]:
@@ -124,7 +127,12 @@ class JSONMatchesWriter:
             key_neuron, ms = item
             name = self.grouping(key_neuron)
             if not name:
-                return
+                # a grouped file needs a mip id for its name; dropping
+                # silently would leave "wrote N matches" lying
+                LOG.warning(
+                    "dropping %d matches: group neuron %s has no mip id",
+                    len(ms), key_neuron.published_name or "<unnamed>")
+                return 0
             path = out_dir / f"{name}.json"
             if append:
                 # groups arrive already in file orientation (mask ==
@@ -146,7 +154,7 @@ class JSONMatchesWriter:
                 self._written.add(path)
                 if acc["dirty"] >= self.ROWS_PER_DUMP:
                     self._dump_acc(path, acc)
-                return
+                return len(ms)
             self._written.add(path)
             doc = {
                 "inputImage": key_neuron.to_json(),
@@ -154,16 +162,16 @@ class JSONMatchesWriter:
                             for m in sorted(ms, key=self.ordering)],
             }
             _dump(doc, path, self.pretty)
+            return len(ms)
 
         groups = list(groups)
         if len(groups) > 4:
             with concurrent.futures.ThreadPoolExecutor(
                     max_workers=min(16, len(groups))) as pool:
-                list(pool.map(write_one, groups))
+                counts = list(pool.map(write_one, groups))
         else:
-            for g in groups:
-                write_one(g)
-        return len(groups)
+            counts = [write_one(g) for g in groups]
+        return sum(counts)
 
     def _dump_acc(self, path: Path, acc: dict) -> None:
         acc["rows"].sort(key=lambda kr: kr[0])
