@@ -353,8 +353,11 @@ def cmd_color_depth_search(args) -> int:
     params = _cds_params(args)
     engine = CDSearchEngine(
         params,
+        # --cdsConcurrency sizes the host decode/plan threads; default
+        # to the core count (mask prep + plan builds scale with it)
         decode_concurrency=getattr(args, "cdsConcurrency", 0)
-        if getattr(args, "cdsConcurrency", 0) > 0 else 8,
+        if getattr(args, "cdsConcurrency", 0) > 0
+        else max(8, os.cpu_count() or 1),
         use_key_planes=getattr(args, "use_key_planes", None),
         use_union_keys=getattr(args, "use_union_keys", None))
     tags = [args.processingTag] if args.processingTag else []
