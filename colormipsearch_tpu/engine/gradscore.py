@@ -100,22 +100,39 @@ class GradScoreEngine:
             key = (m.mask_image.mip_id, fd.name if fd else None)
             groups.setdefault(key, []).append(m)
 
-        scored: list[CDMatch] = []
-        scored_by_mask: dict = {}
-        for (mip_id, _), group in groups.items():
-            t0 = time.time()
-            mask = group[0].mask_image
+        def load_and_prep(group):
+            """Mask decode + query pack for one group — prefetched on
+            the pool one group ahead, because the r=60/r=20 dilations
+            cost ~0.5 s serially at each group's head."""
             mask_mip = mips_io.load_compute_file(
-                mask, ComputeFileType.InputColorDepthImage)
+                group[0].mask_image, ComputeFileType.InputColorDepthImage)
             if not mask_mip.has_image:
-                LOG.error("no image found for mask %s", mip_id)
-                continue
+                return None
             mask_rgb = mask_mip.image.as_rgb()
             h, w = mask_rgb.shape[:2]
             region = self.params.shape_excluded_region(h, w)
+            prep = self._prep_group_query(mask_rgb, region, roi_rgb) \
+                if self.use_device else None
+            return mask_rgb, region, prep
+
+        scored: list[CDMatch] = []
+        scored_by_mask: dict = {}
+        items = list(groups.items())
+        pool = self._decode_pool()
+        fut = pool.submit(load_and_prep, items[0][1]) if items else None
+        for i, ((mip_id, _), group) in enumerate(items):
+            t0 = time.time()
+            res = fut.result()
+            fut = pool.submit(load_and_prep, items[i + 1][1]) \
+                if i + 1 < len(items) else None
+            if res is None:
+                LOG.error("no image found for mask %s", mip_id)
+                continue
+            mask_rgb, region, prep = res
+            h, w = mask_rgb.shape[:2]
             if self.use_device:
                 n_ok = self._score_group_device(
-                    mask_rgb, region, roi_rgb, group, (h, w))
+                    mask_rgb, region, roi_rgb, group, (h, w), prep=prep)
             else:
                 n_ok = self._score_group_oracle(
                     mask_rgb, region, roi_rgb,
@@ -266,13 +283,14 @@ class GradScoreEngine:
     DISPATCH_TILE = 4096
     DISPATCH_PLANE_BYTES = 512e6
 
-    def _score_group_device(self, mask_rgb, region, roi_rgb,
-                            group, mask_shape) -> int:
+    def _prep_group_query(self, mask_rgb, region, roi_rgb):
+        """Per-mask query packing (r=60/r=20 dilations) — the serial
+        ~0.5 s head of each group, so score_matches prefetches the NEXT
+        group's prep on the pool while the current group streams.
+        Returns (q_gap, q_he, pos_gap, n_gap_pad, pos_he, n_he_w)."""
         from colormipsearch_tpu.ops import shape_score
         from colormipsearch_tpu.oracle.shape import clear_region
 
-        # per-mask query packing (r=60/r=20 dilations) happens ONCE,
-        # then the group's targets stream through in bounded tiles
         p = self.params
         roi_keep = None
         roi_keep_m = None
@@ -300,6 +318,16 @@ class GradScoreEngine:
               for qp in packs]
         q_gap = np.stack([g for g, _ in qs])
         q_he = np.stack([h for _, h in qs])
+        return q_gap, q_he, pos_gap, n_gap_pad, pos_he, n_he_w
+
+    def _score_group_device(self, mask_rgb, region, roi_rgb,
+                            group, mask_shape, prep=None) -> int:
+        from colormipsearch_tpu.ops import shape_score
+
+        p = self.params
+        if prep is None:
+            prep = self._prep_group_query(mask_rgb, region, roi_rgb)
+        q_gap, q_he, pos_gap, n_gap_pad, pos_he, n_he_w = prep
 
         def select_cols(t_rgb, grad, zgap):
             # runs per target inside the decode workers: the support
