@@ -113,10 +113,12 @@ def build_query_plan(query_rgb: np.ndarray, query_threshold: int, *,
     positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
     q = positions.size
 
-    cls, s, p = oracle_pixel.classify_rgb(query_rgb.reshape(-1, 3))
-    q_cls = cls[positions].astype(np.int32)
-    q_s = s[positions].astype(np.int32)
-    q_p = p[positions].astype(np.int32)
+    # classify only the foreground (~0.1-1% of the plane)
+    cls, s, p = oracle_pixel.classify_rgb(
+        query_rgb.reshape(-1, 3)[positions])
+    q_cls = cls.astype(np.int32)
+    q_s = s.astype(np.int32)
+    q_p = p.astype(np.int32)
 
     x = positions % w
     y = positions // w
@@ -175,11 +177,12 @@ def build_neg_query_plan(query_rgb: np.ndarray, query_threshold: int,
     if size == 0:
         return None
 
-    ncls, ns, np_ = oracle_pixel.classify_rgb(neg_query_rgb.reshape(-1, 3))
     src = positions[:size]
-    q_cls = ncls[src].astype(np.int32)
-    q_s = ns[src].astype(np.int32)
-    q_p = np_[src].astype(np.int32)
+    ncls, ns, np_ = oracle_pixel.classify_rgb(
+        neg_query_rgb.reshape(-1, 3)[src])
+    q_cls = ncls.astype(np.int32)
+    q_s = ns.astype(np.int32)
+    q_p = np_.astype(np.int32)
 
     x = neg_positions % w
     y = neg_positions // w
@@ -944,7 +947,12 @@ def build_union_key_plan(query_rgb: np.ndarray, query_threshold: int, *,
         fg &= ~excluded_region
     positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
 
-    cls, s, p = oracle_pixel.classify_rgb(query_rgb.reshape(-1, 3))
+    # classify only the foreground; pos_index maps a flat pixel back to
+    # its row in the classified arrays (-1 = not a query position)
+    cls, s, p = oracle_pixel.classify_rgb(
+        query_rgb.reshape(-1, 3)[positions])
+    pos_index = np.full(n_pixels, -1, np.int64)
+    pos_index[positions] = np.arange(positions.size)
 
     # x-dilated union of the query support (flat positions; dx shifts
     # that leave the row are skipped, like the reference's -1 sentinel)
@@ -960,16 +968,16 @@ def build_union_key_plan(query_rgb: np.ndarray, query_threshold: int, *,
     # pixel q = u - dx (same image row, must be a query position);
     # inactive elements get class 0, which build_key_intervals maps to
     # the empty interval
-    qset = np.zeros(n_pixels, dtype=bool)
-    qset[positions] = True
     ztol = float(pix_color_fluctuation) / 100.0
     lane_lo = np.empty((len(dxs), 3, u_count), np.uint32)
     lane_span = np.empty_like(lane_lo)
     for j, dx in enumerate(dxs):
         qx = ux - dx
         src = union - dx
-        active = (qx >= 0) & (qx < w) & qset[np.clip(src, 0, n_pixels - 1)]
-        idx = np.where(active, src, 0)
+        # qx in [0, w) keeps src on the same row and inside the image
+        jj = pos_index[np.clip(src, 0, n_pixels - 1)]
+        active = (qx >= 0) & (qx < w) & (jj >= 0)
+        idx = np.where(active, jj, 0)
         lane_lo[j], lane_span[j] = build_key_intervals(
             np.where(active, cls[idx], 0), np.where(active, s[idx], 0),
             np.where(active, p[idx], 0), ztol)
@@ -1010,7 +1018,12 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         fg &= ~excluded_region
     positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
 
-    cls, s, p = oracle_pixel.classify_rgb(query_rgb.reshape(-1, 3))
+    # classify only the foreground; pos_index maps a flat pixel back to
+    # its row in the classified arrays (-1 = not a query position)
+    cls, s, p = oracle_pixel.classify_rgb(
+        query_rgb.reshape(-1, 3)[positions])
+    pos_index = np.full(n_pixels, -1, np.int64)
+    pos_index[positions] = np.arange(positions.size)
 
     # union of every valid shifted position (shifts that leave the image
     # are skipped per offset, like the reference's -1 sentinel)
@@ -1028,8 +1041,6 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
     # lane (dx, dy) at union element u reads query pixel q = u - dx -
     # dy*w (same-row x and in-image y required); inactive elements get
     # class 0 -> the empty interval
-    qset = np.zeros(n_pixels, dtype=bool)
-    qset[positions] = True
     ztol = float(pix_color_fluctuation) / 100.0
     lane_lo = np.empty((len(offsets), 3, u_count), np.uint32)
     lane_span = np.empty_like(lane_lo)
@@ -1037,9 +1048,10 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         qx = ux - dx
         qy = uy - dy
         src = union - dx - dy * w
+        jj = pos_index[np.clip(src, 0, n_pixels - 1)]
         active = ((qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
-                  & qset[np.clip(src, 0, n_pixels - 1)])
-        idx = np.where(active, src, 0)
+                  & (jj >= 0))
+        idx = np.where(active, jj, 0)
         lane_lo[j], lane_span[j] = build_key_intervals(
             np.where(active, cls[idx], 0), np.where(active, s[idx], 0),
             np.where(active, p[idx], 0), ztol)
