@@ -621,6 +621,13 @@ class CDSearchEngine:
             key = (mask_rgb.shape[:2], plan.positions.shape[1],
                    None if neg_plan is None else neg_plan.positions.shape[1])
             groups.setdefault(key, []).append(entry)
+        if masks and not groups:
+            LOG.warning(
+                "no usable masks: every mask image failed to load or "
+                "produced an EMPTY query (threshold %d over the "
+                "non-excluded region — note the name/color-scale label "
+                "regions cover x<330/y<100 and the right corner and are "
+                "excluded by default)", p.mask_threshold)
 
         n_matches = 0
         n_targets = 0
@@ -648,6 +655,12 @@ class CDSearchEngine:
                         n_matches += len(out)
                         yield out
         GLOBAL.add("matchesFound", n_matches)
+        if n_pairs == 0 and groups and n_targets > 0:
+            LOG.warning(
+                "0 pairs scored: no target tile matched any mask's image "
+                "shape (the reference requires target size == query "
+                "size); mask shapes: %s",
+                sorted({shape for (shape, *_) in groups}))
         LOG.info("found %d matches for %d masks x %d targets in %.1fs "
                  "(%.0f pairs/s)",
                  n_matches, len(masks), n_targets, time.time() - t0,
