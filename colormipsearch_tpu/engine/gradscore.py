@@ -143,6 +143,13 @@ class GradScoreEngine:
             LOG.info("grad-scored %d/%d matches of %s in %.1fs",
                      n_ok, len(group), mip_id, time.time() - t0)
 
+        if matches and not scored:
+            LOG.warning(
+                "0 matches grad-scored: every target lacked a usable "
+                "GradientImage variant (or a mask-shaped CDM).  Provide "
+                "gradient/zgap variants via the input's computeFiles, "
+                "--gradientPath/--zgapPath variant lookup, or generate "
+                "them with precomputeVariants")
         # normalization maxima are PER MASK — the reference computes them
         # over one mask mipId's matches (CalculateGradientScoresCmd:443-459)
         for mask_matches in scored_by_mask.values():
