@@ -56,6 +56,42 @@ def synthesize(tmp: str, n: int):
     return paths
 
 
+def run_e2e(paths, mask_path) -> float:
+    """End-to-end GradScoreEngine rate (targets/s) on the synthesized
+    on-disk workload: decode + select + assemble + device dispatch with
+    the production prefetch pipeline.  Run under JAX_PLATFORMS=cpu to
+    measure the HOST pipeline (the CPU 'device' kernel is not the TPU
+    one, but the host side is identical)."""
+    import time
+
+    from colormipsearch_tpu.engine.cds import CDSParams
+    from colormipsearch_tpu.engine.gradscore import GradScoreEngine
+    from colormipsearch_tpu.model import (
+        CDMatch, ComputeFileType, FileData, Neuron)
+
+    mask_n = Neuron(mip_id="mask", published_name="mask")
+    mask_n.set_compute_file(ComputeFileType.InputColorDepthImage,
+                            FileData(mask_path))
+    matches = []
+    for i, (cdm, gp, zp) in enumerate(paths):
+        t_n = Neuron(mip_id=f"t{i:04d}", published_name=f"t{i:04d}")
+        t_n.set_compute_file(ComputeFileType.InputColorDepthImage,
+                             FileData(cdm))
+        t_n.set_compute_file(ComputeFileType.GradientImage, FileData(gp))
+        t_n.set_compute_file(ComputeFileType.ZGapImage, FileData(zp))
+        matches.append(CDMatch(mask_image=mask_n, matched_image=t_n,
+                               matching_pixels=100))
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True)
+    eng = GradScoreEngine(params, use_mesh=False)
+    t0 = time.perf_counter()
+    scored = eng.score_matches(matches)
+    dt = time.perf_counter() - t0
+    assert len(scored) == len(matches), (len(scored), len(matches))
+    return len(matches) / dt
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--targets", type=int, default=96)
@@ -168,6 +204,17 @@ def main() -> int:
         print(f"new pipeline ({n_pool}-thread decode+select): "
               f"{1e3 * dt_new / n:7.2f} ms/target ({n / dt_new:8.1f}/s)"
               f"  (device kernel: ~3.6M pairs/s at T=4096)")
+
+        # end-to-end engine rate on the same on-disk workload (includes
+        # the prefetch pipeline and the device dispatch)
+        mask_path = os.path.join(tmp, "mask.tif")
+        from PIL import Image as _Image
+        _Image.fromarray(mask_rgb).save(mask_path)
+        cold = run_e2e(paths, mask_path)
+        warm = run_e2e(paths, mask_path)  # kernel compiled, LUTs hot
+        print(f"engine end-to-end: {warm:8.1f} targets/s "
+              f"({1e3 / warm:.2f} ms/target; cold incl. compile + "
+              f"query pack: {cold:.1f}/s)")
 
         # pack sub-stage split
         decoded_np = decoded
