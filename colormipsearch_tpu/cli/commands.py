@@ -89,14 +89,16 @@ def _add_cds_params(sp):
                     help="rank-key interval kernel: exact device "
                          "verdicts with no oracle fallback "
                          "(docs/DESIGN.md §2.4; also CDS_KEY_PLANES=1)")
-    sp.add_argument("--use-union-keys", nargs="?", const="x",
-                    choices=["x", "full"], default=None,
-                    help="union lane form of the rank-key kernel: 'x' "
-                         "(default) gathers the x-dilated union per "
-                         "dy-set (0.5x rows), 'full' one dilated union "
-                         "per orientation (0.25x rows); implies "
-                         "--use-key-planes (docs/DESIGN.md §6; also "
-                         "CDS_UNION_KEYS=x|full)")
+    sp.add_argument("--use-union-keys", nargs="?", const="full",
+                    choices=["x", "full", "off"], default=None,
+                    help="union lane form of the rank-key kernel "
+                         "(production default: 'full' — one dilated "
+                         "union per orientation, 0.25x gather rows, "
+                         "fastest on hardware); 'x' gathers the "
+                         "x-dilated union per dy-set (0.5x rows), "
+                         "'off' falls back to the classic kernels; "
+                         "implies --use-key-planes (docs/DESIGN.md §6; "
+                         "also CDS_UNION_KEYS=full|x|0)")
 
 
 def _neuron_name_filter(neurons, patterns):

@@ -55,12 +55,15 @@ _USE_SPLIT = os.environ.get("CDS_SPLIT_PLANES", "0") == "1"
 # --keys) before becoming the default
 _USE_KEYS = os.environ.get("CDS_KEY_PLANES", "0") == "1"
 
-# opt-in union lane forms of the key kernel (imply key planes):
-# "1"/"x" gathers the x-dilated union once per dy-set (0.5x the
-# gathered rows for 1.5x the range tests); "full" gathers one fully
-# dilated union per orientation (0.25x rows, 3x tests); pending the
-# hardware A/B (scripts/perf_sweep.py --union-keys, docs/DESIGN.md §6)
-_USE_UNION = os.environ.get("CDS_UNION_KEYS", "0")
+# union lane forms of the key kernel (imply key planes): "1"/"x"
+# gathers the x-dilated union once per dy-set (0.5x the gathered rows
+# for 1.5x the range tests); "full" gathers one fully dilated union per
+# orientation (0.25x rows, 3x tests).  The hardware A/B (TPU v5e,
+# T=4096 x B=8, 2026-08-19; bench_runs/, docs/DESIGN.md §6) measured
+# full 2.41M > x 2.21M > classic keys 1.30M > packed 1.15M pairs/s, so
+# "full" — which also covers any xyShift with no grid precondition —
+# is the production default; CDS_UNION_KEYS=0|x opts out/down
+_USE_UNION = os.environ.get("CDS_UNION_KEYS", "full")
 _USE_UNION = False if _USE_UNION == "0" else _USE_UNION
 
 
@@ -376,7 +379,7 @@ class CDSearchEngine:
         use_union = _USE_UNION if use_union_keys is None else use_union_keys
         if use_union in (True, 1, "1"):
             use_union = "x"
-        if use_union in (False, 0, "0", None):
+        if use_union in (False, 0, "0", "off", None):
             use_union = False
         if use_union not in (False, "x", "full"):
             raise ValueError(f"use_union_keys: {use_union!r} "
