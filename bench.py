@@ -185,7 +185,7 @@ def bench_tpu(mask_rgb, target_rgb, region):
 
 
 def bench_tpu_keys(target_rgb, plan, packed_max: int,
-                   mask_rgb, region) -> tuple[float, float, float]:
+                   mask_rgb, region) -> tuple[float, float, float, float]:
     import jax
 
     from colormipsearch_tpu.ops import pixel_match

@@ -55,14 +55,18 @@ _USE_SPLIT = os.environ.get("CDS_SPLIT_PLANES", "0") == "1"
 # --keys) before becoming the default
 _USE_KEYS = os.environ.get("CDS_KEY_PLANES", "0") == "1"
 
-# union lane forms of the key kernel (imply key planes): "1"/"x"
-# gathers the x-dilated union once per dy-set (0.5x the gathered rows
-# for 1.5x the range tests); "full" gathers one fully dilated union per
+# union lane forms of the key kernel (imply key planes): "x" gathers
+# the x-dilated union once per dy-set (0.5x the gathered rows for 1.5x
+# the range tests); "full" gathers one fully dilated union per
 # orientation (0.25x rows, 3x tests).  The hardware A/B (TPU v5e,
 # T=4096 x B=8, 2026-08-19; bench_runs/, docs/DESIGN.md §6) measured
 # full 2.41M > x 2.21M > classic keys 1.30M > packed 1.15M pairs/s, so
 # "full" — which also covers any xyShift with no grid precondition —
-# is the production default; CDS_UNION_KEYS=0|x opts out/down
+# is the production default; every bare opt-in shorthand
+# (CDS_UNION_KEYS=1, use_union_keys=True, bare --use-union-keys)
+# selects "full"; CDS_UNION_KEYS=0|x opts out/down.  The env default
+# applies only when the caller pinned NEITHER kernel kwarg — an
+# explicit use_key_planes choice selects exactly that kernel.
 _USE_UNION = os.environ.get("CDS_UNION_KEYS", "full")
 _USE_UNION = False if _USE_UNION == "0" else _USE_UNION
 
@@ -376,9 +380,19 @@ class CDSearchEngine:
         # (falls back to the classic key kernel otherwise); "full"
         # gathers ONE fully-dilated union per orientation and covers any
         # xyShift (docs/DESIGN.md §6)
-        use_union = _USE_UNION if use_union_keys is None else use_union_keys
+        if use_union_keys is None:
+            # the env default kicks in only when the caller pinned
+            # neither kernel kwarg: an explicit use_key_planes=False
+            # must run the packed kernel and an explicit
+            # use_key_planes=True the classic key kernel, not be
+            # silently upgraded to the union default (ADVICE r2)
+            use_union = _USE_UNION if use_key_planes is None else False
+        else:
+            use_union = use_union_keys
         if use_union in (True, 1, "1"):
-            use_union = "x"
+            # every bare opt-in shorthand selects the production
+            # default form (full-union), matching bare --use-union-keys
+            use_union = "full"
         if use_union in (False, 0, "0", "off", None):
             use_union = False
         if use_union not in (False, "x", "full"):

@@ -574,7 +574,11 @@ def test_engine_union_keys_neg_query_and_grid_fallback(tmp_path):
     params4 = CDSParams(mask_threshold=20, data_threshold=20,
                         pix_color_fluctuation=1.0, xy_shift=4,
                         mirror_mask=True)
-    eng = CDSearchEngine(params4, use_union_keys=True)
+    # bare True now selects "full" (covers any shift); the grid
+    # fallback is specific to the "x" form
+    engb = CDSearchEngine(params4, use_union_keys=True)
+    assert engb.use_union_keys == "full"
+    eng = CDSearchEngine(params4, use_union_keys="x")
     assert not eng.use_union_keys and eng.use_key_planes
     ref4 = _engine_matches(tmp_path, False, mask_neurons, target_neurons,
                            params4)
@@ -614,3 +618,31 @@ def test_engine_key_path_neg_query(tmp_path):
     got = _engine_matches(tmp_path, True, mask_neurons, target_neurons,
                           params, **kw)
     assert got == ref and len(ref) > 0
+
+
+def test_engine_kernel_kwarg_resolution():
+    """An explicit use_key_planes choice pins exactly that kernel — the
+    CDS_UNION_KEYS env default must not silently upgrade it to the
+    union form (that would make cross-kernel equality tests vacuous,
+    ADVICE r2 high).  Bare opt-in shorthands all mean the production
+    default form, "full"."""
+    from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
+
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2)
+    # explicit kernel pins: packed / classic keys
+    eng = CDSearchEngine(params, use_key_planes=False)
+    assert eng.use_union_keys is False and eng.use_key_planes is False
+    eng = CDSearchEngine(params, use_key_planes=True)
+    assert eng.use_union_keys is False and eng.use_key_planes is True
+    # neither kwarg: the env default (production: full-union)
+    eng = CDSearchEngine(params)
+    assert eng.use_union_keys == "full" and eng.use_key_planes
+    # every bare shorthand selects "full"
+    for bare in (True, 1, "1"):
+        eng = CDSearchEngine(params, use_union_keys=bare)
+        assert eng.use_union_keys == "full" and eng.use_key_planes
+    # "off"/"0"/False all disable the union form
+    for off in (False, 0, "0", "off"):
+        eng = CDSearchEngine(params, use_union_keys=off)
+        assert eng.use_union_keys is False
