@@ -18,6 +18,7 @@ import os
 import re
 from pathlib import Path
 
+from colormipsearch_tpu.cli import common
 from colormipsearch_tpu.dataio import v2_io
 from colormipsearch_tpu.dataio.json_io import (
     JSONMatchesReader,
@@ -77,13 +78,13 @@ def _add_cds_params(sp):
     sp.add_argument("--app", default="ColorMIPSearch",
                     help="accepted for reference parity")
     # default=SUPPRESS so the subcommand flag does not clobber a value
-    # given before the subcommand (the global --cdsConcurrency)
-    sp.add_argument("--cdsConcurrency", "-cdc", type=int,
+    # given before the subcommand (the global --cdsConcurrency); all four
+    # reference aliases select the same option (cmd/CommonArgs.java:16-17)
+    sp.add_argument("--cdsConcurrency", "--task-concurrency", "-tc",
+                    "-cdc", dest="cdsConcurrency", type=int,
                     default=argparse.SUPPRESS,
                     help="decode-thread concurrency (reference "
                          "--cdsConcurrency); device dispatch is batched")
-    sp.add_argument("--task-concurrency", "-tc", type=int, default=0,
-                    help="accepted for reference parity")
     sp.add_argument("--use-key-planes", action="store_true",
                     default=None,
                     help="rank-key interval kernel: exact device "
@@ -440,11 +441,16 @@ def cmd_color_depth_search(args) -> int:
 
 
 def configure_gradient_scores(sp):
-    sp.add_argument("--matches", "-md", nargs="+", required=True,
-                    help="directories (or files) of per-mask grouped "
-                         "match JSON files")
+    sp.add_argument("--matches", "--masks-libraries", "-md", nargs="+",
+                    required=True, dest="matches",
+                    help="mask match sources, lib[:offset[:length]] "
+                         "(AbstractGradientScoresArgs --masks-libraries): "
+                         "with FS storage, directories/files of per-mask "
+                         "grouped match JSON; with DB storage, mask "
+                         "library names")
     sp.add_argument("--matches-index", type=int, default=0)
     sp.add_argument("--matches-length", type=int, default=-1)
+    common.add_gradient_selector_args(sp)
     sp.add_argument("--nBestLines", type=int, default=-1)
     sp.add_argument("--nBestSamplesPerLine", type=int, default=-1)
     sp.add_argument("--nBestMatchesPerSample", type=int, default=-1)
@@ -477,11 +483,13 @@ def cmd_gradient_scores(args) -> int:
 
         daos = _daos(args)
         db_reader = DBNeuronMatchesReader(daos)
-        locations = db_reader.list_matches_locations(args.matches)
+        locations = db_reader.list_matches_locations(
+            common.gradient_mask_sources(args))
         if args.matches_index > 0:
             locations = locations[args.matches_index:]
         if args.matches_length > 0:
             locations = locations[:args.matches_length]
+        target_selector = common.gradient_target_selector(args)
         writer = DBNeuronMatchesWriter(daos)
     else:
         locations = JSONMatchesReader.list_matches_locations(
@@ -500,7 +508,11 @@ def cmd_gradient_scores(args) -> int:
     for loc in locations:
         if use_db:
             matches = db_reader.read_matches_by_mask(
-                loc, min_ratio=args.pctPositivePixels / 100)
+                loc, min_ratio=args.pctPositivePixels / 100,
+                alignment_space=args.alignmentSpace,
+                mask_selector=common.gradient_mask_selector(args),
+                target_selector=target_selector,
+                match_tags=args.match_tags)
         else:
             matches = JSONMatchesReader.read_matches(loc)
             if args.pctPositivePixels > 0:
@@ -538,9 +550,17 @@ def cmd_gradient_scores(args) -> int:
 
 
 def configure_normalize_scores(sp):
-    sp.add_argument("--matches", "-md", nargs="+", required=True)
-    sp.add_argument("--pctPositivePixels", type=float, default=0.0)
+    # NormalizeGradientScoresArgs extends AbstractGradientScoresArgs
+    # extends AbstractColorDepthMatchArgs, so the normalize command
+    # accepts the full CDS-param + selector surface
+    # (cmd/NormalizeGradientScoresCmd.java:62)
+    sp.add_argument("--matches", "--masks-libraries", "-md", nargs="+",
+                    required=True, dest="matches",
+                    help="mask match sources, lib[:offset[:length]]: "
+                         "FS = match files/dirs, DB = library names")
     sp.add_argument("--processing-tag", dest="processingTag", default="")
+    common.add_gradient_selector_args(sp)
+    _add_cds_params(sp)
     _add_output_args(sp)
 
 
@@ -556,7 +576,9 @@ def cmd_normalize_scores(args) -> int:
 
         daos = _daos(args)
         db_reader = DBNeuronMatchesReader(daos)
-        locations = db_reader.list_matches_locations(args.matches)
+        locations = db_reader.list_matches_locations(
+            common.gradient_mask_sources(args))
+        target_selector = common.gradient_target_selector(args)
         writer = DBNeuronMatchesWriter(daos)
     else:
         locations = JSONMatchesReader.list_matches_locations(args.matches)
@@ -566,7 +588,14 @@ def cmd_normalize_scores(args) -> int:
             ordering=lambda m: -(m.normalized_score or 0.0))
     for loc in locations:
         if use_db:
-            matches = db_reader.read_matches_by_mask(loc)
+            # the DB read pre-filters on gradientAreaGap >= 0 and the
+            # selector scope (NormalizeGradientScoresCmd:232-251)
+            matches = db_reader.read_matches_by_mask(
+                loc, min_ratio=args.pctPositivePixels / 100,
+                alignment_space=args.alignmentSpace,
+                mask_selector=common.gradient_mask_selector(args),
+                target_selector=target_selector,
+                match_tags=args.match_tags, min_grad_score=0)
         else:
             matches = JSONMatchesReader.read_matches(loc)
         eligible = [m for m in matches
@@ -578,6 +607,15 @@ def cmd_normalize_scores(args) -> int:
             continue
         _update_normalized_scores(eligible)
         writer.write_updates(eligible)
+        if use_db and args.processingTag:
+            # stamp NormalizeGradientScore on mask and target neurons
+            # (NormalizeGradientScoresCmd.updateProcessingTag:218-233)
+            neurons = {id(n): n for m in eligible
+                       for n in (m.mask_image, m.matched_image)
+                       if n is not None and n.entity_id is not None}
+            daos.neuron_metadata_dao.add_processing_tags(
+                neurons.values(), ProcessingType.NormalizeGradientScore,
+                [args.processingTag])
     return 0
 
 

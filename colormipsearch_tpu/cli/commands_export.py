@@ -1,7 +1,8 @@
 """Export + import + tagging subcommands.
 
   * exportData        — cmd/ExportData4NBCmd.java:50-392 + cmd/dataexport/
-                        (offline FS mode: no JACS REST enrichment)
+                        FS and DB read paths, publishedURLs/publishedLMImage
+                        enrichment, URL transform + image-store mapping
   * importPPPResults  — cmd/ImportPPPResultsCmd.java
   * tag               — cmd/TagNeuronMetadataCmd.java
 """

@@ -10,6 +10,7 @@
 
 from __future__ import annotations
 
+import argparse
 import json
 import logging
 import os
@@ -136,10 +137,12 @@ def configure_gradient_score_v2(sp):
                     help="accepted for reference parity")
     sp.add_argument("--app", default="ColorMIPSearch",
                     help="accepted for reference parity")
-    sp.add_argument("--cdsConcurrency", "-cdc", type=int, default=0,
-                    help="accepted for reference parity")
-    sp.add_argument("--task-concurrency", "-tc", type=int, default=0,
-                    help="accepted for reference parity")
+    # SUPPRESS so the global pre-subcommand --cdsConcurrency survives;
+    # all four aliases are one option (cmd/CommonArgs.java:16-17)
+    sp.add_argument("--cdsConcurrency", "--task-concurrency", "-tc",
+                    "-cdc", dest="cdsConcurrency", type=int,
+                    default=argparse.SUPPRESS,
+                    help="decode-thread concurrency")
     sp.add_argument("-od", "--outputDir", "--output-dir", required=True)
     sp.add_argument("--no-pretty-print", dest="noPrettyPrint",
                     action="store_true")

@@ -16,6 +16,7 @@ from colormipsearch_tpu.cli import (
     commands_admin,
     commands_export,
     commands_v2,
+    common,
 )
 
 
@@ -38,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     def add(name, fn, configure, help=None, aliases=()):
         sp = sub.add_parser(name, help=help, aliases=list(aliases))
         configure(sp)
+        # every reference command delegates to one CommonArgs
+        # (cmd/AbstractCmdArgs.java:15-17); guarantee the same surface
+        common.ensure_common_args(sp)
         sp.set_defaults(func=fn)
         return sp
 

@@ -197,13 +197,19 @@ class CDMatchesDao:
     def find_matches_by_mask(self, mask_selector: NeuronSelector,
                              target_selector: NeuronSelector | None = None,
                              scores_filter: ScoresFilter | None = None,
-                             page: PagedRequest | None = None
+                             page: PagedRequest | None = None,
+                             match_tags: Sequence[str] = (),
                              ) -> list[CDMatch]:
         """The aggregation read: filter matches, join + embed the mask and
         matched neurons, then filter by neuron selectors
-        (AbstractNeuronMatchesMongoDao.findNeuronMatches:275-295)."""
+        (AbstractNeuronMatchesMongoDao.findNeuronMatches:275-295).
+        ``match_tags`` filters on the match document's own tags
+        (NeuronSelectionHelper.getNeuronsMatchFilter tags $in)."""
         page = page or PagedRequest()
         filt = scores_filter.to_filter() if scores_filter else {}
+        if match_tags:
+            filt = dict(filt)
+            filt["tags"] = {"$in": list(match_tags)}
         if not mask_selector.is_empty():
             # resolve the mask side first so the match read is an indexed
             # maskImageRefId IN (...) instead of a collection scan

@@ -70,6 +70,23 @@ class NeuronSelector:
 
 
 @dataclasses.dataclass
+class DataSourceParam:
+    """A scoped neuron data source (dataio/DataSourceParam.java:16-30):
+    a NeuronSelector plus an offset/size window over the selection.
+    The gradientScores/normalizeGradientScores mask sources are built
+    one per ``--masks-libraries`` ListArg
+    (cmd/CalculateGradientScoresCmd.java:137-151)."""
+    selector: NeuronSelector = dataclasses.field(
+        default_factory=NeuronSelector)
+    offset: int = 0
+    size: int = -1
+
+    def window(self, items: list) -> list:
+        items = items[self.offset:] if self.offset > 0 else items
+        return items[:self.size] if self.size > 0 else items
+
+
+@dataclasses.dataclass
 class ScoresFilter:
     """List of (field, min value) selectors; empty matches everything."""
     selectors: list = dataclasses.field(default_factory=list)

@@ -162,3 +162,107 @@ def test_db_gradient_scores_persists_processing_tags(env):
         processed_tags=[(ProcessingType.GradientScore.value, "ga-run-7")]))
     daos.store.close()
     assert len(tagged) >= 2  # the mask and at least one target
+
+
+def test_db_gradient_scores_selector_scope(env):
+    """The AbstractGradientScoresArgs DataSource selector family scopes
+    DB rescoring: mask published names + source windows pick the masks,
+    target selectors and --match-tags pick which matches are scored
+    (cmd/AbstractGradientScoresArgs.java:18-96,
+    CalculateGradientScoresCmd.getCDMatchesForMask:344-383)."""
+    tmp, cfg = env
+    run_cli("createColorDepthSearchDataInput", "-i", tmp / "lib",
+            "-l", "dblib", "--alignment-space", "JRC2018_Unisex_20x_HR",
+            "--gradients-location", tmp / "grad",
+            "--zgap-location", tmp / "zgap",
+            "--mips-storage", "DB", "--config", cfg)
+    run_cli("colorDepthSearch", "-m", "dblib", "-i", "dblib",
+            "--mips-storage", "DB", "--results-storage", "DB",
+            "--config", cfg, "--processing-tag", "cds-run-1",
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask")
+
+    from colormipsearch_tpu.persist import Config, DaosProvider
+    from colormipsearch_tpu.persist.requests import NeuronSelector
+
+    mask_stem = Path(MASK_TIF).stem
+    target_stem = Path(TARGET_TIF).stem
+
+    def grad_state():
+        daos = DaosProvider(Config(str(cfg)))
+        out = {(m.mask_image.mip_id, m.matched_image.mip_id):
+               m.gradient_area_gap
+               for m in daos.cd_matches_dao.find_matches_by_mask(
+                   NeuronSelector())}
+        daos.store.close()
+        return out
+
+    # a --match-tags value no match record carries scores nothing
+    run_cli("gradientScores", "--matches", "dblib",
+            "--results-storage", "DB", "--config", cfg,
+            "--match-tags", "no-such-run",
+            "--maskThreshold", 20, "--mirrorMask")
+    assert all(g is None for g in grad_state().values())
+
+    # masks + targets published-name scope: only (mask, target) scored
+    run_cli("gradientScores", "--matches", "dblib",
+            "--results-storage", "DB", "--config", cfg,
+            "--masks-published-names", mask_stem,
+            "--targets-published-names", target_stem,
+            "--match-tags", "cds-run-1",
+            "--maskThreshold", 20, "--mirrorMask")
+    state = grad_state()
+    assert state[(mask_stem, target_stem)] is not None
+    assert all(g is None for k, g in state.items()
+               if k != (mask_stem, target_stem))
+
+    # ListArg source window: an offset past the library's mask count
+    # selects no masks (DataSourceParam offset/size,
+    # DBNeuronMatchesReader.listMatchesLocations:40-61)
+    before = grad_state()
+    run_cli("gradientScores", "--matches", "dblib:5",
+            "--results-storage", "DB", "--config", cfg,
+            "--maskThreshold", 20, "--mirrorMask")
+    assert grad_state() == before
+
+
+def test_db_normalize_scores_selector_scope(env):
+    """normalizeGradientScores accepts the same selector family and
+    only renormalizes the scoped subset
+    (NormalizeGradientScoresCmd.java:92-145)."""
+    tmp, cfg = env
+    run_cli("createColorDepthSearchDataInput", "-i", tmp / "lib",
+            "-l", "dblib", "--gradients-location", tmp / "grad",
+            "--zgap-location", tmp / "zgap",
+            "--mips-storage", "DB", "--config", cfg)
+    run_cli("colorDepthSearch", "-m", "dblib", "-i", "dblib",
+            "--mips-storage", "DB", "--results-storage", "DB",
+            "--config", cfg,
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask")
+    run_cli("gradientScores", "--matches", "dblib",
+            "--results-storage", "DB", "--config", cfg,
+            "--maskThreshold", 20, "--mirrorMask")
+
+    from colormipsearch_tpu.model import ProcessingType
+    from colormipsearch_tpu.persist import Config, DaosProvider
+    from colormipsearch_tpu.persist.requests import NeuronSelector
+
+    mask_stem = Path(MASK_TIF).stem
+    run_cli("normalizeGradientScores", "--masks-libraries", "dblib",
+            "--results-storage", "DB", "--config", cfg,
+            "--masks-published-names", mask_stem,
+            "--processing-tag", "norm-run-1")
+
+    daos = DaosProvider(Config(str(cfg)))
+    tagged = daos.neuron_metadata_dao.find_neurons(NeuronSelector(
+        processed_tags=[(ProcessingType.NormalizeGradientScore.value,
+                         "norm-run-1")]))
+    norm = {m.mask_image.mip_id: m.normalized_score
+            for m in daos.cd_matches_dao.find_matches_by_mask(
+                NeuronSelector())
+            if m.gradient_area_gap is not None
+            and m.gradient_area_gap >= 0}
+    daos.store.close()
+    assert any(n.mip_id == mask_stem for n in tagged)
+    assert norm[mask_stem] is not None
