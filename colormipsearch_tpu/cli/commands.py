@@ -462,6 +462,14 @@ def configure_gradient_scores(sp):
     sp.add_argument("--use-device", action="store_true", default=True,
                     help="use the TPU shape-scoring kernels (default)")
     sp.add_argument("--no-use-device", dest="use_device", action="store_false")
+    sp.add_argument("--packed-variants-store", dest="packStore",
+                    default=os.environ.get("CDS_SHAPE_PACK_DIR") or None,
+                    metavar="DIR",
+                    help="decode-once packed-variant store directory "
+                         "(io/shape_pack.py): per-target shape fields "
+                         "persist across runs, so rescoring a library "
+                         "skips image decode/dilation entirely; built "
+                         "on first use (also CDS_SHAPE_PACK_DIR)")
     _add_cds_params(sp)
     _add_output_args(sp)
 
@@ -472,7 +480,8 @@ def cmd_gradient_scores(args) -> int:
     params = _cds_params(args)
     engine = GradScoreEngine(
         params, use_device=args.use_device,
-        decode_workers=getattr(args, "cdsConcurrency", 0) or None)
+        decode_workers=getattr(args, "cdsConcurrency", 0) or None,
+        pack_store=args.packStore)
 
     use_db = args.resultsStorage == "DB"
     if use_db:

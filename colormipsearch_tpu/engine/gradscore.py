@@ -47,7 +47,8 @@ def _shared_decode_pool(n_workers: int):
 class GradScoreEngine:
     def __init__(self, params: CDSParams, *, use_device: bool = True,
                  use_mesh: bool | None = None,
-                 decode_workers: int | None = None):
+                 decode_workers: int | None = None,
+                 pack_store: str | None = None):
         import jax
 
         self.params = params
@@ -56,6 +57,12 @@ class GradScoreEngine:
             # --cdsConcurrency: host decode/select thread count
             # (defaults to os.cpu_count via the class attribute)
             self.DECODE_WORKERS = decode_workers
+        # decode-once packed-variant store (io/shape_pack.py): lazily
+        # opened at the first group (needs the mask's H x W); rows are
+        # written behind on decode misses, so the second run of a
+        # library skips decode/dilation/LUT entirely
+        self._pack_store_dir = pack_store
+        self._pack_store = None
         if use_mesh is None:
             use_mesh = len(jax.devices()) > 1
         self._mesh = None
@@ -166,7 +173,7 @@ class GradScoreEngine:
     DECODE_WORKERS = None  # default: os.cpu_count()
 
     def _iter_group_tiles(self, group, mask_shape, region, prep=None,
-                          select=None):
+                          select=None, store_ctx=None):
         """Stream GROUP_TILE-sized lists of loaded targets with
         PREFETCH_WORKERS-deep lookahead (in-order yield): while the
         device scores tile i, tiles i+1..i+N decode (the CDS pass's
@@ -185,7 +192,8 @@ class GradScoreEngine:
 
         def load(chunk):
             loaded = self._load_group_targets(chunk, mask_shape, region,
-                                              select=select)
+                                              select=select,
+                                              store_ctx=store_ctx)
             return prep(loaded) if prep is not None else loaded
 
         chunks = [group[i:i + self.GROUP_TILE]
@@ -216,7 +224,67 @@ class GradScoreEngine:
         return _shared_decode_pool(self.DECODE_WORKERS
                                    or os.cpu_count() or 4)
 
-    def _load_group_targets(self, group, mask_shape, region, select=None):
+    def _get_pack_store(self, mask_shape):
+        if self._pack_store_dir is None:
+            return None
+        if self._pack_store is None:
+            from colormipsearch_tpu.io.shape_pack import ShapePackStore
+
+            self._pack_store = ShapePackStore(
+                self._pack_store_dir, *mask_shape)
+            LOG.info("packed-variant store %s: %d rows",
+                     self._pack_store_dir, len(self._pack_store))
+        return self._pack_store
+
+    def _store_ctx(self, mask_shape, region, pos_gap, n_gap_pad,
+                   pos_he, n_he_w):
+        """Once-per-group state for the packed-store fast path: the
+        store handle, the mask's gather plan, and the row-key builder
+        (region fingerprint folded into the dilation-fallback key)."""
+        store = self._get_pack_store(mask_shape)
+        if store is None:
+            return None
+        import hashlib
+
+        from colormipsearch_tpu.io.shape_pack import file_identity
+        from colormipsearch_tpu.ops import shape_score
+
+        p = self.params
+        gather_plan = shape_score.split_gather_plan(
+            pos_gap, pos_he, mask_shape[1], mirror=p.mirror_mask,
+            excluded=region)
+        region_fp = hashlib.sha1(
+            np.packbits(region).tobytes()).hexdigest()[:12] \
+            if region is not None else "none"
+        fallback_desc = (f"thr={p.mask_threshold},r={p.negative_radius},"
+                         f"region={region_fp}")
+
+        def key_of(target, *, zgap_used: bool | None):
+            """Row key for a target.  zgap_used=None (lookup time) keys
+            optimistically on the variant file when one exists; the
+            append after a decode passes what was actually used, so a
+            shape-mismatched variant can never alias the fallback row."""
+            cdm = target.compute_file(ComputeFileType.InputColorDepthImage)
+            grad = target.compute_file(ComputeFileType.GradientImage)
+            if cdm is None or grad is None:
+                return None
+            cdm_id = file_identity(cdm)
+            grad_id = file_identity(grad)
+            if cdm_id is None or grad_id is None:
+                return None
+            zgap = target.compute_file(ComputeFileType.ZGapImage)
+            zgap_id = file_identity(zgap) if zgap is not None else None
+            if zgap_used is False:
+                zgap_id = None
+            return store.entry_key(
+                cdm_id=cdm_id, grad_id=grad_id, zgap_id=zgap_id,
+                mask_threshold=p.mask_threshold,
+                fallback_desc=fallback_desc)
+
+        return store, gather_plan, key_of, (pos_gap, n_gap_pad, n_he_w)
+
+    def _load_group_targets(self, group, mask_shape, region, select=None,
+                            store_ctx=None):
         """Load target/gradient/zgap images for each match; matches with
         missing target or gradient get gradientAreaGap = -1 (the
         reference's hasGradScore filter then drops them).
@@ -260,8 +328,9 @@ class GradScoreEngine:
             z_mip = mips_cache.load_mip(
                 target, ComputeFileType.ZGapImage)
             t_rgb = t_mip.image.as_rgb()
-            if z_mip.has_image and \
-                    z_mip.image.pixels.shape[:2] == mask_shape:
+            zgap_used = z_mip.has_image and \
+                z_mip.image.pixels.shape[:2] == mask_shape
+            if zgap_used:
                 zgap = z_mip.image.as_rgb()
             else:
                 # on-the-fly dilation fallback
@@ -271,6 +340,18 @@ class GradScoreEngine:
                             self.params.mask_threshold),
                     self.params.negative_radius)
             grad = grad.astype(np.uint16)
+            if store_ctx is not None:
+                # write behind: persist the full-plane fields so every
+                # later run of this library skips the decode path
+                from colormipsearch_tpu.io.shape_pack import (
+                    build_row_fields)
+
+                store, _, key_of, _ = store_ctx
+                key = key_of(target, zgap_used=zgap_used)
+                if key:
+                    store.append(key, *build_row_fields(
+                        t_rgb, grad, zgap,
+                        mask_threshold=self.params.mask_threshold))
             if select is not None:
                 return (m, select(t_rgb, grad, zgap))
             return (m, t_rgb, grad, zgap)
@@ -390,9 +471,41 @@ class GradScoreEngine:
                                         (t_gap, t_he))
             acc, acc_t = [], 0
 
+        store_ctx = self._store_ctx(mask_shape, region, pos_gap,
+                                    n_gap_pad, pos_he, n_he_w)
+        if store_ctx is not None:
+            # store fast lane: targets with a persisted row skip the
+            # decode stream entirely — one vectorized tile gather per
+            # dispatch (select_target_tile_from_store); only the misses
+            # go through decode (and write their rows behind)
+            store, gather_plan, key_of, _ = store_ctx
+            hits, misses = [], []
+            for m in group:
+                key = key_of(m.matched_image, zgap_used=None)
+                row = store.lookup(key) if key else None
+                (hits if row is not None else misses).append((m, row))
+            group = [m for m, _ in misses]
+            for i in range(0, len(hits), dispatch_tile):
+                chunk = hits[i:i + dispatch_tile]
+                t_gap, t_he = shape_score.select_target_tile_from_store(
+                    store, [r for _, r in chunk], pos_gap, n_gap_pad,
+                    n_he_w, gather_plan, mirror=p.mirror_mask)
+                t_pad = shape_score.support_bucket(len(chunk), minimum=512)
+                if t_pad > len(chunk):
+                    padw = ((0, 0), (0, 0), (0, t_pad - len(chunk)))
+                    t_gap = np.pad(t_gap, padw)
+                    t_he = np.pad(t_he, padw)
+                n += self._score_group_tile(q_gap, q_he,
+                                            [m for m, _ in chunk],
+                                            (t_gap, t_he))
+            if hits:
+                LOG.info("packed store: %d/%d targets served without "
+                         "decode", len(hits), len(hits) + len(group))
+            if not group:
+                return n
         for matches, planes in self._iter_group_tiles(
                 group, mask_shape, region, prep=pack_tile,
-                select=select_cols):
+                select=select_cols, store_ctx=store_ctx):
             if matches:
                 acc.append((matches, planes[0], planes[1]))
                 acc_t += len(matches)

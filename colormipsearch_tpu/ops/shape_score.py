@@ -421,6 +421,91 @@ def select_target_cols_split(t_rgb, grad, zgap_rgb,
     return gap_cols, he_cols
 
 
+def split_gather_plan(pos_gap: np.ndarray, pos_he: np.ndarray, w: int, *,
+                      mirror: bool = True,
+                      excluded: np.ndarray | None = None):
+    """Once-per-mask-group precompute for the packed-store gather path
+    (io/shape_pack.py): the straight+mirror gradient/foreground gather
+    indices and the per-he-row region gate.  Factoring these out of the
+    per-target select leaves that select as pure gathers + packbits."""
+    def mirror_of(pos):
+        y, x = pos // w, pos % w
+        return y * w + (w - 1 - x)
+
+    g_pos = (np.concatenate([pos_gap, mirror_of(pos_gap)]) if mirror
+             else pos_gap)
+    h_pos = (np.concatenate([pos_he, mirror_of(pos_he)]) if mirror
+             else pos_he)
+    keep_he = None
+    if excluded is not None:
+        keep_he = ~excluded.reshape(-1)[h_pos]
+    return g_pos, h_pos, keep_he
+
+
+def select_target_cols_split_from_row(zsl: np.ndarray, grad_thr: np.ndarray,
+                                      tfg_bits: np.ndarray,
+                                      pos_gap: np.ndarray, n_gap_pad: int,
+                                      n_he_words: int, gather_plan, *,
+                                      mirror: bool = True):
+    """select_target_cols_split from a persisted store row (full-plane
+    zsl/grad_thr/tfg fields, io/shape_pack.ShapePackStore.row): no
+    decode, no dilation, no slice LUT — column gathers only.  Produces
+    bit-identical planes to the decode path (tests/test_shape_pack.py)."""
+    g_pos, h_pos, keep_he = gather_plan
+    n_or = 2 if mirror else 1
+    sg = pos_gap.size
+
+    z_part = zsl[pos_gap].astype(np.uint32) << _SL_SHIFT
+    g = grad_thr[g_pos].astype(np.uint32)
+    gap_cols = np.zeros((n_or, n_gap_pad), np.uint32)
+    gap_cols[0, :sg] = z_part | g[:sg]
+    if mirror:
+        gap_cols[1, :sg] = z_part | g[sg:]
+
+    tfg = ((tfg_bits[h_pos >> 3] >> (h_pos & 7)) & 1).astype(bool)
+    if keep_he is not None:
+        tfg &= keep_he
+    sh = h_pos.size // n_or
+    he_cols = np.empty((n_or, n_he_words), np.uint32)
+    he_cols[0] = _packbits32(tfg[:sh], n_he_words)
+    if mirror:
+        he_cols[1] = _packbits32(tfg[sh:], n_he_words)
+    return gap_cols, he_cols
+
+
+def select_target_tile_from_store(store, rows, pos_gap: np.ndarray,
+                                  n_gap_pad: int, n_he_words: int,
+                                  gather_plan, *, mirror: bool = True):
+    """Whole-dispatch-tile pack straight from a ShapePackStore: ONE
+    vectorized 2D gather per field for T store rows, producing the
+    assembled (t_gap uint32 [n_or, Sg_pad, T], t_he uint32
+    [n_or, W, T]) planes — the store fast path's per-target Python
+    cost collapses to ~zero (scripts/gradscore_host_profile.py)."""
+    g_pos, h_pos, keep_he = gather_plan
+    n_or = 2 if mirror else 1
+    t = len(rows)
+    sg = pos_gap.size
+    sh = h_pos.size // n_or
+
+    zsl = store.gather("zsl", rows, pos_gap)           # [T, Sg]
+    grad = store.gather("grad", rows, g_pos)           # [T, n_or*Sg]
+    tbytes = store.gather("tfg", rows, h_pos >> 3)     # [T, n_or*Sh]
+    tfg = ((tbytes >> (h_pos & 7)[None, :]) & 1).astype(bool)
+    if keep_he is not None:
+        tfg &= keep_he[None, :]
+
+    z_part = zsl.astype(np.uint32) << _SL_SHIFT
+    t_gap = np.zeros((n_or, n_gap_pad, t), np.uint32)
+    t_gap[0, :sg] = (z_part | grad[:, :sg]).T
+    if mirror:
+        t_gap[1, :sg] = (z_part | grad[:, sg:]).T
+    t_he = np.empty((n_or, n_he_words, t), np.uint32)
+    t_he[0] = _packbits32(tfg[:, :sh], n_he_words).T
+    if mirror:
+        t_he[1] = _packbits32(tfg[:, sh:], n_he_words).T
+    return t_gap, t_he
+
+
 def assemble_target_rows_split(cols: list, n_gap_pad: int,
                                n_he_words: int, *, mirror: bool = True):
     """Stack per-target select_target_cols_split outputs into the

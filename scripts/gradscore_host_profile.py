@@ -56,7 +56,7 @@ def synthesize(tmp: str, n: int):
     return paths
 
 
-def run_e2e(paths, mask_path) -> float:
+def run_e2e(paths, mask_path, pack_store=None) -> float:
     """End-to-end GradScoreEngine rate (targets/s) on the synthesized
     on-disk workload: decode + select + assemble + device dispatch with
     the production prefetch pipeline.  Run under JAX_PLATFORMS=cpu to
@@ -84,7 +84,7 @@ def run_e2e(paths, mask_path) -> float:
     params = CDSParams(mask_threshold=20, data_threshold=20,
                        pix_color_fluctuation=1.0, xy_shift=2,
                        mirror_mask=True)
-    eng = GradScoreEngine(params, use_mesh=False)
+    eng = GradScoreEngine(params, use_mesh=False, pack_store=pack_store)
     t0 = time.perf_counter()
     scored = eng.score_matches(matches)
     dt = time.perf_counter() - t0
@@ -215,6 +215,56 @@ def main() -> int:
         print(f"engine end-to-end: {warm:8.1f} targets/s "
               f"({1e3 / warm:.2f} ms/target; cold incl. compile + "
               f"query pack: {cold:.1f}/s)")
+
+        # packed-variant store (io/shape_pack.py): first run builds the
+        # rows (decode + write-behind), later runs gather instead of
+        # decoding — the decode-once production configuration
+        pack_dir = os.path.join(tmp, "pack")
+        build = run_e2e(paths, mask_path, pack_store=pack_dir)
+        hot = run_e2e(paths, mask_path, pack_store=pack_dir)
+        hot2 = run_e2e(paths, mask_path, pack_store=pack_dir)
+        print(f"engine + packed store: build {build:8.1f} targets/s, "
+              f"store-hit {max(hot, hot2):8.1f} targets/s "
+              f"({1e3 / max(hot, hot2):.2f} ms/target)")
+
+        # store-hit HOST side alone (gather + assemble, no device
+        # dispatch): the relevant host ceiling when the device is a
+        # real TPU (kernel 5.6M pairs/s, negligible per target)
+        from colormipsearch_tpu.io.shape_pack import ShapePackStore
+
+        store = ShapePackStore(pack_dir, H, W)
+        gplan = shape_score.split_gather_plan(
+            pos_gap, pos_he, W, mirror=True, excluded=region)
+
+        def hit(i):
+            zsl, grad_thr, tfg_bits = store.row(i)
+            return shape_score.select_target_cols_split_from_row(
+                zsl, grad_thr, tfg_bits, pos_gap, n_gap, n_he, gplan,
+                mirror=True)
+
+        with concurrent.futures.ThreadPoolExecutor(n_pool) as pool:
+            list(pool.map(hit, range(min(8, n))))  # warm page cache
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                cols3 = list(pool.map(hit, range(n)))
+                shape_score.assemble_target_rows_split(
+                    cols3, n_gap, n_he, mirror=True)
+                dt_hit = time.perf_counter() - t0
+        print(f"store-hit host pipeline ({n_pool} threads, no device): "
+              f"{1e3 * dt_hit / n:7.2f} ms/target ({n / dt_hit:8.1f}/s)")
+
+        # tile-level store gather (the engine's actual fast lane):
+        # one vectorized 2D gather per field per dispatch tile
+        rows = list(range(n))
+        shape_score.select_target_tile_from_store(
+            store, rows[:8], pos_gap, n_gap, n_he, gplan, mirror=True)
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            shape_score.select_target_tile_from_store(
+                store, rows, pos_gap, n_gap, n_he, gplan, mirror=True)
+            dt_tile = time.perf_counter() - t0
+        print(f"store-hit tile gather (1 thread, no device): "
+              f"{1e3 * dt_tile / n:7.2f} ms/target ({n / dt_tile:8.1f}/s)")
 
         # pack sub-stage split
         decoded_np = decoded

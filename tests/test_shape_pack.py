@@ -1,0 +1,202 @@
+"""Packed-variant store (io/shape_pack.py): round-trip, gather-path
+bit-identity vs the decode path, and the engine's decode-free reuse."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from colormipsearch_tpu.engine.cds import CDSParams
+from colormipsearch_tpu.engine.gradscore import GradScoreEngine
+from colormipsearch_tpu.io.shape_pack import (
+    ShapePackStore,
+    build_row_fields,
+    file_identity,
+)
+from colormipsearch_tpu.model import CDMatch, ComputeFileType
+from colormipsearch_tpu.model.entities import FileData, Neuron
+from colormipsearch_tpu.ops import shape_score
+from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb
+
+
+def _mk_cdm(rng, h, w, n):
+    img = np.zeros((h, w, 3), np.uint8)
+    ys = rng.integers(0, h, n)
+    xs = rng.integers(0, w, n)
+    img[ys, xs] = rng.integers(0, 256, (n, 3))
+    return img
+
+
+def test_store_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    h, w = 40, 50
+    store = ShapePackStore(tmp_path / "s", h, w)
+    zsl = rng.integers(0, 257, h * w).astype(np.uint16)
+    grad = rng.integers(0, 400, h * w).astype(np.uint16)
+    tfg = rng.integers(0, 256, -(-h * w // 8)).astype(np.uint8)
+    key = store.entry_key(cdm_id="a|1|2", grad_id="b|1|2", zgap_id="c|1|2",
+                          mask_threshold=20)
+    assert store.lookup(key) is None
+    row = store.append(key, zsl, grad, tfg)
+    assert store.append(key, zsl, grad, tfg) == row  # idempotent
+    assert store.lookup(key) == row
+    z2, g2, t2 = store.row(row)
+    np.testing.assert_array_equal(z2, zsl)
+    np.testing.assert_array_equal(g2, grad)
+    np.testing.assert_array_equal(t2, tfg)
+
+    # a fresh handle reloads the index and data
+    store2 = ShapePackStore(tmp_path / "s", h, w)
+    assert store2.lookup(key) == row
+    np.testing.assert_array_equal(store2.row(row)[0], zsl)
+
+    # mismatched geometry is rejected
+    with pytest.raises(ValueError):
+        ShapePackStore(tmp_path / "s", h, w + 1)
+
+
+@pytest.mark.parametrize("mirror", [True, False])
+def test_row_gather_equals_decode_select(mirror):
+    """select_target_cols_split_from_row must be bit-identical to
+    select_target_cols_split on the same images."""
+    rng = np.random.default_rng(5)
+    h, w = 48, 64
+    t_rgb = _mk_cdm(rng, h, w, 700)
+    grad = rng.integers(0, 300, (h, w)).astype(np.uint16)
+    zgap = dilate_rgb(mask_rgb(t_rgb, 20), 8)
+    region = np.zeros((h, w), bool)
+    region[:5, :10] = True
+
+    q_rgb = _mk_cdm(rng, h, w, 300)
+    q_pack = shape_score.pack_query(q_rgb, excluded_region=region)
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=64)
+    n_he = shape_score.he_words(pos_he.size, minimum=8)
+
+    want = shape_score.select_target_cols_split(
+        t_rgb, grad, zgap, pos_gap, n_gap, pos_he, n_he,
+        mask_threshold=20, excluded=region, mirror=mirror)
+
+    zsl, grad_thr, tfg_bits = build_row_fields(
+        t_rgb, grad, zgap, mask_threshold=20)
+    plan = shape_score.split_gather_plan(
+        pos_gap, pos_he, w, mirror=mirror, excluded=region)
+    got = shape_score.select_target_cols_split_from_row(
+        zsl, grad_thr, tfg_bits, pos_gap, n_gap, n_he, plan,
+        mirror=mirror)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_file_identity(tmp_path):
+    p = tmp_path / "x.png"
+    assert file_identity(FileData(str(p))) is None
+    p.write_bytes(b"abc")
+    ident = file_identity(FileData(str(p)))
+    assert str(p) in ident and "|3|" in ident
+    assert file_identity(FileData(str(p), "entry")) != ident
+
+
+@pytest.mark.parametrize("with_zgap", [True, False])
+def test_engine_reuses_store_without_decoding(tmp_path, monkeypatch,
+                                              with_zgap):
+    """Second engine run with the same store must produce identical
+    scores WITHOUT touching the image loader (the decode-once claim),
+    for both the zgap-variant and dilation-fallback rows."""
+    rng = np.random.default_rng(9)
+    h, w = 60, 80
+    mask_img = _mk_cdm(rng, h, w, 400)
+    Image.fromarray(mask_img).save(tmp_path / "mask.png")
+    mask_neuron = Neuron(mip_id="mask-1")
+    mask_neuron.set_compute_file(
+        ComputeFileType.InputColorDepthImage, str(tmp_path / "mask.png"))
+
+    def mk_matches():
+        out = []
+        for i in range(4):
+            target = Neuron(mip_id=f"t-{i}")
+            target.set_compute_file(
+                ComputeFileType.InputColorDepthImage,
+                str(tmp_path / f"t{i}.png"))
+            target.set_compute_file(
+                ComputeFileType.GradientImage,
+                str(tmp_path / f"t{i}_grad.png"))
+            if with_zgap:
+                target.set_compute_file(
+                    ComputeFileType.ZGapImage,
+                    str(tmp_path / f"t{i}_zgap.png"))
+            out.append(CDMatch(mask_image=mask_neuron,
+                               matched_image=target,
+                               matching_pixels=40 + i))
+        return out
+
+    for i in range(4):
+        t_img = _mk_cdm(rng, h, w, 500)
+        Image.fromarray(t_img).save(tmp_path / f"t{i}.png")
+        Image.fromarray(
+            rng.integers(0, 300, (h, w)).astype(np.uint16)).save(
+            tmp_path / f"t{i}_grad.png")
+        if with_zgap:
+            Image.fromarray(dilate_rgb(mask_rgb(t_img, 20), 20)).save(
+                tmp_path / f"t{i}_zgap.png")
+
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       mirror_mask=True, negative_radius=20)
+    store_dir = str(tmp_path / "pack")
+    first = mk_matches()
+    engine = GradScoreEngine(params, use_device=True,
+                             pack_store=store_dir)
+    assert len(engine.score_matches(first)) == 4
+    assert engine._pack_store.misses == 4 and engine._pack_store.hits == 0
+
+    # second run: poison the image cache loader — any decode attempt on
+    # a TARGET now fails (the mask itself still loads)
+    from colormipsearch_tpu.io import cache as mips_cache
+
+    def boom(neuron, ftype):
+        raise AssertionError(
+            f"decode of {neuron.mip_id}/{ftype} despite packed store")
+
+    monkeypatch.setattr(mips_cache, "load_mip", boom)
+    second = mk_matches()
+    engine2 = GradScoreEngine(params, use_device=True,
+                              pack_store=store_dir)
+    assert len(engine2.score_matches(second)) == 4
+    assert engine2._pack_store.hits == 4
+    for a, b in zip(first, second):
+        assert b.gradient_area_gap == a.gradient_area_gap
+        assert b.high_expression_area == a.high_expression_area
+        assert b.normalized_score == a.normalized_score
+
+
+@pytest.mark.parametrize("mirror", [True, False])
+def test_tile_gather_equals_row_path(tmp_path, mirror):
+    """The engine's tile fast lane (one vectorized gather per field)
+    must equal the per-row gather path assembled target by target."""
+    rng = np.random.default_rng(11)
+    h, w = 40, 56
+    store = ShapePackStore(tmp_path / "s", h, w)
+    rows = []
+    per_target = []
+    q_rgb = _mk_cdm(rng, h, w, 260)
+    region = np.zeros((h, w), bool)
+    region[: h // 4, : w // 3] = True
+    q_pack = shape_score.pack_query(q_rgb, excluded_region=region)
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=64)
+    n_he = shape_score.he_words(pos_he.size, minimum=8)
+    plan = shape_score.split_gather_plan(
+        pos_gap, pos_he, w, mirror=mirror, excluded=region)
+    for i in range(7):
+        t_rgb = _mk_cdm(rng, h, w, 500)
+        grad = rng.integers(0, 300, (h, w)).astype(np.uint16)
+        zgap = dilate_rgb(mask_rgb(t_rgb, 20), 6)
+        fields = build_row_fields(t_rgb, grad, zgap, mask_threshold=20)
+        rows.append(store.append(f"k{i}", *fields))
+        per_target.append(shape_score.select_target_cols_split_from_row(
+            *fields, pos_gap, n_gap, n_he, plan, mirror=mirror))
+    want = shape_score.assemble_target_rows_split(
+        per_target, n_gap, n_he, mirror=mirror)
+    got = shape_score.select_target_tile_from_store(
+        store, rows, pos_gap, n_gap, n_he, plan, mirror=mirror)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
