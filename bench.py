@@ -325,6 +325,344 @@ def bench_shape_tpu(mask_rgb, target_rgb, region):
     return SHAPE_REPEATS * SHAPE_TARGETS / dt
 
 
+# ---------------------------------------------------------------------------
+# end-to-end (decode-inclusive) benchmarks: production-shaped ON-DISK
+# workloads driven through the REAL CLI paths — what the reference's
+# grid envelope actually measures (cdsparams.sh job sizing;
+# cmd/ColorDepthSearchCmd.java:195-340).  The kernel benches above
+# synthesize targets device-side to keep the ~10 MB/s axon tunnel out
+# of the measurement; these do NOT, so the CDS number also carries the
+# host->device upload, which on a production host (PCIe, ~3 orders
+# faster than the tunnel) is negligible — the split is reported so
+# both regimes are readable.
+# ---------------------------------------------------------------------------
+
+E2E_CDS_MASKS = int(_os.environ.get("CDS_BENCH_E2E_MASKS", 16))
+E2E_CDS_TARGETS = int(_os.environ.get("CDS_BENCH_E2E_TARGETS", 96))
+E2E_SHAPE_TARGETS = int(_os.environ.get("CDS_BENCH_E2E_SHAPE_TARGETS", 256))
+
+
+def _synth_cdm_library(out_dir, src_rgb, n, *, seed, fmt="tif"):
+    """n rolled/flipped PackBits-TIFF variants of one real CDM."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    h, w = src_rgb.shape[:2]
+    paths = []
+    for i in range(n):
+        # i=0 stays unrolled so the real fixture pair (golden 87) is in
+        # the library and at least one mask writes a result file
+        t = src_rgb if i == 0 else np.roll(
+            src_rgb, (int(rng.integers(0, h)),
+                      int(rng.integers(0, w))), axis=(0, 1))
+        if i % 2:
+            t = t[:, ::-1]
+        p = _os.path.join(out_dir, f"s{i:05d}_CDM.{fmt}")
+        Image.fromarray(t).save(p, compression="packbits")
+        paths.append(p)
+    return paths
+
+
+def _run_cli(argv) -> None:
+    from colormipsearch_tpu.cli.main import main as cli_main
+
+    rc = cli_main([str(a) for a in argv])
+    assert rc == 0, f"CLI failed ({rc}): {argv}"
+
+
+def bench_e2e_cds(mask_rgb, target_rgb):
+    """colorDepthSearch end to end: on-disk PackBits TIFFs -> data-input
+    -> decode -> query plans -> device scoring -> streaming grouped JSON
+    writes, timed as one CLI run.  Returns (pairs/s, split dict)."""
+    import shutil
+    import tempfile
+
+    import jax
+
+    from colormipsearch_tpu.io import native_decoder
+
+    with tempfile.TemporaryDirectory() as tmp:
+        masks_dir = _os.path.join(tmp, "masks")
+        targets_dir = _os.path.join(tmp, "targets")
+        _os.makedirs(masks_dir)
+        _os.makedirs(targets_dir)
+        t0 = time.perf_counter()
+        _synth_cdm_library(masks_dir, mask_rgb, E2E_CDS_MASKS, seed=1)
+        tpaths = _synth_cdm_library(targets_dir, target_rgb,
+                                    E2E_CDS_TARGETS, seed=2)
+        synth_s = time.perf_counter() - t0
+
+        # split term 1: host decode rate (native batch decoder, the
+        # engine's decode pool path)
+        blobs = [open(p, "rb").read() for p in tpaths]
+        h, w = target_rgb.shape[:2]
+        t0 = time.perf_counter()
+        _, ok = native_decoder.decode_img_batch(blobs, width=w, height=h,
+                                                channels=3)
+        decode_s = time.perf_counter() - t0
+        assert ok.all()
+
+        # split term 2: host->device upload of the target stack (the
+        # engine uploads the uint8 stack once; key planes expand on
+        # device).  Measured with a real transfer of the same bytes.
+        stack = np.zeros((min(8, E2E_CDS_TARGETS), h, w, 3), np.uint8)
+        dev = jax.device_put(stack)
+        np.asarray(dev)  # warm
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(stack).sum())
+        sample_s = time.perf_counter() - t0
+        upload_s_est = sample_s * E2E_CDS_TARGETS / stack.shape[0]
+        upload_gb_s = stack.nbytes / sample_s / 1e9
+
+        # split term 3: query-plan build (once per mask, on the host)
+        from colormipsearch_tpu.ops import pixel_match
+
+        t0 = time.perf_counter()
+        pixel_match.build_full_union_key_plan(
+            mask_rgb, 20, mirror=True, xy_shift=2,
+            pix_color_fluctuation=1.0)
+        plan_s = time.perf_counter() - t0
+
+        for d, name in ((masks_dir, "m"), (targets_dir, "t")):
+            _run_cli(["createColorDepthSearchDataInput", "-i", d,
+                      "-l", f"e2e-{name}", "-od", tmp,
+                      "--output-filename", f"{name}.json"])
+        out = _os.path.join(tmp, "results")
+        t0 = time.perf_counter()
+        _run_cli(["colorDepthSearch",
+                  "-m", _os.path.join(tmp, "m.json"),
+                  "-i", _os.path.join(tmp, "t.json"),
+                  "--maskThreshold", 20, "--dataThreshold", 20,
+                  "--pixColorFluctuation", 1.0, "--xyShift", 2,
+                  "--mirrorMask", "-od", out, "--perMaskSubdir", "pm"])
+        wall = time.perf_counter() - t0
+        import glob as _glob
+        # zero-match masks write no file; the unrolled fixture pair
+        # guarantees at least one real match (golden 87)
+        n_files = len(_glob.glob(_os.path.join(out, "pm", "*.json")))
+        assert n_files >= 1, "no result files written"
+        pairs = E2E_CDS_MASKS * E2E_CDS_TARGETS
+        split = {
+            "masks": E2E_CDS_MASKS, "targets": E2E_CDS_TARGETS,
+            "wall_s": round(wall, 2),
+            "decode_targets_per_s": round(E2E_CDS_TARGETS / decode_s, 1),
+            "plan_build_s_per_mask": round(plan_s, 3),
+            "tunnel_upload_s_est": round(upload_s_est, 2),
+            "tunnel_upload_gb_per_s": round(upload_gb_s, 4),
+            "tunnel_upload_share": round(upload_s_est / wall, 2),
+            "synth_s": round(synth_s, 1),
+        }
+        return pairs / wall, split
+
+
+def bench_e2e_shape(mask_rgb, target_rgb):
+    """gradientScores end to end: on-disk CDM+gradient+zgap triplets ->
+    matches file -> decode/gather -> split shape kernel -> rewritten
+    grouped JSON, as one CLI run.  Two passes: decode-inclusive (builds
+    the packed-variant store behind) and store-hit (the decode-once
+    production configuration).  Returns (hit_rate, build_rate)."""
+    import tempfile
+
+    from PIL import Image
+
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+    from colormipsearch_tpu.model import (
+        CDMatch,
+        ComputeFileType,
+        FileData,
+        Neuron,
+    )
+    from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb as mfn
+
+    with tempfile.TemporaryDirectory() as tmp:
+        lib = _os.path.join(tmp, "lib")
+        _os.makedirs(lib)
+        mask_path = _os.path.join(tmp, "mask.tif")
+        Image.fromarray(mask_rgb).save(mask_path, compression="packbits")
+        t0 = time.perf_counter()
+        tpaths = _synth_cdm_library(lib, target_rgb, E2E_SHAPE_TARGETS,
+                                    seed=3)
+        rng = np.random.default_rng(0)
+        h, w = target_rgb.shape[:2]
+        grad = rng.integers(0, 400, (h, w)).astype(np.uint16)
+        from colormipsearch_tpu.io.image import read_image
+
+        for i, p in enumerate(tpaths):
+            stem = p[:-4]
+            Image.fromarray(grad).save(stem + "_grad.png")
+            # one shared zgap dilation per 16 targets keeps synthesis
+            # tractable; the decode cost being measured is unchanged
+            if i % 16 == 0:
+                zg = dilate_rgb(mfn(read_image(p).as_rgb(), 20), 20)
+            Image.fromarray(zg).save(stem + "_zgap.png")
+        synth_s = time.perf_counter() - t0
+
+        mask_n = Neuron(mip_id="e2e-mask", published_name="e2e-mask")
+        mask_n.set_compute_file(ComputeFileType.InputColorDepthImage,
+                                FileData(mask_path))
+        matches = []
+        for i, p in enumerate(tpaths):
+            t_n = Neuron(mip_id=f"s{i:05d}", published_name=f"s{i:05d}")
+            t_n.set_compute_file(ComputeFileType.InputColorDepthImage,
+                                 FileData(p))
+            t_n.set_compute_file(ComputeFileType.GradientImage,
+                                 FileData(p[:-4] + "_grad.png"))
+            t_n.set_compute_file(ComputeFileType.ZGapImage,
+                                 FileData(p[:-4] + "_zgap.png"))
+            matches.append(CDMatch(mask_image=mask_n, matched_image=t_n,
+                                   matching_pixels=100,
+                                   matching_pixels_ratio=0.05))
+        mdir = _os.path.join(tmp, "matches")
+        writer = JSONMatchesWriter(per_masks_dir=mdir)
+        writer.write(matches)
+        writer.close()
+
+        store = _os.path.join(tmp, "pack")
+        rates = []
+        for i in range(2):
+            t0 = time.perf_counter()
+            _run_cli(["gradientScores", "--matches", mdir,
+                      "-od", _os.path.join(tmp, f"out{i}"),
+                      "--maskThreshold", 20, "--mirrorMask",
+                      "--packed-variants-store", store])
+            rates.append(E2E_SHAPE_TARGETS / (time.perf_counter() - t0))
+        print(f"# e2e shape: synth {synth_s:.1f}s, build "
+              f"{rates[0]:.1f}/s, store-hit {rates[1]:.1f}/s",
+              file=sys.stderr, flush=True)
+
+        # split terms: the per-mask query pack (r=60/r=20 dilations),
+        # the store's host-side tile gather rate, and the dispatch
+        # plane upload (a tunnel artifact on this rig)
+        import jax
+
+        from colormipsearch_tpu.io.shape_pack import ShapePackStore
+        from colormipsearch_tpu.ops import shape_score
+
+        from colormipsearch_tpu.oracle.pixel import label_regions_mask
+
+        region = label_regions_mask(w, h)  # the CLI run's default
+        t0 = time.perf_counter()
+        q_pack = shape_score.pack_query(mask_rgb, excluded_region=region)
+        qpack_s = time.perf_counter() - t0
+        pos_gap, pos_he = shape_score.support_split(q_pack)
+        n_gap = shape_score.support_bucket(pos_gap.size, minimum=1024)
+        n_he = shape_score.he_words(pos_he.size)
+        st = ShapePackStore(store, h, w)
+        gplan = shape_score.split_gather_plan(
+            pos_gap, pos_he, w, mirror=True, excluded=region)
+        rows = list(range(len(st)))
+        t0 = time.perf_counter()
+        t_gap, t_he = shape_score.select_target_tile_from_store(
+            st, rows, pos_gap, n_gap, n_he, gplan, mirror=True)
+        gather_s = time.perf_counter() - t0
+        plane_mb = (t_gap.nbytes + t_he.nbytes) / 1e6
+        buf = np.zeros(4 << 20, np.uint8)
+        np.asarray(jax.device_put(buf).sum())  # warm
+        t0 = time.perf_counter()
+        np.asarray(jax.device_put(buf).sum())
+        up_gb_s = buf.nbytes / (time.perf_counter() - t0) / 1e9
+        split = {
+            "targets": E2E_SHAPE_TARGETS,
+            "query_pack_s_per_mask": round(qpack_s, 2),
+            "store_gather_targets_per_s":
+                round(len(rows) / gather_s, 1),
+            "dispatch_plane_mb": round(plane_mb, 1),
+            "tunnel_upload_s_est": round(plane_mb / 1e3 / up_gb_s, 2),
+            "synth_s": round(synth_s, 1),
+        }
+        return rates[1], rates[0], split
+
+
+# ---------------------------------------------------------------------------
+# mesh scaling sweep: pairs/s at 1..N devices with an efficiency column.
+# Runs on the virtual CPU mesh here (each size needs its own process —
+# XLA fixes the device count at backend init) and as-is on a pod slice
+# later; the BASELINE.json north star is >=80% efficiency at N>=2 hosts
+# measured at 1 chip / 1 host / N hosts.  Weak scaling: targets per
+# device fixed, so perfect scaling = N x the 1-device rate.
+# ---------------------------------------------------------------------------
+
+MESH_SWEEP_SIZES = [int(s) for s in _os.environ.get(
+    "CDS_BENCH_MESH_SIZES", "1,2,4,8").split(",")]
+MESH_TARGETS_PER_DEV = int(_os.environ.get("CDS_BENCH_MESH_TPD", 128))
+
+
+def mesh_sweep_one(n_devices: int) -> float:
+    """Child process: pairs/s of the sharded batched pixel-match step
+    over an n-device mesh (weak scaling: MESH_TARGETS_PER_DEV targets
+    per device).  Prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_inputs
+    from colormipsearch_tpu.parallel import mesh as pmesh
+
+    assert len(jax.devices()) >= n_devices, (
+        len(jax.devices()), n_devices)
+    mesh = pmesh.create_mesh(n_devices)
+    t = MESH_TARGETS_PER_DEV * n_devices
+    plan, planes, _q, _t = _synthetic_inputs(n_targets=t)
+    planes = pmesh.shard_target_planes(mesh, planes)
+    batch = 4
+    step = pmesh.make_sharded_batch_step(
+        mesh, target_threshold=20, ztol_num=1, ztol_den=100,
+        n_straight=plan.n_straight)
+    args = (planes,
+            jnp.asarray(np.stack([plan.positions] * batch)),
+            jnp.asarray(np.stack([plan.q_cls] * batch)),
+            jnp.asarray(np.stack([plan.q_s] * batch)),
+            jnp.asarray(np.stack([plan.q_p] * batch)))
+    np.asarray(step(*args)[0])  # compile + warm
+    reps = 8
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = step(*args)
+    np.asarray(out[0])
+    dt = time.perf_counter() - t0
+    rate = reps * batch * t / dt
+    print(json.dumps({"n": n_devices, "pairs_per_s": rate}))
+    return rate
+
+
+def mesh_sweep() -> dict:
+    """Parent: run mesh_sweep_one at each size in its own CPU process
+    (axon site dropped so the TPU tunnel is never dialed) and compute
+    the efficiency column."""
+    import subprocess
+
+    repo = _os.path.dirname(_os.path.abspath(__file__))
+    rates: dict[int, float] = {}
+    for n in MESH_SWEEP_SIZES:
+        env = dict(_os.environ)
+        env["PYTHONPATH"] = repo  # NOT /root/.axon_site (CPU run)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        try:
+            out = subprocess.run(
+                [sys.executable, _os.path.join(repo, "bench.py"),
+                 "--mesh-one", str(n)],
+                capture_output=True, text=True, timeout=600, env=env)
+            line = out.stdout.strip().splitlines()[-1]
+            rates[n] = json.loads(line)["pairs_per_s"]
+        except Exception as e:  # keep the sweep best-effort per size
+            print(f"# mesh sweep n={n} failed: {e}", file=sys.stderr)
+    if not rates or 1 not in rates:
+        return {}
+    base = rates[1]
+    return {
+        "pairs_per_s": {str(n): round(r, 1) for n, r in rates.items()},
+        "efficiency": {str(n): round(r / (n * base), 3)
+                       for n, r in rates.items()},
+        "unit": "weak scaling on the virtual CPU mesh "
+                f"({MESH_TARGETS_PER_DEV} targets/device; the stand-in "
+                "curve for the pod-slice harness — CPU devices share "
+                f"{_os.cpu_count()} cores, so efficiency at "
+                "n > cores reflects host oversubscription, not the "
+                "sharded step)",
+    }
+
+
 def bench_oracle_baseline(mask_rgb, targets, region):
     """Single-core positions-only scorer emulating the reference's access
     pattern (PixelMatchColorDepthSearchAlgorithm.calculateScore:235-263:
@@ -374,6 +712,32 @@ def main() -> int:
      fu_gather_gb_s, plan) = bench_tpu(mask_rgb, target_rgb, region)
     shape_rate = bench_shape_tpu(mask_rgb, target_rgb, region)
     baseline_rate = bench_oracle_baseline(mask_rgb, host_sample, region)
+    e2e = {}
+    if _os.environ.get("CDS_BENCH_MESH", "1") != "0":
+        sweep = mesh_sweep()
+        if sweep:
+            e2e["mesh_sweep"] = sweep
+    if _os.environ.get("CDS_BENCH_E2E", "1") != "0":
+        e2e_cds_rate, e2e_cds_split = bench_e2e_cds(mask_rgb, target_rgb)
+        e2e_shape_hit, e2e_shape_build, e2e_shape_split = \
+            bench_e2e_shape(mask_rgb, target_rgb)
+        e2e = {
+            "e2e_cds_pairs_per_s": round(e2e_cds_rate, 1),
+            "e2e_cds_unit": "decode-inclusive colorDepthSearch CLI run "
+                            "(on-disk PackBits TIFFs -> grouped JSON "
+                            f"writes, {E2E_CDS_MASKS} masks x "
+                            f"{E2E_CDS_TARGETS} targets); the wall "
+                            "includes the axon tunnel's ~10 MB/s "
+                            "host->device upload — see the split",
+            "e2e_cds_split": e2e_cds_split,
+            "e2e_shape_targets_per_s": round(e2e_shape_hit, 1),
+            "e2e_shape_unit": "decode-once gradientScores CLI run "
+                              f"({E2E_SHAPE_TARGETS} on-disk targets, "
+                              "packed-variant store hit pass; "
+                              "build pass = decode-inclusive)",
+            "e2e_shape_build_targets_per_s": round(e2e_shape_build, 1),
+            "e2e_shape_split": e2e_shape_split,
+        }
     result = {
         "metric": "cds_pair_comparisons_per_sec_per_chip",
         # headline = the engine's production-default kernel: the full
@@ -402,6 +766,7 @@ def main() -> int:
             "shape_pairs_per_s": round(shape_rate, 1),
             "shape_unit": "shape-rescored mask-target pairs/s (mirror "
                           f"config, T={SHAPE_TARGETS})",
+            **e2e,
         },
     }
     print(json.dumps(result))
@@ -409,4 +774,10 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--mesh-one":
+        mesh_sweep_one(int(sys.argv[2]))
+        sys.exit(0)
+    if len(sys.argv) >= 2 and sys.argv[1] == "--mesh-sweep":
+        print(json.dumps({"mesh_sweep": mesh_sweep()}))
+        sys.exit(0)
     sys.exit(main())
