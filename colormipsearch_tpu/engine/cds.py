@@ -870,8 +870,11 @@ class CDSearchEngine:
             else:
                 nb, _nm, nf = pixel_match.score_query_batch_keys(
                     shard.planes, *neg_kargs, n_straight=ref.n_straight)
-            neg_best = np.maximum(np.asarray(nb), 0)[:, :shard.count]
-            neg_flags = np.asarray(nf)[:, :shard.count]
+            from colormipsearch_tpu.parallel.mesh import (
+                pull_target_cols as _pull)
+
+            neg_best = np.maximum(_pull(nb), 0)[:, :shard.count]
+            neg_flags = _pull(nf)[:, :shard.count]
         elif neg_plans[0] is not None:
             # the group key pins the padded neg width, so a batch either
             # has neg plans for every mask or for none
@@ -889,13 +892,21 @@ class CDSearchEngine:
                     target_threshold=thr,
                     ztol_num=ref.ztol_num, ztol_den=ref.ztol_den,
                     n_straight=ref.n_straight)
-            neg_best = np.maximum(np.asarray(nb), 0)[:, :shard.count]
-            neg_flags = np.asarray(nf)[:, :shard.count]
+            from colormipsearch_tpu.parallel.mesh import (
+                pull_target_cols as _pull)
 
-        # drop the zero-padded target columns (see _target_bucket)
-        best = np.asarray(best)[:, :shard.count]
-        mirrored = np.asarray(mirrored)[:, :shard.count]
-        pair_flags = np.asarray(pair_flags)[:, :shard.count]
+            neg_best = np.maximum(_pull(nb), 0)[:, :shard.count]
+            neg_flags = _pull(nf)[:, :shard.count]
+
+        # drop the zero-padded target columns (see _target_bucket);
+        # under jax.distributed the pull keeps only THIS process's
+        # target columns (zeros elsewhere), so each process emits its
+        # own shard of the matches — per-process sharded writes
+        from colormipsearch_tpu.parallel.mesh import pull_target_cols
+
+        best = pull_target_cols(best)[:, :shard.count]
+        mirrored = pull_target_cols(mirrored)[:, :shard.count]
+        pair_flags = pull_target_cols(pair_flags)[:, :shard.count]
 
         out: list[CDMatch] = []
         for b, (mask, mask_rgb, region, plan, neg_plan) in enumerate(batch):
@@ -924,15 +935,26 @@ class CDSearchEngine:
 
     def _emit_from_topk(self, batch, shard, scores_k, idx_k, mirr_k,
                         flags_k, tags, session_ref_id) -> list[CDMatch]:
-        """Emit from the collective top-k candidates [B, D*k]."""
+        """Emit from the collective top-k candidates [B, D*k].  The
+        all_gather makes the candidate set replicated, so under
+        jax.distributed each process keeps only the candidates whose
+        target column lives on its own devices (per-process sharded
+        writes, same as the dense pull)."""
         out: list[CDMatch] = []
         t_pad = shard.t_pad
+        lmask = None
+        if jax.process_count() > 1 and shard.device_planes is not None:
+            from colormipsearch_tpu.parallel.mesh import local_target_mask
+
+            lmask = local_target_mask(shard.device_planes, t_pad)
         for b, (mask, mask_rgb, region, plan, _neg) in enumerate(batch):
             best = np.zeros(shard.count, scores_k.dtype)
             mirrored = np.zeros(shard.count, bool)
             flags = np.zeros(shard.count, flags_k.dtype)
             keep = (idx_k[b] < shard.count) & (idx_k[b] >= 0) & \
                 (idx_k[b] < t_pad)
+            if lmask is not None:
+                keep &= lmask[np.clip(idx_k[b], 0, t_pad - 1)]
             ti = idx_k[b][keep]
             best[ti] = scores_k[b][keep]
             mirrored[ti] = mirr_k[b][keep].astype(bool)

@@ -44,9 +44,46 @@ def create_mesh(n_devices: int | None = None) -> Mesh:
 def shard_target_planes(mesh: Mesh, planes) -> jax.Array:
     """Place packed [..., P, T] planes with the trailing T axis sharded
     across the mesh (works for [P, T] planes and the shape pass's
-    stacked [2, S, T] orientation planes)."""
+    stacked [2, S, T] orientation planes).
+
+    Under `jax.distributed` (process_count > 1, e.g. a pod slice) the
+    mesh spans non-addressable devices, so the placement goes through
+    `make_array_from_callback`: every process holds the same host
+    planes (each loads the full target list from the shared
+    filesystem, like the reference's Spark executors) and contributes
+    only its addressable shards."""
     spec = P(*([None] * (planes.ndim - 1)), TARGET_AXIS)
-    return jax.device_put(planes, NamedSharding(mesh, spec))
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        host = np.asarray(planes)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx])
+    return jax.device_put(planes, sharding)
+
+
+def local_target_mask(arr, t_pad: int) -> np.ndarray:
+    """bool [t_pad]: the trailing-axis columns of a target-sharded
+    array that THIS process's devices hold (all True single-process).
+    The per-process write sharding of the multi-host CLI run derives
+    from this mask."""
+    mask = np.zeros(t_pad, bool)
+    for s in arr.addressable_shards:
+        mask[s.index[-1]] = True
+    return mask
+
+
+def pull_target_cols(arr) -> np.ndarray:
+    """np.asarray for a target-sharded result that works across
+    processes: single-process is a plain pull; multi-process returns a
+    full-width array with ONLY this process's columns populated (other
+    columns zero — score 0 / flag 0 emits nothing downstream), which
+    is exactly the per-process sharded-write semantics."""
+    if jax.process_count() == 1:
+        return np.asarray(arr)
+    out = np.zeros(arr.shape, arr.dtype)
+    for s in arr.addressable_shards:
+        out[s.index] = np.asarray(s.data)
+    return out
 
 
 def make_sharded_search_step(mesh: Mesh, *, target_threshold: int,

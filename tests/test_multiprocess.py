@@ -74,3 +74,108 @@ def test_two_process_distributed_scoring(tmp_path):
     assert docs[0]["scores"] == docs[1]["scores"]
     assert docs[0]["global_max"] == docs[1]["global_max"]
     assert any(s > 0 for row in docs[0]["scores"] for s in row)
+
+
+def test_two_process_cli_colordepthsearch(tmp_path):
+    """The ACTUAL colorDepthSearch CLI under jax.distributed: 2
+    processes (2 virtual CPU devices each), per-process -od dirs, then
+    the merged per-mask grouped JSON must equal a single-process run —
+    the driver/executor analogue the kernel selftest doesn't cover
+    (VERDICT r2 #5; ref SparkColorMIPSearchProcessor.java:43-81)."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    h, w = 40, 64
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    # 3 masks + 40 targets: t_pad buckets to 64, so the second
+    # process's device block (columns 32..63) holds real targets and
+    # the per-process write split is observable
+    for i in range(43):
+        img = np.zeros((h, w, 3), np.uint8)
+        n = 400
+        img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+            rng.integers(0, 256, (n, 3))
+        Image.fromarray(img).save(lib / f"n{i:02d}.png")
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    def cli_single(*argv):
+        out = subprocess.run(
+            [sys.executable, "-m", "colormipsearch_tpu.cli.main",
+             *[str(a) for a in argv]],
+            env=env, capture_output=True, text=True, timeout=420)
+        assert out.returncode == 0, out.stderr[-2000:]
+
+    cli_single("createColorDepthSearchDataInput", "-i", lib, "-l", "mp",
+               "-od", tmp_path, "--output-filename", "all.json")
+    neurons = json.loads((tmp_path / "all.json").read_text())
+    (tmp_path / "masks.json").write_text(json.dumps(neurons[:3]))
+    # targets include the masks so every mask has guaranteed matches
+    # (self-match plus whatever the random pairs yield)
+    (tmp_path / "targets.json").write_text(json.dumps(neurons))
+
+    search_args = [
+        "colorDepthSearch", "-m", tmp_path / "masks.json",
+        "-i", tmp_path / "targets.json",
+        "--maskThreshold", 20, "--dataThreshold", 20,
+        "--pixColorFluctuation", 2.0, "--xyShift", 2, "--mirrorMask",
+        # default label regions (x<330 / y<100) would cover the whole
+        # 40x64 synthetic image and empty every query
+        "--no-name-labels", "--no-colormap-labels"]
+
+    # reference: a single-process run (2 local devices, same kernels)
+    cli_single(*search_args, "-od", tmp_path / "ref",
+               "--perMaskSubdir", "pm")
+
+    # 2-process distributed run, per-process output dirs
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(REPO / "scripts" / "run_multihost.py"),
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--platform", "cpu", "--",
+             *[str(a) for a in search_args],
+             "-od", str(tmp_path / f"proc{pid}"),
+             "--perMaskSubdir", "pm"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    try:
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=420)
+            assert p.returncode == 0, stderr.decode()[-3000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    def rows(path):
+        doc = json.loads(path.read_text())
+        return {(r["image"]["mipId"], r["matchingPixels"], r["mirrored"],
+                 r["matchingPixelsRatio"]) for r in doc["results"]}
+
+    ref_dir = tmp_path / "ref" / "pm"
+    ref_files = {f.name: rows(f) for f in ref_dir.glob("*.json")}
+    assert ref_files, "single-process run produced no results"
+
+    merged: dict[str, set] = {}
+    per_proc_counts = []
+    for pid in range(2):
+        pdir = tmp_path / f"proc{pid}" / "pm"
+        n = 0
+        for f in pdir.glob("*.json"):
+            got = rows(f)
+            n += len(got)
+            merged.setdefault(f.name, set()).update(got)
+        per_proc_counts.append(n)
+    # the target shard really split across processes: each wrote SOME
+    # results but fewer than the whole
+    total = sum(len(v) for v in ref_files.values())
+    assert sum(per_proc_counts) == total, (per_proc_counts, total)
+    assert all(0 < c < total for c in per_proc_counts), per_proc_counts
+    assert merged == ref_files
