@@ -515,13 +515,10 @@ class CDSearchEngine:
                     max_workers=min(len(batch),
                                     self.decode_concurrency)) as pool:
                 ups = list(pool.map(build_one, batch))
-            u_pad = max(up.u_pos.shape[1] for up in ups)
-            ups = [pixel_match.pad_union_key_plan(up, u_pad, n_pixels)
-                   for up in ups]
-            return (jnp.asarray(np.stack([up.u_pos for up in ups])),
-                    jnp.asarray(np.stack([up.mu_pos for up in ups])),
-                    jnp.asarray(np.stack([up.lane_lo for up in ups])),
-                    jnp.asarray(np.stack([up.lane_span for up in ups])))
+            # plans pad to the batch's common union bucket AND interval
+            # slot count (slots vary per mask after compaction)
+            return tuple(jnp.asarray(a) for a in
+                         pixel_match.stack_union_plan_args(ups, n_pixels))
 
         return self._cached_plan_args(
             ("ukeys", self.use_union_keys, n_pixels), plans, build)

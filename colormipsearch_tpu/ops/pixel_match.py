@@ -912,6 +912,29 @@ class UnionKeyPlan:
         return self.n_sets * self.n_lanes
 
 
+def compact_interval_slots(lane_lo: np.ndarray, lane_span: np.ndarray):
+    """Drop always-empty interval slots from [..., 3, U] lane tables.
+
+    A key's windows live in distinct class segments (same-class plus up
+    to two adjacent-class rules), but at production tolerances at most
+    TWO are ever non-empty for any (class, rank) — verified here per
+    plan, not assumed — so the third per-element range test in
+    score_query_union_keys_raw is dead weight.  Slots are compacted
+    per (lane, row) (which slot holds a window is irrelevant: the
+    kernel ORs them) and trailing all-empty slots are sliced off."""
+    ne = ~((lane_lo == _EMPTY_LO) & (lane_span == 0))
+    order = np.argsort(~ne, axis=-2, kind="stable")
+    lo = np.take_along_axis(lane_lo, order, axis=-2)
+    sp = np.take_along_axis(lane_span, order, axis=-2)
+    ne = np.take_along_axis(ne, order, axis=-2)
+    used = ne.any(axis=tuple(i for i in range(ne.ndim) if i != ne.ndim - 2))
+    # the per-row front-packing makes `used` a prefix (slot s used only
+    # if every earlier slot is), so its sum is the slot count
+    n_slots = max(int(used.sum()), 1)
+    return (np.ascontiguousarray(lo[..., :n_slots, :]),
+            np.ascontiguousarray(sp[..., :n_slots, :]))
+
+
 def offsets_form_grid(xy_shift: int) -> bool:
     """True when shift_offsets(xy_shift) is a full {dx} x {dy} grid —
     the precondition of the x-union lane factorization (holds for the
@@ -993,6 +1016,7 @@ def build_union_key_plan(query_rgb: np.ndarray, query_threshold: int, *,
         if mirror:
             mu_pos[i] = np.where(ok, mirror_u + dy * w, n_pixels)
 
+    lane_lo, lane_span = compact_interval_slots(lane_lo, lane_span)
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
                         int(positions.size), mirror)
     return pad_union_key_plan(
@@ -1064,6 +1088,7 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
     mu_pos = (union + (w - 1) - 2 * ux).astype(np.int32) \
         .reshape(1, u_count) if mirror else np.zeros((0, u_count),
                                                      np.int32)
+    lane_lo, lane_span = compact_interval_slots(lane_lo, lane_span)
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
                         int(positions.size), mirror)
     return pad_union_key_plan(
@@ -1071,23 +1096,45 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
 
 
 def pad_union_key_plan(plan: UnionKeyPlan, u_pad: int,
-                       n_pixels: int) -> UnionKeyPlan:
+                       n_pixels: int,
+                       n_slots: int | None = None) -> UnionKeyPlan:
     """Re-pad a union plan to a wider bucket (sentinel positions, empty
     intervals) — lets a batch of plans with different natural buckets
-    stack into one dispatch without rebuilding the bisections."""
+    stack into one dispatch without rebuilding the bisections.
+    ``n_slots`` additionally pads the (compacted) interval-slot axis so
+    plans with different slot counts stack too."""
     u = plan.u_pos.shape[1]
-    if u_pad == u:
+    s = plan.lane_lo.shape[1]
+    s_pad = s if n_slots is None else n_slots
+    if u_pad == u and s_pad == s:
         return plan
     if u_pad < u:
         raise ValueError(f"pad_to {u_pad} < union size {u}")
+    if s_pad < s:
+        raise ValueError(f"n_slots {s_pad} < slot count {s}")
     padw = ((0, 0), (0, u_pad - u))
-    lane_pad = ((0, 0), (0, 0), (0, u_pad - u))
+    lane_pad = ((0, 0), (0, s_pad - s), (0, u_pad - u))
     return UnionKeyPlan(
         np.pad(plan.u_pos, padw, constant_values=n_pixels),
         np.pad(plan.mu_pos, padw, constant_values=n_pixels),
         np.pad(plan.lane_lo, lane_pad, constant_values=int(_EMPTY_LO)),
         np.pad(plan.lane_span, lane_pad),
         plan.query_size, plan.mirror)
+
+
+def stack_union_plan_args(plans: list, n_pixels: int):
+    """Host [B, ...] stacks of (u_pos, mu_pos, lane_lo, lane_span) for
+    a batch of union plans, padded to the batch's common union bucket
+    and interval-slot count (slot counts vary per mask after
+    compact_interval_slots)."""
+    u_pad = max(p.u_pos.shape[1] for p in plans)
+    n_slots = max(p.lane_lo.shape[1] for p in plans)
+    plans = [pad_union_key_plan(p, u_pad, n_pixels, n_slots)
+             for p in plans]
+    return (np.stack([p.u_pos for p in plans]),
+            np.stack([p.mu_pos for p in plans]),
+            np.stack([p.lane_lo for p in plans]),
+            np.stack([p.lane_span for p in plans]))
 
 
 def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
@@ -1099,6 +1146,7 @@ def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
     slots first, ordered (dy set major, dx lane minor).
     """
     n_lanes = lane_lo.shape[0]
+    n_slots = lane_lo.shape[1]
     outs = []
     pos_sets = [u_pos, mu_pos] if mu_pos.shape[0] else [u_pos]
     for pos in pos_sets:
@@ -1106,9 +1154,13 @@ def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
             g = jnp.take(t_keys, pos[i], axis=0).astype(jnp.uint32)  # [U, T]
             for j in range(n_lanes):
                 lo, sp = lane_lo[j], lane_span[j]
-                m = ((g - lo[0][:, None]) <= sp[0][:, None]) \
-                    | ((g - lo[1][:, None]) <= sp[1][:, None]) \
-                    | ((g - lo[2][:, None]) <= sp[2][:, None])
+                # slot count is a plan-build property: at production
+                # tolerances every key has <= 2 non-empty windows, and
+                # compact_interval_slots drops the dead third test
+                # (1/3 of the kernel's VPU work)
+                m = (g - lo[0][:, None]) <= sp[0][:, None]
+                for s in range(1, n_slots):
+                    m = m | ((g - lo[s][:, None]) <= sp[s][:, None])
                 outs.append(m.sum(axis=0, dtype=jnp.int32))
     return jnp.stack(outs)
 

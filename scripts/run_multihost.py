@@ -133,13 +133,8 @@ def selftest(out_path: str) -> int:
 
     def union_batch(build):
         uplans = [build(m) for m in masks]
-        u_pad = max(up.u_pos.shape[1] for up in uplans)
-        uplans = [pixel_match.pad_union_key_plan(up, u_pad, h * w)
-                  for up in uplans]
-        return (jnp.asarray(np.stack([up.u_pos for up in uplans])),
-                jnp.asarray(np.stack([up.mu_pos for up in uplans])),
-                jnp.asarray(np.stack([up.lane_lo for up in uplans])),
-                jnp.asarray(np.stack([up.lane_span for up in uplans])))
+        return tuple(jnp.asarray(a) for a in
+                     pixel_match.stack_union_plan_args(uplans, h * w))
 
     ustep = make_sharded_batch_step_union_keys(mesh)
     union_ok = True

@@ -277,16 +277,9 @@ def test_union_keys_batch_equals_classic_keys():
     uplans = [pixel_match.build_union_key_plan(
         q, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
         for q in queries]
-    u_pad = max(up.u_pos.shape[1] for up in uplans)
-    uplans = [pixel_match.build_union_key_plan(
-        q, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu,
-        pad_to=u_pad) for q in queries]
     ubest, umirrored, uflags = pixel_match.score_query_batch_union_keys(
-        t_keys,
-        jnp.asarray(np.stack([up.u_pos for up in uplans])),
-        jnp.asarray(np.stack([up.mu_pos for up in uplans])),
-        jnp.asarray(np.stack([up.lane_lo for up in uplans])),
-        jnp.asarray(np.stack([up.lane_span for up in uplans])))
+        t_keys, *[jnp.asarray(a) for a in
+                  pixel_match.stack_union_plan_args(uplans, h * w)])
     assert (np.asarray(uflags) == 0).all()
     assert (np.asarray(ubest) == np.asarray(best)).all()
     assert (np.asarray(umirrored) == np.asarray(mirrored)).all()
@@ -373,15 +366,9 @@ def test_full_union_keys_batch_equals_classic_keys(xy_shift):
     fplans = [pixel_match.build_full_union_key_plan(
         q, thr, mirror=True, xy_shift=xy_shift, pix_color_fluctuation=flu)
         for q in queries]
-    u_pad = max(fp.u_pos.shape[1] for fp in fplans)
-    fplans = [pixel_match.pad_union_key_plan(fp, u_pad, h * w)
-              for fp in fplans]
     ubest, umirrored, uflags = pixel_match.score_query_batch_union_keys(
-        t_keys,
-        jnp.asarray(np.stack([fp.u_pos for fp in fplans])),
-        jnp.asarray(np.stack([fp.mu_pos for fp in fplans])),
-        jnp.asarray(np.stack([fp.lane_lo for fp in fplans])),
-        jnp.asarray(np.stack([fp.lane_span for fp in fplans])))
+        t_keys, *[jnp.asarray(a) for a in
+                  pixel_match.stack_union_plan_args(fplans, h * w)])
     assert (np.asarray(uflags) == 0).all()
     assert (np.asarray(ubest) == np.asarray(best)).all()
     assert (np.asarray(umirrored) == np.asarray(mirrored)).all()
@@ -646,3 +633,35 @@ def test_engine_kernel_kwarg_resolution():
     for off in (False, 0, "0", "off"):
         eng = CDSearchEngine(params, use_union_keys=off)
         assert eng.use_union_keys is False
+
+
+def test_interval_slot_compaction():
+    """compact_interval_slots drops only always-empty slots, preserves
+    window sets per (lane, row), and production-tolerance plans come
+    out with 2 slots (no key has 3 non-empty windows at ztol 0.01)."""
+    E = int(pixel_match._EMPTY_LO)
+    # [1 lane, 3 slots, 3 rows]: row 0 has windows in slots 0+2,
+    # row 1 in slot 0, row 2 in slot 2; slot 1 is all-empty
+    lo = np.array([[[3, 5, E], [E, E, E], [7, E, 9]]], np.uint32)
+    sp = np.array([[[4, 2, 0], [0, 0, 0], [1, 0, 3]]], np.uint32)
+    clo, csp = pixel_match.compact_interval_slots(lo, sp)
+    assert clo.shape == (1, 2, 3)
+    # per-row non-empty window multisets preserved
+    for r in range(3):
+        want = {(int(lo[0, s, r]), int(sp[0, s, r])) for s in range(3)
+                if not (lo[0, s, r] == E and sp[0, s, r] == 0)}
+        got = {(int(clo[0, s, r]), int(csp[0, s, r])) for s in range(2)
+               if not (clo[0, s, r] == E and csp[0, s, r] == 0)}
+        assert got == want
+
+    # all-empty input keeps one (empty) slot
+    clo1, _ = pixel_match.compact_interval_slots(
+        np.full((2, 3, 4), E, np.uint32), np.zeros((2, 3, 4), np.uint32))
+    assert clo1.shape == (2, 1, 4)
+
+    # a real production-tolerance plan compacts to <= 2 slots
+    rng = np.random.default_rng(3)
+    q = _mk(rng, 30, 40, 250)
+    fp = pixel_match.build_full_union_key_plan(
+        q, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0)
+    assert fp.lane_lo.shape[1] <= 2
