@@ -150,13 +150,21 @@ def configure_gradient_score_v2(sp):
                     help="use the TPU split shape kernel (default)")
     sp.add_argument("--no-use-device", dest="use_device",
                     action="store_false")
+    sp.add_argument("--packed-variants-store", dest="packStore",
+                    default=os.environ.get("CDS_SHAPE_PACK_DIR") or None,
+                    metavar="DIR",
+                    help="decode-once packed-variant store "
+                         "(io/shape_pack.py) — same store as the v3 "
+                         "gradientScores command")
 
 
 def _score_rows_device(mask_rgb, region, args, rows):
     """Batched device scoring of one mask's selected v2 rows via the
     split (gap-row / he-row) kernel — same kernels as the v3
-    GradScoreEngine.  rows: [(r, t_rgb, grad, zgap)] with mask-shaped
-    images; mutates r.gradientAreaGap / r.highExpressionArea."""
+    GradScoreEngine.  rows: [(r, ("img", t_rgb, grad, zgap))] or
+    [(r, ("row", zsl, grad_thr, tfg_bits))] (packed-store hits) with
+    mask-shaped fields; mutates r.gradientAreaGap /
+    r.highExpressionArea."""
     from colormipsearch_tpu.ops import shape_score
 
     q_pack = shape_score.pack_query(
@@ -169,16 +177,25 @@ def _score_rows_device(mask_rgb, region, args, rows):
     n_or = 2 if args.mirrorMask else 1
     q_gap = np.stack([qg] * n_or)
     q_he = np.stack([qh] * n_or)
-    t_gap, t_he = shape_score.pack_target_rows_split(
-        [t for _, t, _, _ in rows],
-        [g for _, _, g, _ in rows],
-        [z for _, _, _, z in rows],
-        pos_gap, n_gap, pos_he, n_he,
-        mask_threshold=args.maskThreshold, excluded=region,
-        mirror=args.mirrorMask)
+    gather_plan = shape_score.split_gather_plan(
+        pos_gap, pos_he, mask_rgb.shape[1], mirror=args.mirrorMask,
+        excluded=region)
+    cols = []
+    for _, payload in rows:
+        if payload[0] == "row":
+            cols.append(shape_score.select_target_cols_split_from_row(
+                payload[1], payload[2], payload[3], pos_gap, n_gap,
+                n_he, gather_plan, mirror=args.mirrorMask))
+        else:
+            cols.append(shape_score.select_target_cols_split(
+                payload[1], payload[2], payload[3], pos_gap, n_gap,
+                pos_he, n_he, mask_threshold=args.maskThreshold,
+                excluded=region, mirror=args.mirrorMask))
+    t_gap, t_he = shape_score.assemble_target_rows_split(
+        cols, n_gap, n_he, mirror=args.mirrorMask)
     gap, he, _ = shape_score.score_shape_batch_split(
         t_gap, t_he, q_gap, q_he)
-    for i, (r, _, _, _) in enumerate(rows):
+    for i, (r, _) in enumerate(rows):
         r.gradientAreaGap = int(gap[i])
         r.highExpressionArea = int(he[i])
 
@@ -219,6 +236,35 @@ def cmd_gradient_score_v2(args) -> int:
                 mask_rgb, args.maskThreshold, mirror=args.mirrorMask,
                 negative_radius=args.negativeRadius,
                 excluded_region=region)
+        store = None
+        region_fp = "none"
+        if use_device and getattr(args, "packStore", None):
+            from colormipsearch_tpu.io.shape_pack import ShapePackStore
+
+            store = ShapePackStore(args.packStore, h, w)
+            if region is not None:
+                import hashlib
+
+                region_fp = hashlib.sha1(
+                    np.packbits(region).tobytes()).hexdigest()[:12]
+
+        def store_key(t_fd, grad_fd, z_fd, *, zgap_used):
+            from colormipsearch_tpu.io.shape_pack import file_identity
+
+            cdm_id = file_identity(t_fd)
+            grad_id = file_identity(grad_fd)
+            if cdm_id is None or grad_id is None:
+                return None
+            zgap_id = file_identity(z_fd) if z_fd is not None else None
+            if zgap_used is False:
+                zgap_id = None
+            return store.entry_key(
+                cdm_id=cdm_id, grad_id=grad_id, zgap_id=zgap_id,
+                mask_threshold=args.maskThreshold,
+                fallback_desc=f"thr={args.maskThreshold},"
+                              f"r={args.negativeRadius},"
+                              f"region={region_fp}")
+
         def load_row(r):
             t_fd = r.target.file_data()
             # the MIP's own variants dictionary wins over location
@@ -229,6 +275,14 @@ def cmd_gradient_score_v2(args) -> int:
                     cdm_suffix=args.librarySuffix)
             if grad_fd is None:
                 return None
+            z_fd = r.target.variant_file_data(args.zgapVariant) \
+                or mips_io.find_variant(t_fd, args.zgapPath,
+                                        args.zgapSuffix)
+            if store is not None:
+                key = store_key(t_fd, grad_fd, z_fd, zgap_used=None)
+                row = store.lookup(key) if key else None
+                if row is not None:
+                    return (r, ("row", *store.row(row)))
             try:
                 t_rgb = mips_io.load_image(t_fd).as_rgb()
                 grad_img = mips_io.load_image(grad_fd).pixels
@@ -239,15 +293,14 @@ def cmd_gradient_score_v2(args) -> int:
             if t_rgb.shape[:2] != (h, w) or grad_img.shape != (h, w):
                 return None
             zgap_rgb = None
-            z_fd = r.target.variant_file_data(args.zgapVariant) \
-                or mips_io.find_variant(t_fd, args.zgapPath,
-                                        args.zgapSuffix)
             if z_fd is not None:
                 try:
                     zgap_rgb = mips_io.load_image(z_fd).as_rgb()
                 except (OSError, FileNotFoundError):
                     zgap_rgb = None
-            if zgap_rgb is None or zgap_rgb.shape[:2] != (h, w):
+            zgap_used = zgap_rgb is not None \
+                and zgap_rgb.shape[:2] == (h, w)
+            if not zgap_used:
                 # on-the-fly dilation fallback
                 # (ShapeMatchColorDepthSearchAlgorithm:166-168)
                 from colormipsearch_tpu.oracle.shape import (
@@ -256,7 +309,17 @@ def cmd_gradient_score_v2(args) -> int:
                 zgap_rgb = dilate_rgb(
                     mask_fn(clear_region(t_rgb, region),
                             args.maskThreshold), args.negativeRadius)
-            return (r, t_rgb, grad_img.astype(np.uint16), zgap_rgb)
+            grad_img = grad_img.astype(np.uint16)
+            if store is not None:
+                from colormipsearch_tpu.io.shape_pack import (
+                    build_row_fields)
+
+                key = store_key(t_fd, grad_fd, z_fd, zgap_used=zgap_used)
+                if key:
+                    store.append(key, *build_row_fields(
+                        t_rgb, grad_img, zgap_rgb,
+                        mask_threshold=args.maskThreshold))
+            return (r, ("img", t_rgb, grad_img, zgap_rgb))
 
         # decode the selected targets in parallel (same shared pool as
         # the v3 shape pass; decode and dilation release the GIL)
@@ -270,11 +333,11 @@ def cmd_gradient_score_v2(args) -> int:
         if rows and use_device:
             _score_rows_device(mask_rgb, region, args, rows)
         elif rows:
-            for r, t_rgb, grad_img, zgap_rgb in rows:
-                res = oracle.score(t_rgb, grad_img, zgap_rgb)
+            for r, payload in rows:
+                res = oracle.score(payload[1], payload[2], payload[3])
                 r.gradientAreaGap = res.gradient_area_gap
                 r.highExpressionArea = res.high_expression_area
-        for r, _, _, _ in rows:
+        for r, _ in rows:
             max_pixels = max(max_pixels, r.matchingPixels)
             max_neg = max(max_neg,
                           r.gradientAreaGap + r.highExpressionArea // 2)

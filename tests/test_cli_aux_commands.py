@@ -1095,3 +1095,68 @@ def test_v2_gradient_score_variants_dict(tmp_path):
             "--maskThreshold", 20, "--mirrorMask", "-od", gs)
     rows = json.loads((gs / res_file.name).read_text())["results"]
     assert rows and all(r["gradientAreaGap"] >= 0 for r in rows)
+
+
+def test_v2_gradient_score_packed_store_reuse(tmp_path, monkeypatch):
+    """v2 gradientScore with --packed-variants-store: the second run
+    serves every target from the store (no image decode) and produces
+    identical scores — same decode-once semantics as the v3 command."""
+    import shutil
+
+    import numpy as np
+    from PIL import Image
+
+    from tests.conftest import MASK_TIF, TARGET_TIF
+
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    shutil.copy(MASK_TIF, lib / Path(MASK_TIF).name)
+    shutil.copy(TARGET_TIF, lib / Path(TARGET_TIF).name)
+    out = tmp_path / "v2res"
+    run_cli("searchLocalFiles", "-m", f"{lib}:0:1", "-i", lib,
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 1.0, "--xyShift", 2, "--mirrorMask",
+            "-od", out)
+    [res_file] = [f for f in sorted(out.glob("*.json"))
+                  if not f.name.endswith("cdsparams.json")]
+
+    from colormipsearch_tpu.io.image import read_image
+
+    grad_dir = tmp_path / "grad"
+    grad_dir.mkdir()
+    rng = np.random.default_rng(1)
+    t_rgb = read_image(TARGET_TIF).as_rgb()
+    grad = rng.integers(0, 500, t_rgb.shape[:2]).astype(np.uint16)
+    for stem in (Path(TARGET_TIF).stem, Path(MASK_TIF).stem):
+        Image.fromarray(grad).save(grad_dir / f"{stem}_gradient.png")
+
+    store = tmp_path / "pack"
+    common = ("-rf", res_file, "--gradientPath", grad_dir,
+              "--maskThreshold", 20, "--mirrorMask",
+              "--packed-variants-store", store)
+    first = tmp_path / "gs1"
+    run_cli("gradientScore", *common, "-od", first)
+
+    # second run: poison TARGET image decode — only the mask (the
+    # grouped file's source MIP) may load
+    from colormipsearch_tpu.io import mips as mips_io
+
+    real_load = mips_io.load_image
+    mask_name = Path(MASK_TIF).name
+
+    def guarded(fd):
+        if fd.name.endswith(mask_name):
+            return real_load(fd)
+        raise AssertionError(f"decode of {fd} despite packed store")
+
+    monkeypatch.setattr(mips_io, "load_image", guarded)
+    second = tmp_path / "gs2"
+    run_cli("gradientScore", *common, "-od", second)
+
+    a = json.loads((first / res_file.name).read_text())["results"]
+    b = json.loads((second / res_file.name).read_text())["results"]
+    key = lambda r: r["id"]  # noqa: E731
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert rb["gradientAreaGap"] == ra["gradientAreaGap"]
+        assert rb["highExpressionArea"] == ra["highExpressionArea"]
+        assert rb["normalizedGapScore"] == ra["normalizedGapScore"]
