@@ -730,7 +730,7 @@ def main() -> int:
         e2e_cds_rate, e2e_cds_split = bench_e2e_cds(mask_rgb, target_rgb)
         e2e_shape_hit, e2e_shape_build, e2e_shape_split = \
             bench_e2e_shape(mask_rgb, target_rgb)
-        e2e = {
+        e2e |= {
             "e2e_cds_pairs_per_s": round(e2e_cds_rate, 1),
             "e2e_cds_unit": "decode-inclusive colorDepthSearch CLI run "
                             "(on-disk PackBits TIFFs -> grouped JSON "
