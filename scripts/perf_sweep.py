@@ -43,6 +43,16 @@ def log(msg):
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+def emit(rec: dict, out: str | None = None):
+    """Print one JSON result line; append it to `out` when given (every
+    mode honours --out, not just the default width sweep)."""
+    line = json.dumps(rec)
+    print(line, flush=True)
+    if out:
+        with open(out, "a") as f:
+            f.write(line + "\n")
+
+
 def build_plan():
     from colormipsearch_tpu.io.image import read_image
     from colormipsearch_tpu.oracle.pixel import label_regions_mask
@@ -162,21 +172,21 @@ def main():
             t_width=int(args.widths.split(",")[-1]) if args.widths
             else 2048,
             b=int(args.batches.split(",")[0]),
-            repeats_pairs=args.repeats_pairs)
+            repeats_pairs=args.repeats_pairs, out=args.out)
         return 0
     if args.keys:
         keys_kernel_experiment(
             t_width=int(args.widths.split(",")[-1]) if args.widths
             else 2048,
             b=int(args.batches.split(",")[0]),
-            repeats_pairs=args.repeats_pairs)
+            repeats_pairs=args.repeats_pairs, out=args.out)
         return 0
     if args.union_keys:
         union_keys_experiment(
             t_width=int(args.widths.split(",")[-1]) if args.widths
             else 4096,
             b=int(args.batches.split(",")[0]),
-            repeats_pairs=args.repeats_pairs)
+            repeats_pairs=args.repeats_pairs, out=args.out)
         return 0
 
     plan, target_rgb = build_plan()
@@ -247,7 +257,8 @@ def main():
 
 
 
-def split_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
+def split_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6,
+                            out=None):
     """A/B: packed-u32 kernel vs the 3-byte split-plane kernel
     (u16 (p<<8)|s + u8 cls), both with the data threshold folded into
     the pack (the engine's production configuration).
@@ -296,15 +307,16 @@ def split_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
     for name, fn, bytes_px in (("packed_u32", packed_once, 4),
                                ("split_u16u8", split_once, 3)):
         dt = time_step(fn, repeats)
-        print(json.dumps({
+        emit({
             "kind": name, "t_width": t_width, "mask_batch": b,
             "pairs_per_s": round(repeats * b * t_width / dt),
             "gather_gb_per_s": round(
                 repeats * b * v * q * t_width * bytes_px / dt / 1e9, 1),
-            "repeats": repeats, "secs": round(dt, 2)}), flush=True)
+            "repeats": repeats, "secs": round(dt, 2)}, out)
 
 
-def keys_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
+def keys_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6,
+                           out=None):
     """A/B: packed-u32 banded kernel vs the rank-key interval kernel
     (same 4 B/pixel gather; ~3x fewer per-element VPU intermediates and
     an exact verdict — docs/DESIGN.md).
@@ -366,12 +378,12 @@ def keys_kernel_experiment(t_width=2048, b=8, repeats_pairs=4e6):
     for name, fn in (("packed_u32", packed_once),
                      ("rank_keys", keys_once)):
         dt = time_step(fn, repeats)
-        print(json.dumps({
+        emit({
             "kind": name, "t_width": t_width, "mask_batch": b,
             "pairs_per_s": round(repeats * b * t_width / dt),
             "gather_gb_per_s": round(
                 repeats * b * v * q * t_width * 4 / dt / 1e9, 1),
-            "repeats": repeats, "secs": round(dt, 2)}), flush=True)
+            "repeats": repeats, "secs": round(dt, 2)}, out)
 
 
 def build_key_planes(target_rgb: np.ndarray, n_targets: int):
@@ -411,7 +423,8 @@ def build_key_planes(target_rgb: np.ndarray, n_targets: int):
     return jax.block_until_ready(planes)
 
 
-def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6):
+def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6,
+                          out=None):
     """A/B: classic rank-key kernel vs its x-union lane form (gather the
     x-dilated union once per dy-set, dx shifts as interval lanes — ~0.5x
     the gathered rows for 1.5x the range tests; see docs/DESIGN.md §6)."""
@@ -491,12 +504,12 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6):
                      ("union_keys", union_once),
                      ("full_union_keys", full_union_once)):
         dt = time_step(fn, repeats)
-        print(json.dumps({
+        emit({
             "kind": name, "t_width": t_width, "mask_batch": b,
             "pairs_per_s": round(repeats * b * t_width / dt),
             "gather_gb_per_s": round(
                 repeats * b * rows[name] * t_width * 4 / dt / 1e9, 1),
-            "repeats": repeats, "secs": round(dt, 2)}), flush=True)
+            "repeats": repeats, "secs": round(dt, 2)}, out)
 
 
 def strip_gather_experiment(t_width=2048, q=2048, repeats=300):
