@@ -109,6 +109,15 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int)]
+        lib.cdm_shape_tile_from_store.restype = None
+        lib.cdm_shape_tile_from_store.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -232,6 +241,47 @@ def decode_img_batch(blobs: list[bytes], *, width: int, height: int,
         width, height, channels, n_threads, results)
     ok = np.array([results[i] == 0 for i in range(n)], bool)
     return arena, ok
+
+
+def shape_tile_from_store(zsl_mm: np.ndarray, grad_mm: np.ndarray,
+                          tfg_mm: np.ndarray, rows: np.ndarray,
+                          pos_gap: np.ndarray, g_pos: np.ndarray,
+                          h_pos: np.ndarray, keep_he: np.ndarray | None,
+                          n_or: int, n_gap_pad: int, n_he_words: int,
+                          sl_shift: int, n_threads: int = 0):
+    """Threaded store-row tile pack (native twin of
+    ops/shape_score.select_target_tile_from_store): gathers the support
+    columns of T store rows straight from the mmaps and assembles the
+    final (t_gap uint32 [n_or, n_gap_pad, T], t_he uint32
+    [n_or, n_he_words, T]) planes.  Returns None when the native
+    library is unavailable (caller falls back to the numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert zsl_mm.dtype == np.uint16 and grad_mm.dtype == np.uint16 \
+        and tfg_mm.dtype == np.uint8
+    rows = np.ascontiguousarray(rows, np.int64)
+    pos_gap = np.ascontiguousarray(pos_gap, np.int32)
+    g_pos = np.ascontiguousarray(g_pos, np.int32)
+    h_pos = np.ascontiguousarray(h_pos, np.int32)
+    keep = (np.ascontiguousarray(keep_he, np.uint8)
+            if keep_he is not None else None)
+    t = len(rows)
+    t_gap = np.empty((n_or, n_gap_pad, t), np.uint32)
+    t_he = np.empty((n_or, n_he_words, t), np.uint32)
+    if n_threads <= 0:
+        n_threads = min(32, os.cpu_count() or 1)
+    ptr = ctypes.c_void_p
+    lib.cdm_shape_tile_from_store(
+        ptr(zsl_mm.ctypes.data), ptr(grad_mm.ctypes.data),
+        ptr(tfg_mm.ctypes.data), zsl_mm.shape[1], grad_mm.shape[1],
+        tfg_mm.shape[1], ptr(rows.ctypes.data), t,
+        ptr(pos_gap.ctypes.data), pos_gap.size, ptr(g_pos.ctypes.data),
+        ptr(h_pos.ctypes.data), h_pos.size // n_or,
+        ptr(keep.ctypes.data) if keep is not None else None,
+        n_or, n_gap_pad, n_he_words, sl_shift,
+        ptr(t_gap.ctypes.data), ptr(t_he.ctypes.data), n_threads)
+    return t_gap, t_he
 
 
 def decode_tiff_batch(blobs: list[bytes], *, width: int, height: int,

@@ -160,6 +160,13 @@ class ShapePackStore:
             mm = self._field_mmap(field)
         return mm[np.ix_(np.asarray(rows), cols)]
 
+    def field_maps(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(zsl, grad, tfg) row-major memmap views refreshed to the
+        current row count — the zero-copy input of the native tile pack
+        (io/native_decoder.shape_tile_from_store)."""
+        with self._lock:
+            return tuple(self._field_mmap(f) for f in _FIELDS)
+
     # ---- write ----
 
     def append(self, key: str, zsl: np.ndarray, grad_thr: np.ndarray,

@@ -477,15 +477,28 @@ def select_target_tile_from_store(store, rows, pos_gap: np.ndarray,
                                   n_gap_pad: int, n_he_words: int,
                                   gather_plan, *, mirror: bool = True):
     """Whole-dispatch-tile pack straight from a ShapePackStore: ONE
-    vectorized 2D gather per field for T store rows, producing the
+    threaded native pass (or, without the native library, one
+    vectorized 2D gather per field) for T store rows, producing the
     assembled (t_gap uint32 [n_or, Sg_pad, T], t_he uint32
     [n_or, W, T]) planes — the store fast path's per-target Python
-    cost collapses to ~zero (scripts/gradscore_host_profile.py)."""
+    cost collapses to ~zero (scripts/gradscore_host_profile.py).
+    Both paths are bit-identical (tests/test_shape_pack.py)."""
     g_pos, h_pos, keep_he = gather_plan
     n_or = 2 if mirror else 1
     t = len(rows)
     sg = pos_gap.size
     sh = h_pos.size // n_or
+
+    from colormipsearch_tpu.io import native_decoder
+
+    if native_decoder.available():
+        zsl_mm, grad_mm, tfg_mm = store.field_maps()
+        native = native_decoder.shape_tile_from_store(
+            zsl_mm, grad_mm, tfg_mm, np.asarray(rows, np.int64),
+            pos_gap, g_pos, h_pos, keep_he, n_or, n_gap_pad,
+            n_he_words, _SL_SHIFT)
+        if native is not None:
+            return native
 
     zsl = store.gather("zsl", rows, pos_gap)           # [T, Sg]
     grad = store.gather("grad", rows, g_pos)           # [T, n_or*Sg]

@@ -643,4 +643,75 @@ void cdm_img_decode_batch(const uint8_t** bufs, const size_t* lens,
     for (auto& th : threads) th.join();
 }
 
+// Shape-pass dispatch tile straight from the packed-variant store
+// (io/shape_pack.py mmaps): for T store rows, gather the mask-support
+// columns and assemble the final split planes
+//   t_gap uint32 [n_or, n_gap_pad, T]  = (zsl << sl_shift) | grad
+//   t_he  uint32 [n_or, n_he_words, T] = bitpacked foreground
+// in one threaded pass — the native twin of
+// ops/shape_score.select_target_tile_from_store (bit-identical; the
+// numpy path stays as the fallback and the test oracle).  Bit b of he
+// word w is support row 32*w + b (little-endian, like np.packbits
+// bitorder="little" viewed as uint32).
+//
+// zsl/grad are uint16 rows of n_px elements, tfg is a bitpacked row of
+// ceil(n_px/8) bytes (bit i of byte i>>3 at position i&7).  pos_gap
+// [sg] indexes zsl; g_pos [n_or*sg] indexes grad (straight + mirrored
+// columns); h_pos [n_or*sh] are foreground BIT addresses; keep_he
+// [n_or*sh] gates the excluded label region (NULL = keep all).  Gap pad
+// rows j >= sg and he words past the packed bits are zeroed here, so
+// callers may pass uninitialized outputs.
+void cdm_shape_tile_from_store(
+        const uint16_t* zsl_base, const uint16_t* grad_base,
+        const uint8_t* tfg_base, int64_t zsl_stride, int64_t grad_stride,
+        int64_t tfg_stride, const int64_t* rows, int64_t n_rows,
+        const int32_t* pos_gap, int64_t sg, const int32_t* g_pos,
+        const int32_t* h_pos, int64_t sh, const uint8_t* keep_he,
+        int n_or, int64_t n_gap_pad, int64_t n_he_words, int sl_shift,
+        uint32_t* t_gap, uint32_t* t_he, int n_threads) {
+    const int64_t T = n_rows;
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= T) break;
+            const uint16_t* z = zsl_base + rows[i] * zsl_stride;
+            const uint16_t* g = grad_base + rows[i] * grad_stride;
+            const uint8_t* t = tfg_base + rows[i] * tfg_stride;
+            for (int o = 0; o < n_or; o++) {
+                uint32_t* outg = t_gap + (int64_t)o * n_gap_pad * T + i;
+                const int32_t* gp = g_pos + (int64_t)o * sg;
+                for (int64_t j = 0; j < sg; j++)
+                    outg[j * T] = ((uint32_t)z[pos_gap[j]] << sl_shift) |
+                                  g[gp[j]];
+                for (int64_t j = sg; j < n_gap_pad; j++) outg[j * T] = 0;
+                const int32_t* hp = h_pos + (int64_t)o * sh;
+                const uint8_t* ke = keep_he ? keep_he + (int64_t)o * sh
+                                            : nullptr;
+                uint32_t* outh = t_he + (int64_t)o * n_he_words * T + i;
+                int64_t w = 0;
+                uint32_t word = 0;
+                int b = 0;
+                for (int64_t j = 0; j < sh; j++) {
+                    uint32_t bit = (t[hp[j] >> 3] >> (hp[j] & 7)) & 1u;
+                    if (ke) bit &= ke[j];
+                    word |= bit << b;
+                    if (++b == 32) {
+                        outh[w++ * T] = word;
+                        word = 0;
+                        b = 0;
+                    }
+                }
+                if (b) outh[w++ * T] = word;
+                for (; w < n_he_words; w++) outh[w * T] = 0;
+            }
+        }
+    };
+    int nt = (int)std::max((int64_t)1,
+                           std::min((int64_t)n_threads, T));
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -200,3 +200,46 @@ def test_tile_gather_equals_row_path(tmp_path, mirror):
         store, rows, pos_gap, n_gap, n_he, plan, mirror=mirror)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+@pytest.mark.parametrize("mirror", [True, False])
+@pytest.mark.parametrize("with_region", [True, False])
+def test_native_tile_pack_equals_numpy(tmp_path, monkeypatch, mirror,
+                                       with_region):
+    """The threaded native tile pack (cdm_shape_tile_from_store) must be
+    bit-identical to the numpy gather path it replaces, across
+    orientations, region gating, and a support size that is not a
+    multiple of 32 (exercises the tail-word packing)."""
+    from colormipsearch_tpu.io import native_decoder
+
+    if not native_decoder.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(13)
+    h, w = 37, 53
+    store = ShapePackStore(tmp_path / "s", h, w)
+    q_rgb = _mk_cdm(rng, h, w, 240)
+    region = None
+    if with_region:
+        region = np.zeros((h, w), bool)
+        region[: h // 3, : w // 4] = True
+    q_pack = shape_score.pack_query(q_rgb, excluded_region=region)
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=64)
+    n_he = shape_score.he_words(pos_he.size, minimum=4)
+    plan = shape_score.split_gather_plan(
+        pos_gap, pos_he, w, mirror=mirror, excluded=region)
+    rows = []
+    for i in range(5):
+        t_rgb = _mk_cdm(rng, h, w, 420)
+        grad = rng.integers(0, 300, (h, w)).astype(np.uint16)
+        zgap = dilate_rgb(mask_rgb(t_rgb, 20), 6)
+        rows.append(store.append(
+            f"k{i}", *build_row_fields(t_rgb, grad, zgap,
+                                       mask_threshold=20)))
+    native = shape_score.select_target_tile_from_store(
+        store, rows, pos_gap, n_gap, n_he, plan, mirror=mirror)
+    monkeypatch.setattr(native_decoder, "available", lambda: False)
+    ref = shape_score.select_target_tile_from_store(
+        store, rows, pos_gap, n_gap, n_he, plan, mirror=mirror)
+    np.testing.assert_array_equal(native[0], ref[0])
+    np.testing.assert_array_equal(native[1], ref[1])
