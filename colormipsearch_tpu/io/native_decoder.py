@@ -109,6 +109,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int)]
+        lib.cdm_build_shape_row.restype = None
+        lib.cdm_build_shape_row.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.cdm_shape_tile_from_store.restype = None
         lib.cdm_shape_tile_from_store.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -241,6 +246,35 @@ def decode_img_batch(blobs: list[bytes], *, width: int, height: int,
         width, height, channels, n_threads, results)
     ok = np.array([results[i] == 0 for i in range(n)], bool)
     return arena, ok
+
+
+def build_shape_row(t_rgb: np.ndarray, grad: np.ndarray,
+                    zgap_rgb: np.ndarray, slice_lut: np.ndarray, *,
+                    mask_threshold: int, gap_threshold: int):
+    """One-pass store-row fields (native twin of
+    io/shape_pack.build_row_fields): (zsl uint16 [n_px], grad_thr uint16
+    [n_px], tfg_bits uint8 [ceil(n_px/8)]).  Returns None when the
+    native library is unavailable.  Runs single-threaded and drops the
+    GIL — callers parallelize via their decode pool."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t_rgb = np.ascontiguousarray(t_rgb, np.uint8)
+    grad = np.ascontiguousarray(grad, np.uint16)
+    zgap_rgb = np.ascontiguousarray(zgap_rgb, np.uint8)
+    assert slice_lut.dtype == np.uint16 and slice_lut.flags.c_contiguous
+    n_px = grad.size
+    assert t_rgb.size == n_px * 3 and zgap_rgb.size == n_px * 3
+    zsl = np.empty(n_px, np.uint16)
+    grad_thr = np.empty(n_px, np.uint16)
+    tfg_bits = np.empty(-(-n_px // 8), np.uint8)
+    ptr = ctypes.c_void_p
+    lib.cdm_build_shape_row(
+        ptr(t_rgb.ctypes.data), ptr(grad.ctypes.data),
+        ptr(zgap_rgb.ctypes.data), n_px, ptr(slice_lut.ctypes.data),
+        int(mask_threshold), int(gap_threshold), ptr(zsl.ctypes.data),
+        ptr(grad_thr.ctypes.data), ptr(tfg_bits.ctypes.data))
+    return zsl, grad_thr, tfg_bits
 
 
 def shape_tile_from_store(zsl_mm: np.ndarray, grad_mm: np.ndarray,

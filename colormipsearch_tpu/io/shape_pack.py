@@ -197,9 +197,22 @@ class ShapePackStore:
 def build_row_fields(t_rgb: np.ndarray, grad: np.ndarray,
                      zgap_rgb: np.ndarray, *, mask_threshold: int):
     """Full-plane store fields from decoded images: the once-per-library
-    half of ops/shape_score.select_target_cols_split."""
+    half of ops/shape_score.select_target_cols_split.  Prefers the
+    one-pass native twin (io/native_decoder.build_shape_row, ~25 ms ->
+    ~2 ms per target; bit-identical, tests/test_shape_pack.py); the
+    numpy path below is the fallback and the test oracle."""
     from colormipsearch_tpu.ops.shape_score import GAP_THRESHOLD
-    from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
+    from colormipsearch_tpu.ops.slice_lut import (get_slice_lut,
+                                                  slice_numbers_lut)
+
+    from colormipsearch_tpu.io import native_decoder
+
+    if grad.dtype == np.uint16 and native_decoder.available():
+        native = native_decoder.build_shape_row(
+            t_rgb, grad, zgap_rgb, get_slice_lut(),
+            mask_threshold=mask_threshold, gap_threshold=GAP_THRESHOLD)
+        if native is not None:
+            return native
 
     zsl = slice_numbers_lut(zgap_rgb).astype(np.uint16).reshape(-1)
     grad_thr = np.where(grad > GAP_THRESHOLD, grad, 0) \

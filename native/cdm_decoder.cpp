@@ -643,6 +643,35 @@ void cdm_img_decode_batch(const uint8_t** bufs, const size_t* lens,
     for (auto& th : threads) th.join();
 }
 
+// Full-plane store-row fields in one pass (native twin of
+// io/shape_pack.build_row_fields, bit-identical): per pixel i
+//   zsl[i]      = slice_lut[(r<<16)|(g<<8)|b]          (zgap RGB)
+//   grad_thr[i] = grad[i] > gap_threshold ? grad[i] : 0
+//   tfg bit i   = any t_rgb channel > mask_threshold   (little order)
+// Single-threaded by design: the engine calls it from its decode pool
+// (ctypes drops the GIL), so parallelism comes from the pool.
+void cdm_build_shape_row(const uint8_t* t_rgb, const uint16_t* grad,
+                         const uint8_t* zgap_rgb, int64_t n_px,
+                         const uint16_t* slice_lut, int mask_threshold,
+                         int gap_threshold, uint16_t* zsl,
+                         uint16_t* grad_thr, uint8_t* tfg_bits) {
+    const int64_t n_bytes = (n_px + 7) >> 3;
+    for (int64_t i = 0; i < n_bytes; i++) tfg_bits[i] = 0;
+    // (a 16-ahead software prefetch of the LUT line was measured 1.7x
+    // SLOWER on uniform-random zgap input — the miss queue is already
+    // saturated; real zgap images have small palettes and mostly hit)
+    for (int64_t i = 0; i < n_px; i++) {
+        const uint8_t* z = zgap_rgb + i * 3;
+        zsl[i] = slice_lut[((uint32_t)z[0] << 16) |
+                           ((uint32_t)z[1] << 8) | z[2]];
+        grad_thr[i] = grad[i] > gap_threshold ? grad[i] : 0;
+        const uint8_t* t = t_rgb + i * 3;
+        if (t[0] > mask_threshold || t[1] > mask_threshold ||
+            t[2] > mask_threshold)
+            tfg_bits[i >> 3] |= (uint8_t)(1u << (i & 7));
+    }
+}
+
 // Shape-pass dispatch tile straight from the packed-variant store
 // (io/shape_pack.py mmaps): for T store rows, gather the mask-support
 // columns and assemble the final split planes

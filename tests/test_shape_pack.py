@@ -202,6 +202,33 @@ def test_tile_gather_equals_row_path(tmp_path, mirror):
     np.testing.assert_array_equal(got[1], want[1])
 
 
+def test_native_build_row_fields_equals_numpy(monkeypatch):
+    """build_row_fields' native one-pass twin must be bit-identical to
+    the numpy path across the full uint8 RGB range, threshold edges, and
+    a pixel count that is not a multiple of 8 (tail byte zero-padding
+    like np.packbits)."""
+    from colormipsearch_tpu.io import native_decoder
+
+    if not native_decoder.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    h, w = 33, 41  # 1353 px: not a multiple of 8
+    t_rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # force threshold-boundary values into the foreground test
+    t_rgb[0, :3] = (20, 20, 20)
+    t_rgb[0, 3:6] = (21, 20, 20)
+    grad = rng.integers(0, 1 << 16, (h, w), dtype=np.uint16)
+    from colormipsearch_tpu.ops.shape_score import GAP_THRESHOLD
+    grad[1, 0] = GAP_THRESHOLD
+    grad[1, 1] = GAP_THRESHOLD + 1
+    zgap = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    native = build_row_fields(t_rgb, grad, zgap, mask_threshold=20)
+    monkeypatch.setattr(native_decoder, "available", lambda: False)
+    ref = build_row_fields(t_rgb, grad, zgap, mask_threshold=20)
+    for a, b in zip(native, ref):
+        np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize("mirror", [True, False])
 @pytest.mark.parametrize("with_region", [True, False])
 def test_native_tile_pack_equals_numpy(tmp_path, monkeypatch, mirror,
