@@ -21,6 +21,13 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native",
     "cdm_decoder.cpp")
 
+# Bump whenever the C ABI gains/changes symbols.  The version is baked
+# into the cached .so filename so a prebuilt library from an older
+# source tree (the supported no-source install path) is never loaded
+# with missing symbols — it simply doesn't match the name and the
+# callers fall back to the numpy/PIL paths.
+_ABI_VERSION = 2
+
 _lock = threading.Lock()
 _lib = None
 _lib_failed = False
@@ -32,7 +39,7 @@ def _build_lib() -> str | None:
         os.path.join(os.path.expanduser("~"), ".cache",
                      "colormipsearch_tpu"))
     os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "libcdmdecoder.so")
+    so = os.path.join(cache, f"libcdmdecoder.v{_ABI_VERSION}.so")
     if not os.path.exists(_SRC):
         # installed without the native source: use a prebuilt cache .so
         # if present, else report unavailable
@@ -74,6 +81,20 @@ def get_lib():
             LOG.warning("cannot load native decoder: %s", e)
             _lib_failed = True
             return None
+        try:
+            _bind_symbols(lib)
+        except AttributeError as e:
+            # a stale prebuilt .so missing newer symbols: disable the
+            # native path entirely so callers hit their numpy fallbacks
+            LOG.warning("native decoder %s lacks expected symbols (%s); "
+                        "falling back to pure-python paths", so, e)
+            _lib_failed = True
+            return None
+        _lib = lib
+        return _lib
+
+
+def _bind_symbols(lib) -> None:
         lib.cdm_tiff_info.restype = ctypes.c_int
         lib.cdm_tiff_info.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t,
@@ -123,8 +144,6 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
-        _lib = lib
-        return _lib
 
 
 def available() -> bool:
@@ -298,6 +317,19 @@ def shape_tile_from_store(zsl_mm: np.ndarray, grad_mm: np.ndarray,
     pos_gap = np.ascontiguousarray(pos_gap, np.int32)
     g_pos = np.ascontiguousarray(g_pos, np.int32)
     h_pos = np.ascontiguousarray(h_pos, np.int32)
+    # Fail loudly instead of letting C++ read/write out of bounds: the
+    # numpy fallback raises on these violations, the native path would
+    # silently overflow the heap buffers / read past the mmaps.
+    n_he = h_pos.size // n_or
+    assert n_gap_pad >= pos_gap.size, \
+        f"n_gap_pad {n_gap_pad} < pos_gap.size {pos_gap.size}"
+    assert n_he_words >= -(-n_he // 32), \
+        f"n_he_words {n_he_words} < ceil({n_he}/32)"
+    if rows.size:
+        max_rows = min(zsl_mm.shape[0], grad_mm.shape[0], tfg_mm.shape[0])
+        assert int(rows.max()) < max_rows and int(rows.min()) >= 0, \
+            f"store rows [{rows.min()}, {rows.max()}] outside mapped " \
+            f"range [0, {max_rows}) — stale field mmaps?"
     keep = (np.ascontiguousarray(keep_he, np.uint8)
             if keep_he is not None else None)
     t = len(rows)

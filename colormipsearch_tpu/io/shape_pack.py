@@ -94,7 +94,11 @@ class ShapePackStore:
         self._index: dict[str, int] = {}
         self._n_rows = 0
         self._mmaps: dict[str, np.ndarray] = {}
-        self._mmap_rows = 0
+        # mapped row count PER FIELD: a single shared counter would stop
+        # remapping the later fields after the store grows (the first
+        # field's remap bumps the counter, leaving grad/tfg stale — and
+        # the native tile pack would then read past the mapped region)
+        self._mmap_rows: dict[str, int] = {}
         idx = self.root / "index.jsonl"
         if idx.exists():
             with idx.open() as f:
@@ -137,12 +141,12 @@ class ShapePackStore:
         size = path.stat().st_size if path.exists() else 0
         n = size // rb
         mm = self._mmaps.get(field)
-        if mm is None or self._mmap_rows < n:
+        if mm is None or self._mmap_rows.get(field, 0) < n:
             dtype = np.uint16 if field != "tfg" else np.uint8
             per_row = rb // dtype().itemsize
             self._mmaps[field] = np.memmap(
                 path, dtype=dtype, mode="r", shape=(n, per_row))
-            self._mmap_rows = n
+            self._mmap_rows[field] = n
         return self._mmaps[field]
 
     def row(self, i: int):
@@ -207,7 +211,11 @@ def build_row_fields(t_rgb: np.ndarray, grad: np.ndarray,
 
     from colormipsearch_tpu.io import native_decoder
 
-    if grad.dtype == np.uint16 and native_decoder.available():
+    # gate on ALL input dtypes the native path assumes: build_shape_row
+    # would silently wrap a non-uint8 image via ascontiguousarray while
+    # the numpy fallback compares in the original dtype (bit-exactness)
+    if grad.dtype == np.uint16 and t_rgb.dtype == np.uint8 \
+            and zgap_rgb.dtype == np.uint8 and native_decoder.available():
         native = native_decoder.build_shape_row(
             t_rgb, grad, zgap_rgb, get_slice_lut(),
             mask_threshold=mask_threshold, gap_threshold=GAP_THRESHOLD)

@@ -71,17 +71,36 @@ def test_packbits_reference_semantics():
 
 
 def test_batch_decode():
-    paths = [p for p in all_fixture_tiffs() if "compressed" not in p]
-    blobs, shapes = [], []
-    for p in paths:
+    """Threaded TIFF batch decode.  The shipped fixture set has no two
+    same-shape RGB TIFFs, so same-shape blobs are SYNTHESIZED by
+    re-encoding the first decodable RGB fixture plus random CDM-like
+    planes at its shape (uncompressed + PackBits) — the batch path must
+    never silently skip (ADVICE r3 weak #7)."""
+    blobs, shape = [], None
+    for p in all_fixture_tiffs():
         d = open(p, "rb").read()
         info = native_decoder.tiff_info(d)
         if info and info[2] == 3 and info[3] == 8:
             blobs.append(d)
-            shapes.append(info[:2])
-    if len(set(shapes)) != 1 or len(blobs) < 2:
-        pytest.skip("need >= 2 same-shape RGB fixtures")
-    w, h = shapes[0]
+            shape = info[:2]
+            break
+    if shape is None:
+        w, h = 160, 120
+    else:
+        w, h = shape
+    rng = np.random.default_rng(29)
+    for compression in (None, "packbits"):
+        arr = np.zeros((h, w, 3), np.uint8)
+        ys = rng.integers(0, h, 800)
+        xs = rng.integers(0, w, 800)
+        arr[ys, xs] = rng.integers(1, 256, (800, 3))
+        buf = io.BytesIO()
+        kw = {"compression": compression} if compression else {}
+        Image.fromarray(arr).save(buf, format="TIFF", **kw)
+        d = buf.getvalue()
+        if native_decoder.tiff_info(d) is not None:
+            blobs.append(d)
+    assert len(blobs) >= 2
     arena, ok = native_decoder.decode_tiff_batch(
         blobs, width=w, height=h, channels=3)
     assert ok.all()

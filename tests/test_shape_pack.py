@@ -202,6 +202,38 @@ def test_tile_gather_equals_row_path(tmp_path, mirror):
     np.testing.assert_array_equal(got[1], want[1])
 
 
+def test_field_maps_refresh_after_growth(tmp_path):
+    """Regression (ADVICE r3, high): after the store grows, EVERY field
+    mmap must be refreshed — a shared mapped-rows counter left grad/tfg
+    stale (shapes [6, 3, 3]) and the native tile pack then read past the
+    mapped region for rows appended after the first map."""
+    rng = np.random.default_rng(21)
+    h, w = 8, 8
+    store = ShapePackStore(tmp_path / "s", h, w)
+
+    def mk(i):
+        zsl = rng.integers(0, 257, h * w).astype(np.uint16)
+        grad = rng.integers(0, 400, h * w).astype(np.uint16)
+        tfg = rng.integers(0, 256, -(-h * w // 8)).astype(np.uint8)
+        return store.append(f"k{i}", zsl, grad, tfg), (zsl, grad, tfg)
+
+    kept = {}
+    for i in range(3):
+        row, fields = mk(i)
+        kept[row] = fields
+    maps = store.field_maps()
+    assert [m.shape[0] for m in maps] == [3, 3, 3]
+    for i in range(3, 6):
+        row, fields = mk(i)
+        kept[row] = fields
+    maps = store.field_maps()
+    assert [m.shape[0] for m in maps] == [6, 6, 6]
+    for row, (zsl, grad, tfg) in kept.items():
+        np.testing.assert_array_equal(maps[0][row], zsl)
+        np.testing.assert_array_equal(maps[1][row], grad)
+        np.testing.assert_array_equal(maps[2][row], tfg)
+
+
 def test_native_build_row_fields_equals_numpy(monkeypatch):
     """build_row_fields' native one-pass twin must be bit-identical to
     the numpy path across the full uint8 RGB range, threshold edges, and
