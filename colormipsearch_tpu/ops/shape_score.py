@@ -170,33 +170,87 @@ def pack_targets(t_rgb: np.ndarray, grad: np.ndarray,
     return flat, flat_m
 
 
+def high_expression_ring(q: np.ndarray, *, fg: np.ndarray | None = None,
+                         fg_sums: np.ndarray | None = None) -> np.ndarray:
+    """Exact high-expression ring mask [H, W] bool — bit-identical to
+    the reference's rgb_signal(combine2(maxFilter60(q), maxFilter20(q),
+    drop-where-20-present), 0) but ~12x cheaper (the former per-mask
+    query-pack hot spot, ColorDepthSearchAlgorithmProviderFactory
+    .java:113-131).
+
+    Derivation: signal-0 of a pixel of the r=60 per-channel-max dilation
+    is 1 iff the sum of its per-channel maxes s' satisfies
+    (2*((2s'+3)//6)+3)//6 > 0  <=>  s' >= 5; the r=20 drop term only
+    tests any-foreground.  Both reduce to disk reachability because the
+    ImageJ footprint is exactly the integer disk dy^2+dx^2 <= int(r^2)+1
+    (oracle.shape.binary_dilate_disk): one Euclidean distance transform
+    answers "foreground within r" for every radius at once.  A BRIGHT
+    pixel (channel sum >= 5) in the 60-disk guarantees s' >= 5 since
+    sum_c max_p >= max_p sum_c; only DIM foreground pixels (sum 1..4 —
+    absent from real CDMs, where content is either black or saturated)
+    need the true per-channel max, computed on the dim pixels alone.
+    """
+    if fg is None:
+        fg = q.any(axis=-1)
+    if not fg.any():
+        return np.zeros(q.shape[:2], bool)
+    if fg_sums is None:
+        fg_sums = q.reshape(-1, 3)[fg.reshape(-1)].astype(np.int32) \
+            .sum(axis=1)
+    d = shape_oracle.ndimage.distance_transform_edt(~fg)
+    # d is sqrt of an exact integer squared distance: comparing d to
+    # sqrt(r2 + 0.5) is exactly d^2 <= r2 (gap between adjacent sqrt-of-
+    # integer values >> f64 rounding), saving two full-plane float passes
+    not20 = d > 20.0374  # sqrt(401.5), r2 = int(20^2)+1
+    if not (fg_sums < 5).any():
+        return (d <= 60.0125) & not20  # sqrt(3601.5), r2 = int(60^2)+1
+    s = q.astype(np.int32).sum(axis=-1)
+    bright60 = shape_oracle.binary_dilate_disk(s >= 5, 60)
+    dim = fg & (s < 5)
+    dim_img = np.where(dim[..., None], q, 0).astype(np.uint8)
+    s60dim = shape_oracle.dilate_rgb(dim_img, 60).astype(np.int32) \
+        .sum(axis=-1)
+    return (bright60 | (s60dim >= 5)) & not20
+
+
 def pack_query(q_rgb: np.ndarray, *, excluded_region=None,
                roi_keep=None) -> np.ndarray:
     """Query-side int32 [P] plane (host precompute, once per mask).
 
-    Uses the oracle's exact integer signal formulas and scipy dilation for
-    the high-expression ring (r=60/r=20 — factory :113-131); this runs
-    once per mask, outside the pairwise hot path.
+    Uses the oracle's exact integer signal formulas; the high-expression
+    ring (r=60/r=20 — factory :113-131) runs through the exact EDT fast
+    path, and the per-pixel fields are computed only at the sparse
+    foreground (CDMs are ~98% black), so the whole pack is ~10x cheaper
+    than the former full-plane max-filter construction.
     """
     from colormipsearch_tpu.ops.slice_lut import slice_numbers_lut
 
     q = shape_oracle.clear_region(q_rgb, excluded_region)
-    sl = slice_numbers_lut(q).astype(np.int32)
-    nz = (q.astype(np.int32).sum(axis=-1) > 0)
-    sig = shape_oracle.rgb_signal(q, 2).astype(bool)
-    d60 = shape_oracle.dilate_rgb(q, 60)
-    d20 = shape_oracle.dilate_rgb(q, 20)
-    ring = np.where((d20.astype(np.int32).sum(axis=-1) > 0)[..., None],
-                    0, d60).astype(np.uint8)
-    he = shape_oracle.rgb_signal(ring, 0).astype(bool)
+    h, w = q.shape[:2]
+    flat_rgb = q.reshape(-1, 3)
+    fg = q.any(axis=-1)
+    fg_flat = fg.reshape(-1)
+    idx = np.flatnonzero(fg_flat)
+    vals = flat_rgb[idx].astype(np.int32)
+    sums = vals.sum(axis=1)
+    # sl/nz/sig are zero off-foreground (slice 0 for black; nz = fg;
+    # sig requires gray16 signal > 2): gather/compute at support only
+    sl_vals = slice_numbers_lut(flat_rgb[idx]).astype(np.int32)
+    v16 = (2 * sums + 3) // 6
+    sig_vals = ((2 * v16 + 3) // 6 > 2)
+    he = high_expression_ring(q, fg=fg, fg_sums=sums)
+    word = np.zeros(h * w, np.int32)
+    word[idx] = (sl_vals | (1 << _Q_NZ_SHIFT)
+                 | (sig_vals.astype(np.int32) << _Q_SIG_SHIFT))
     if roi_keep is not None:
-        nz &= roi_keep
-        sig &= roi_keep
+        # nz/sig bits are gated by the ROI; the slice field is not (it
+        # only ever multiplies against those bits in the kernel)
+        word[idx] &= np.where(
+            roi_keep.reshape(-1)[idx], -1,
+            ~((1 << _Q_NZ_SHIFT) | (1 << _Q_SIG_SHIFT))).astype(np.int32)
         he &= roi_keep
-    word = (sl | (nz.astype(np.int32) << _Q_NZ_SHIFT)
-            | (sig.astype(np.int32) << _Q_SIG_SHIFT)
-            | (he.astype(np.int32) << _Q_HE_SHIFT))
-    return word.reshape(-1).astype(np.int32)
+    word |= he.reshape(-1).astype(np.int32) << _Q_HE_SHIFT
+    return word
 
 
 # -------------------------------------------------------------------------

@@ -57,10 +57,7 @@ def circular_footprint(radius: float) -> np.ndarray:
     Mirrors the radius quantization and per-row extents of the reference's
     makeLineRadii (imageprocessing/ImageTransformation.java:549-572).
     """
-    if 1.5 <= radius < 1.75:
-        radius = 1.75
-    elif 2.5 <= radius < 2.85:
-        radius = 2.85
+    radius = _quantize_radius(radius)
     r2 = int(radius * radius) + 1
     k_radius = int(np.sqrt(r2 + 1e-10))
     size = 2 * k_radius + 1
@@ -112,6 +109,43 @@ def dilate_rgb(rgb: np.ndarray, radius: float) -> np.ndarray:
         else:
             out = np.maximum(out, row_max)
     return out
+
+
+def binary_dilate_disk(fg: np.ndarray, radius: float) -> np.ndarray:
+    """Binary dilation of ``fg`` [H, W] by the ImageJ circular footprint,
+    via ONE exact Euclidean distance transform instead of per-row max
+    filters.
+
+    Exactness: the quantized footprint of ``circular_footprint`` is
+    precisely the integer disk {(dy, dx): dy^2 + dx^2 <= int(r^2) + 1}
+    (makeLineRadii's dx = floor(sqrt(r2 - dy^2)), so |dx| <= dx_max iff
+    dx^2 + dy^2 <= r2 — proven for all radii in
+    tests/test_oracle_shape.py).  Binary dilation by a disk is then
+    exactly (squared distance to nearest foreground pixel) <= r2.  The
+    float64 sqrt round-trip is exact after rint: the squared distances
+    are integers < 2^21, far above the ~1e-9 rounding error.
+
+    This is the hot half of the per-mask query pack (the r=60/r=20
+    high-expression ring, ColorDepthSearchAlgorithmProviderFactory
+    .java:113-131): one EDT serves every radius, ~12x cheaper than the
+    row-extent max-filter decomposition on production-size planes.
+    """
+    if not fg.any():
+        return np.zeros_like(fg, dtype=bool)
+    radius = _quantize_radius(radius)
+    r2 = int(radius * radius) + 1
+    d = ndimage.distance_transform_edt(~fg)
+    return np.rint(d * d) <= r2
+
+
+def _quantize_radius(radius: float) -> float:
+    """ImageJ RankFilters radius quantization (makeLineRadii
+    ImageTransformation.java:552-556)."""
+    if 1.5 <= radius < 1.75:
+        return 1.75
+    if 2.5 <= radius < 2.85:
+        return 2.85
+    return radius
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,73 @@ def test_slice_numbers_device_agrees_except_exact_ties():
     assert bad.mean() < 0.005
 
 
+def _he_ring_reference(q):
+    """The original max-filter construction of the high-expression ring
+    (the provider factory's combine2 of maxFilter60/maxFilter20 —
+    ColorDepthSearchAlgorithmProviderFactory.java:113-121)."""
+    from colormipsearch_tpu.oracle.shape import rgb_signal
+
+    d60 = dilate_rgb(q, 60)
+    d20 = dilate_rgb(q, 20)
+    ring = np.where((d20.astype(np.int32).sum(axis=-1) > 0)[..., None],
+                    0, d60).astype(np.uint8)
+    return rgb_signal(ring, 0).astype(bool)
+
+
+def test_high_expression_ring_equals_maxfilter_construction():
+    """The EDT fast path must be bit-identical to the dilate-then-signal
+    reference, including the DIM-pixel cases (channel sum 1..4) where
+    pure binary reachability is NOT sufficient."""
+    rng = np.random.default_rng(7)
+    h, w = 90, 130
+    cases = []
+    # (a) ordinary sparse CDM content
+    cases.append(_mk_cdm(rng, h, w, 300))
+    # (b) dim pixels only: sums 1..4 — he depends on per-channel maxes
+    dim = np.zeros((h, w, 3), np.uint8)
+    for _ in range(40):
+        y, x = rng.integers(0, h), rng.integers(0, w)
+        v = rng.integers(0, 5, 3)
+        dim[y, x] = v
+    cases.append(dim)
+    # (c) mixed: isolated dim clusters far from bright content, incl. a
+    # trio (4,0,0)/(0,4,0)/(0,0,4) whose per-channel maxes sum to 12
+    mixed = _mk_cdm(rng, h, w, 60)
+    mixed[5, 5] = (4, 0, 0)
+    mixed[5, 7] = (0, 4, 0)
+    mixed[7, 6] = (0, 0, 4)
+    mixed[80, 120] = (1, 1, 1)  # lone sum-3 pixel: never he
+    cases.append(mixed)
+    # (d) empty and (e) single bright pixel
+    cases.append(np.zeros((h, w, 3), np.uint8))
+    single = np.zeros((h, w, 3), np.uint8)
+    single[h // 2, w // 2] = (0, 200, 30)
+    cases.append(single)
+    for i, q in enumerate(cases):
+        got = shape_score.high_expression_ring(q)
+        want = _he_ring_reference(q)
+        np.testing.assert_array_equal(got, want, err_msg=f"case {i}")
+
+
+def test_binary_dilate_disk_equals_footprint_dilation():
+    """EDT binary dilation == scipy binary_dilation with the ImageJ
+    footprint, across quantized and plain radii."""
+    from scipy import ndimage
+
+    from colormipsearch_tpu.oracle.shape import (
+        binary_dilate_disk,
+        circular_footprint,
+    )
+
+    rng = np.random.default_rng(11)
+    fg = rng.random((64, 80)) < 0.01
+    for r in (1.5, 2, 2.5, 3, 7.5, 20, 60):
+        want = ndimage.binary_dilation(fg, circular_footprint(r))
+        got = binary_dilate_disk(fg, r)
+        np.testing.assert_array_equal(got, want, err_msg=f"r={r}")
+    assert not binary_dilate_disk(np.zeros((4, 5), bool), 20).any()
+
+
 @pytest.mark.parametrize("mirror", [False, True])
 def test_shape_score_pairs_match_oracle(mirror):
     rng = np.random.default_rng(11)
