@@ -596,6 +596,105 @@ def bench_e2e_shape(mask_rgb, target_rgb):
 
 
 # ---------------------------------------------------------------------------
+# production dress rehearsal: the REAL colorDepthSearch CLI at amortized
+# shape — T on-disk targets decoded + uploaded ONCE (sparse COO), reused
+# across M on-disk masks (the production access pattern; cdsparams.sh
+# runs 44,593 x 7,391).  Reports e2e pairs/s plus the in-run stage split
+# (engine stage timers) and a projection to the full production run.
+# ---------------------------------------------------------------------------
+
+DRESS_MASKS = int(_os.environ.get("CDS_BENCH_DRESS_MASKS", 8192))
+DRESS_TARGETS = int(_os.environ.get("CDS_BENCH_DRESS_TARGETS", 4096))
+
+
+def _synth_cdm_library_mt(out_dir, src_rgb, n, *, seed, n_threads=4):
+    """Threaded variant of _synth_cdm_library for dress-scale counts."""
+    import concurrent.futures
+
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    h, w = src_rgb.shape[:2]
+    rolls = [(0, 0)] + [(int(rng.integers(0, h)), int(rng.integers(0, w)))
+                        for _ in range(n - 1)]
+
+    def write(i):
+        t = src_rgb if i == 0 else np.roll(src_rgb, rolls[i], axis=(0, 1))
+        if i % 2:
+            t = t[:, ::-1]
+        p = _os.path.join(out_dir, f"s{i:05d}_CDM.tif")
+        Image.fromarray(t).save(p, compression="packbits")
+        return p
+
+    with concurrent.futures.ThreadPoolExecutor(n_threads) as pool:
+        return list(pool.map(write, range(n)))
+
+
+def bench_dress_rehearsal(mask_rgb, target_rgb):
+    """(pairs_per_s, split dict) of the production-shaped CLI run."""
+    import tempfile
+
+    from colormipsearch_tpu.utils.metrics import GLOBAL
+
+    m, t = DRESS_MASKS, DRESS_TARGETS
+    with tempfile.TemporaryDirectory() as tmp:
+        masks_dir = _os.path.join(tmp, "masks")
+        targets_dir = _os.path.join(tmp, "targets")
+        _os.makedirs(masks_dir)
+        _os.makedirs(targets_dir)
+        t0 = time.perf_counter()
+        _synth_cdm_library_mt(masks_dir, mask_rgb, m, seed=11)
+        _synth_cdm_library_mt(targets_dir, target_rgb, t, seed=12)
+        synth_s = time.perf_counter() - t0
+        for d, name in ((masks_dir, "m"), (targets_dir, "t")):
+            _run_cli(["createColorDepthSearchDataInput", "-i", d,
+                      "-l", f"dress-{name}", "-od", tmp,
+                      "--output-filename", f"{name}.json"])
+        out = _os.path.join(tmp, "results")
+        stages = ("cds.prepMasks.seconds", "cds.decodeTargets.seconds",
+                  "cds.packUpload.seconds", "cds.scoreAllPairs.seconds")
+        before = {s: GLOBAL.get(s) for s in stages}
+        t0 = time.perf_counter()
+        _run_cli(["colorDepthSearch",
+                  "-m", _os.path.join(tmp, "m.json"),
+                  "-i", _os.path.join(tmp, "t.json"),
+                  "--maskThreshold", 20, "--dataThreshold", 20,
+                  "--pixColorFluctuation", 1.0, "--xyShift", 2,
+                  "--mirrorMask", "--pctPositivePixels", 1.0,
+                  "-od", out, "--perMaskSubdir", "pm"])
+        wall = time.perf_counter() - t0
+        st = {s.split(".")[1]: round(GLOBAL.get(s) - before[s], 2)
+              for s in stages}
+        import glob as _glob
+        assert _glob.glob(_os.path.join(out, "pm", "*.json")), \
+            "no result files written (golden pair missing?)"
+        pairs = m * t
+        decode_upload = st["decodeTargets"] + st["packUpload"]
+        # projection to the production 44,593 x 7,391 run on THIS rig:
+        # per-mask prep and per-target decode/upload scale linearly;
+        # scoring scales by pairs at the in-run device rate
+        score_s = max(st["scoreAllPairs"] - st["decodeTargets"]
+                      - st["packUpload"], 1e-9)
+        device_rate = pairs / score_s
+        pm, pt = 44593, 7391
+        proj = (st["prepMasks"] * pm / m
+                + decode_upload * pt / t
+                + pm * pt / device_rate)
+        split = {
+            "masks": m, "targets": t, "wall_s": round(wall, 1),
+            **{k: v for k, v in st.items()},
+            "decode_upload_share": round(decode_upload / wall, 3),
+            "device_score_pairs_per_s": round(device_rate, 1),
+            "synth_s": round(synth_s, 1),
+            "production_44593x7391_projection_s": round(proj, 1),
+            "note": "prepMasks overlaps nothing (runs first); "
+                    "decode/packUpload of shard i+1 overlap scoring "
+                    "of shard i, so stage seconds can overlap wall",
+        }
+        return pairs / wall, split
+
+
+# ---------------------------------------------------------------------------
 # mesh scaling sweep: pairs/s at 1..N devices with an efficiency column.
 # Runs on the virtual CPU mesh here (each size needs its own process —
 # XLA fixes the device count at backend init) and as-is on a pod slice
@@ -743,6 +842,18 @@ def main() -> int:
         e2e_cds_rate, e2e_cds_split = bench_e2e_cds(mask_rgb, target_rgb)
         e2e_shape_hit, e2e_shape_build, e2e_shape_split = \
             bench_e2e_shape(mask_rgb, target_rgb)
+    if _os.environ.get("CDS_BENCH_DRESS", "1") != "0":
+        dress_rate, dress_split = bench_dress_rehearsal(
+            mask_rgb, target_rgb)
+        e2e |= {
+            "e2e_dress_pairs_per_s": round(dress_rate, 1),
+            "e2e_dress_unit": "production-shaped colorDepthSearch CLI "
+                              f"({DRESS_MASKS} on-disk masks x "
+                              f"{DRESS_TARGETS} on-disk targets, "
+                              "decode+upload amortized)",
+            "e2e_dress_split": dress_split,
+        }
+    if _os.environ.get("CDS_BENCH_E2E", "1") != "0":
         e2e |= {
             "e2e_cds_pairs_per_s": round(e2e_cds_rate, 1),
             "e2e_cds_unit": "decode-inclusive colorDepthSearch CLI run "
@@ -810,7 +921,8 @@ def main() -> int:
         "vs_baseline": full["vs_baseline"],
         "extra": {k: full["extra"][k] for k in (
             "shape_pairs_per_s", "e2e_cds_pairs_per_s",
-            "e2e_shape_targets_per_s") if k in full["extra"]},
+            "e2e_shape_targets_per_s", "e2e_dress_pairs_per_s")
+            if k in full["extra"]},
         "full_result": full_path,
     }
     print(json.dumps(compact), flush=True)

@@ -188,6 +188,8 @@ def load_target_shards(targets: Sequence[Neuron], *,
     Same-shape RGB TIFF/PNG batches go through the native multithreaded
     decoder (io/native_decoder.py); everything else decodes via PIL.
     """
+    from colormipsearch_tpu.utils.metrics import GLOBAL
+
     try:
         from colormipsearch_tpu.io import native_decoder
         native_ok = native_decoder.available()
@@ -197,6 +199,7 @@ def load_target_shards(targets: Sequence[Neuron], *,
     by_shape: dict[tuple[int, int], tuple[list[Neuron], list]] = {}
     pending: dict[tuple[int, int], tuple[list[Neuron], list[bytes]]] = {}
     skipped = 0
+    t_decode0 = time.time()
     for n in targets:
         fd = n.compute_file(file_type)
         if fd is None:
@@ -255,30 +258,49 @@ def load_target_shards(targets: Sequence[Neuron], *,
             dst[1].append(arena[i])
     if skipped:
         LOG.warning("skipped %d targets with missing/corrupt images", skipped)
+    GLOBAL.add("cds.decodeTargets.seconds", time.time() - t_decode0)
 
     shards = []
     for shape, (neurons, rgbs) in by_shape.items():
         for i in range(0, len(neurons), tile_size):
+            t_pack0 = time.time()
             stack = np.stack(rgbs[i:i + tile_size])
+            t = stack.shape[0]
+            t_pad = _target_bucket(t)
             if plane_kind == "keys":
                 # rank-key planes packed directly (never materializing
                 # the u32 summary planes alongside — the two together
                 # would not fit HBM at production shard widths)
                 assert pack_threshold is not None, \
                     "key planes require a folded data threshold"
-                planes = common.pack_target_planes_keys(
-                    jnp.asarray(stack), pack_threshold,
-                    common.rank_lut_device())
+                if os.environ.get("CDS_DENSE_UPLOAD", "0") == "1":
+                    # dense A/B path: upload the full uint8 stack and
+                    # pack on device
+                    planes = common.pack_target_planes_keys(
+                        jnp.asarray(stack), pack_threshold,
+                        common.rank_lut_device())
+                    if t_pad != t:
+                        planes = jnp.pad(planes,
+                                         ((0, 0), (0, t_pad - t)))
+                else:
+                    # default: sparse COO upload of the ~2% foreground
+                    # (bit-identical planes, ~25x less tunnel traffic)
+                    planes = common.pack_target_planes_keys_sparse(
+                        stack, pack_threshold, common.rank_lut_device(),
+                        t_pad)
             else:
                 planes = common.pack_target_planes(
                     jnp.asarray(stack), data_threshold=pack_threshold)
-            # pad the target axis to power-of-two buckets so kernel
-            # shapes (and their compilations) are reused across shards;
-            # zero columns can never score (zero word / zero key)
-            t = stack.shape[0]
-            t_pad = _target_bucket(t)
-            if t_pad != t:
-                planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
+                # pad the target axis to power-of-two buckets so kernel
+                # shapes (and their compilations) are reused across
+                # shards; zero columns can never score (zero word/key)
+                if t_pad != t:
+                    planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
+            # force the pack/upload to complete so the stage split is
+            # honest (block_until_ready can be a no-op on the tunneled
+            # backend; a 1-element materialization is not)
+            np.asarray(planes[-1, :1])
+            GLOBAL.add("cds.packUpload.seconds", time.time() - t_pack0)
             shards.append(TargetShard(neurons[i:i + tile_size], shape,
                                       planes, kind=plane_kind,
                                       file_type=file_type,
@@ -552,7 +574,10 @@ class CDSearchEngine:
                 top_k=top_k)
         return self._sharded_steps[key]
 
-    MASK_BATCH = 8  # query plans scored per device dispatch
+    # query plans scored per device dispatch; wider batches amortize
+    # per-dispatch host<->device round trips (decisive when thousands
+    # of masks stream against a resident shard over a high-latency link)
+    MASK_BATCH = int(os.environ.get("CDS_MASK_BATCH", "8"))
 
     def find_all_matches(self, masks: Sequence[Neuron],
                          targets: Sequence[Neuron], *,
@@ -625,8 +650,9 @@ class CDSearchEngine:
             return (mask, mask_rgb, region, plan, neg_plan)
 
         groups: dict[tuple, list] = {}
-        with concurrent.futures.ThreadPoolExecutor(
-                max_workers=self.decode_concurrency) as pool:
+        with stage_timer("cds.prepMasks"), \
+                concurrent.futures.ThreadPoolExecutor(
+                    max_workers=self.decode_concurrency) as pool:
             prepped = list(pool.map(prep_mask, masks))
         for entry in prepped:
             if entry is None:

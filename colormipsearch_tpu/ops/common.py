@@ -201,6 +201,77 @@ def pack_target_planes_keys(rgb_stack: jax.Array, data_threshold: int,
     return jnp.pad(planes, ((0, 1), (0, 0)))
 
 
+@functools.partial(jax.jit, static_argnames=("t_pad", "n_px"))
+def _scatter_key_planes(pos: jax.Array, tidx: jax.Array, rgb: jax.Array,
+                        rank_lut: jax.Array, *, t_pad: int,
+                        n_px: int) -> jax.Array:
+    """Sparse foreground pixels -> int32 [P+1, T] rank-key planes.
+
+    Classify + rank ONLY the uploaded foreground pixels, then scatter
+    their keys into zero-initialized planes.  Pad elements carry
+    pos = n_px (the sentinel row), tidx = 0, rgb = 0 -> key 0, so the
+    sentinel row stays all-zero.
+    """
+    cls, s, p, _ = classify(rgb)
+    rank = jnp.take(rank_lut, (s << 8) | p)
+    key = jnp.where(cls > 0, (cls << KEY_RANK_BITS) | rank, 0) \
+        .astype(jnp.int32)
+    planes = jnp.zeros((n_px + 1, t_pad), jnp.int32)
+    return planes.at[pos, tidx].set(key, mode="drop",
+                                    unique_indices=False)
+
+
+def _sparse_bucket(n: int, minimum: int = 1 << 16) -> int:
+    """Pad sparse element counts to the {1, 1.25, 1.5, 1.75} x 2^k
+    ladder so scatter-kernel shapes are reused across shards."""
+    b = minimum
+    while b < n:
+        b *= 2
+    for frac in (5, 6, 7):
+        cand = b // 8 * frac
+        if cand >= n:
+            return cand
+    return b
+
+
+def pack_target_planes_keys_sparse(stack: "object", data_threshold: int,
+                                   rank_lut: jax.Array,
+                                   t_pad: int) -> jax.Array:
+    """Host uint8 [T, H, W, 3] -> device int32 [P+1, t_pad] key planes
+    via a sparse COO upload.
+
+    CDMs are ~98% black and the data threshold is folded into the pack,
+    so only foreground pixels (any channel > threshold) influence the
+    planes.  Uploading (position, target, rgb) triplets for those
+    pixels moves ~25x fewer bytes than the dense uint8 stack — decisive
+    when host->device bandwidth is the wall (the axon tunnel moves
+    10-60 MB/s; a production 4096-target shard is 8.4 GB dense vs
+    ~350 MB sparse).  Bit-identical to pack_target_planes_keys: the
+    same classify/rank runs on device, just only at foreground pixels
+    (key 0 everywhere else in BOTH paths — proven in
+    tests/test_ops_pixel_keys.py).
+    """
+    import numpy as np
+
+    t, h, w, _ = stack.shape
+    n_px = h * w
+    flat = stack.reshape(t, n_px, 3)
+    live = flat.max(axis=2) > data_threshold
+    tidx, pos = np.nonzero(live)
+    vals = flat[tidx, pos]
+    n = pos.size
+    n_pad = _sparse_bucket(n)
+    pos_p = np.full(n_pad, n_px, np.int32)
+    pos_p[:n] = pos
+    tidx_p = np.zeros(n_pad, np.int32)
+    tidx_p[:n] = tidx
+    vals_p = np.zeros((n_pad, 3), np.uint8)
+    vals_p[:n] = vals
+    return _scatter_key_planes(
+        jnp.asarray(pos_p), jnp.asarray(tidx_p), jnp.asarray(vals_p),
+        rank_lut, t_pad=t_pad, n_px=n_px)
+
+
 @jax.jit
 def key_planes_from_packed(planes: jax.Array,
                            rank_lut: jax.Array) -> jax.Array:

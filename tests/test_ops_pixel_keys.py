@@ -201,6 +201,68 @@ def test_key_planes_from_packed_equals_direct_pack():
     assert (direct[-1] == 0).all()  # sentinel row
 
 
+def test_sparse_key_planes_equal_dense():
+    """The sparse COO upload path must produce BIT-IDENTICAL key planes
+    to the dense device pack — including t_pad padding columns, the
+    sentinel row, threshold-boundary pixels, and tie pixels (cls 0)
+    that sit above the threshold."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    stack = np.stack([_mk(rng, 24, 37, 200) for _ in range(5)])
+    # threshold-edge and tie pixels: maxch == 20 (dead), 21 (live),
+    # and a live-but-tied pixel (class 0 -> key 0 in both paths)
+    stack[0, 0, 0] = (20, 20, 20)
+    stack[0, 0, 1] = (21, 0, 0)
+    stack[0, 0, 2] = (200, 200, 200)
+    lut = common.rank_lut_device()
+    t_pad = 8
+    dense = np.asarray(common.pack_target_planes_keys(
+        jnp.asarray(stack), 20, lut))
+    dense = np.pad(dense, ((0, 0), (0, t_pad - stack.shape[0])))
+    sparse = np.asarray(common.pack_target_planes_keys_sparse(
+        stack, 20, lut, t_pad))
+    np.testing.assert_array_equal(sparse, dense)
+    assert (sparse[-1] == 0).all()  # sentinel row
+
+    # empty stack (all black) still produces valid all-zero planes
+    black = np.zeros((3, 24, 37, 3), np.uint8)
+    sp = np.asarray(common.pack_target_planes_keys_sparse(
+        black, 20, lut, 4))
+    assert sp.shape == (24 * 37 + 1, 4) and (sp == 0).all()
+
+
+def test_engine_sparse_upload_end_to_end(tmp_path, monkeypatch):
+    """load_target_shards' default sparse path must give the same
+    scores as the dense A/B path through the real engine."""
+    import os
+
+    from PIL import Image
+
+    from colormipsearch_tpu.engine import cds as cds_engine
+    from colormipsearch_tpu.model import ComputeFileType
+    from colormipsearch_tpu.model.entities import Neuron
+
+    rng = np.random.default_rng(11)
+    neurons = []
+    for i in range(5):
+        img = _mk(rng, 40, 60, 400)
+        p = tmp_path / f"t{i}.png"
+        Image.fromarray(img).save(p)
+        n = Neuron(mip_id=f"t-{i}")
+        n.set_compute_file(ComputeFileType.InputColorDepthImage, str(p))
+        neurons.append(n)
+
+    shards_sparse = cds_engine.load_target_shards(
+        neurons, pack_threshold=20, plane_kind="keys")
+    monkeypatch.setenv("CDS_DENSE_UPLOAD", "1")
+    shards_dense = cds_engine.load_target_shards(
+        neurons, pack_threshold=20, plane_kind="keys")
+    assert len(shards_sparse) == len(shards_dense) == 1
+    np.testing.assert_array_equal(np.asarray(shards_sparse[0].planes),
+                                  np.asarray(shards_dense[0].planes))
+
+
 def test_union_key_plan_grid_detection():
     rng = np.random.default_rng(7)
     img = _mk(rng, 20, 30, 100)
