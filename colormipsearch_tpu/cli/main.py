@@ -15,6 +15,7 @@ from colormipsearch_tpu.cli import (
     commands,
     commands_admin,
     commands_export,
+    commands_upload,
     commands_v2,
     common,
 )
@@ -81,6 +82,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("copyToMipsStore", commands_admin.cmd_copy_to_store,
         commands_admin.configure_copy_to_store,
         help="copy MIP variants into a file-store layout")
+    add("uploadData", commands_upload.cmd_upload_data,
+        commands_upload.configure_upload_data,
+        help="publish the exported data tree to the NeuronBridge S3 "
+             "buckets (upload-data.sh equivalent; dry-run by default)")
 
     # ---- v2 commands (cmd_v2/Main.java:26-52) ----
     add("searchFromJSON", commands.cmd_search_from_json,
