@@ -76,12 +76,14 @@ def test_two_process_distributed_scoring(tmp_path):
     assert any(s > 0 for row in docs[0]["scores"] for s in row)
 
 
-def test_two_process_cli_colordepthsearch(tmp_path):
-    """The ACTUAL colorDepthSearch CLI under jax.distributed: 2
+@pytest.mark.parametrize("n_procs", [2, 4])
+def test_multi_process_cli_colordepthsearch(tmp_path, n_procs):
+    """The ACTUAL colorDepthSearch CLI under jax.distributed: N
     processes (2 virtual CPU devices each), per-process -od dirs, then
     the merged per-mask grouped JSON must equal a single-process run —
     the driver/executor analogue the kernel selftest doesn't cover
-    (VERDICT r2 #5; ref SparkColorMIPSearchProcessor.java:43-81)."""
+    (VERDICT r2 #5, widened to 4x2 per VERDICT r3 #5; ref
+    SparkColorMIPSearchProcessor.java:43-81)."""
     import numpy as np
     from PIL import Image
 
@@ -89,10 +91,11 @@ def test_two_process_cli_colordepthsearch(tmp_path):
     h, w = 40, 64
     lib = tmp_path / "lib"
     lib.mkdir()
-    # 3 masks + 40 targets: t_pad buckets to 64, so the second
-    # process's device block (columns 32..63) holds real targets and
-    # the per-process write split is observable
-    for i in range(43):
+    # 3 masks + 60 targets: t_pad buckets to 64, so EVERY process's
+    # device block holds real targets at both n_procs=2 (cols 32..63)
+    # and n_procs=4 (cols 48..63) and the per-process write split is
+    # observable
+    for i in range(60):
         img = np.zeros((h, w, 3), np.uint8)
         n = 400
         img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
@@ -132,14 +135,14 @@ def test_two_process_cli_colordepthsearch(tmp_path):
     cli_single(*search_args, "-od", tmp_path / "ref",
                "--perMaskSubdir", "pm")
 
-    # 2-process distributed run, per-process output dirs
+    # N-process distributed run, per-process output dirs
     port = _free_port()
     procs = []
-    for pid in range(2):
+    for pid in range(n_procs):
         procs.append(subprocess.Popen(
             [sys.executable, str(REPO / "scripts" / "run_multihost.py"),
              "--coordinator", f"127.0.0.1:{port}",
-             "--num-processes", "2", "--process-id", str(pid),
+             "--num-processes", str(n_procs), "--process-id", str(pid),
              "--platform", "cpu", "--",
              *[str(a) for a in search_args],
              "-od", str(tmp_path / f"proc{pid}"),
@@ -165,7 +168,7 @@ def test_two_process_cli_colordepthsearch(tmp_path):
 
     merged: dict[str, set] = {}
     per_proc_counts = []
-    for pid in range(2):
+    for pid in range(n_procs):
         pdir = tmp_path / f"proc{pid}" / "pm"
         n = 0
         for f in pdir.glob("*.json"):
