@@ -249,8 +249,10 @@ def bench_tpu_keys(target_rgb, plan, packed_max: int,
     f_span = jax.device_put(np.stack([fplan.lane_span] * MASK_BATCH))
 
     def full_union_once():
+        # u2 = slot-2 segmentation prefix — the engine default form
         return pixel_match.score_query_batch_union_keys(
-            t_keys, f_pos, fm_pos, f_lo, f_span)
+            t_keys, f_pos, fm_pos, f_lo, f_span,
+            u2=(fplan.u2 if fplan.u2 >= 0 else None))
 
     np.asarray(full_union_once()[0])
     t0 = time.perf_counter()

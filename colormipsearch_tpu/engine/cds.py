@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from colormipsearch_tpu.io import mips as mips_io
+from colormipsearch_tpu.utils.metrics import GLOBAL as _METRICS
 from colormipsearch_tpu.model import (
     CDMatch,
     ComputeFileType,
@@ -492,15 +493,16 @@ class CDSearchEngine:
 
         return self._cached_plan_args(("keys", n_pixels), plans, build)
 
-    def _union_keys_step(self, top_k: int = 0):
+    def _union_keys_step(self, top_k: int = 0,
+                         u2: int | None = None):
         from colormipsearch_tpu.parallel.mesh import (
             make_sharded_batch_step_union_keys,
         )
 
-        key = ("ukeys", top_k)
+        key = ("ukeys", top_k, u2)
         if key not in self._sharded_steps:
             self._sharded_steps[key] = make_sharded_batch_step_union_keys(
-                self._mesh, top_k=top_k)
+                self._mesh, top_k=top_k, u2=u2)
         return self._sharded_steps[key]
 
     def _stacked_union_args(self, batch, n_pixels: int):
@@ -538,9 +540,10 @@ class CDSearchEngine:
                                     self.decode_concurrency)) as pool:
                 ups = list(pool.map(build_one, batch))
             # plans pad to the batch's common union bucket AND interval
-            # slot count (slots vary per mask after compaction)
-            return tuple(jnp.asarray(a) for a in
-                         pixel_match.stack_union_plan_args(ups, n_pixels))
+            # slot count (slots vary per mask after compaction); the
+            # trailing u2 (slot-2 segmentation prefix) stays a host int
+            *arrs, u2 = pixel_match.stack_union_plan_args(ups, n_pixels)
+            return tuple(jnp.asarray(a) for a in arrs) + (u2,)
 
         return self._cached_plan_args(
             ("ukeys", self.use_union_keys, n_pixels), plans, build)
@@ -784,6 +787,7 @@ class CDSearchEngine:
         n_dev = (len(self._mesh.devices.ravel())
                  if self._mesh is not None else 1)
         use_keys = shard.kind == "keys"
+        t_disp0 = time.time()  # re-set after plan-arg build on key paths
         # classic plan args upload only when a non-key path consumes them
         args = None if use_keys else self._stacked_plan_args(plans)
         # CDS_SPLIT_PLANES=1: 3-byte split-plane kernel (requires the
@@ -800,12 +804,20 @@ class CDSearchEngine:
             # the x-union lane form on the same planes.
             union = self.use_union_keys
             n_pixels = shard.shape[0] * shard.shape[1]
-            kargs = (self._stacked_union_args(batch, n_pixels) if union
-                     else self._stacked_key_args(plans, n_pixels))
+            t_args0 = time.time()
+            u2 = None
+            if union:
+                *kargs, u2 = self._stacked_union_args(batch, n_pixels)
+                kargs = tuple(kargs)
+            else:
+                kargs = self._stacked_key_args(plans, n_pixels)
+            _METRICS.add("cds.planArgs.seconds", time.time() - t_args0)
+            t_disp0 = time.time()
             if on_mesh:
                 planes = self._mesh_planes(shard)
                 if top_k > 0:
-                    step = (self._union_keys_step(top_k) if union else
+                    step = (self._union_keys_step(top_k, u2) if union
+                            else
                             self._keys_step(plans[0].n_straight, top_k))
                     scores_k, idx_k, mirr_k, flags_k, _gmax, _nf = \
                         step(planes, *kargs)
@@ -813,13 +825,13 @@ class CDSearchEngine:
                         batch, shard, np.asarray(scores_k),
                         np.asarray(idx_k), np.asarray(mirr_k),
                         np.asarray(flags_k), tags, session_ref_id)
-                step = (self._union_keys_step() if union else
+                step = (self._union_keys_step(u2=u2) if union else
                         self._keys_step(plans[0].n_straight))
                 best, mirrored, pair_flags, _gmax = step(planes, *kargs)
             elif union:
                 best, mirrored, pair_flags = \
                     pixel_match.score_query_batch_union_keys(
-                        shard.planes, *kargs)
+                        shard.planes, *kargs, u2=u2)
             else:
                 best, mirrored, pair_flags = \
                     pixel_match.score_query_batch_keys(
@@ -930,6 +942,8 @@ class CDSearchEngine:
         best = pull_target_cols(best)[:, :shard.count]
         mirrored = pull_target_cols(mirrored)[:, :shard.count]
         pair_flags = pull_target_cols(pair_flags)[:, :shard.count]
+        _METRICS.add("cds.dispatch.seconds", time.time() - t_disp0)
+        t_emit0 = time.time()
 
         out: list[CDMatch] = []
         for b, (mask, mask_rgb, region, plan, neg_plan) in enumerate(batch):

@@ -898,6 +898,12 @@ class UnionKeyPlan:
     lane_span: np.ndarray  # uint32 [L, 3, U]
     query_size: int        # true (unpadded) number of query positions
     mirror: bool
+    # slot-2 segmentation (full-union plans): elements are PERMUTED so
+    # the ones with a live second interval window in ANY lane form the
+    # prefix [0, u2); the kernel then runs slot-2 tests only there
+    # (~21% of elements at production tolerances — docs/DESIGN.md §6).
+    # -1 = unsegmented (x-union plans, or a single-slot table).
+    u2: int = -1
 
     @property
     def n_sets(self) -> int:
@@ -1089,8 +1095,22 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         .reshape(1, u_count) if mirror else np.zeros((0, u_count),
                                                      np.int32)
     lane_lo, lane_span = compact_interval_slots(lane_lo, lane_span)
+    u2 = -1
+    if lane_lo.shape[1] == 2 and u_count:
+        # slot-2 segmentation: permute elements so those with a live
+        # second window (in any lane) form the prefix — the kernel then
+        # confines slot-2 range tests to [0, u2).  The mirror position
+        # set shares the element order, so one permutation serves both.
+        any2 = (~((lane_lo[:, 1, :] == _EMPTY_LO)
+                  & (lane_span[:, 1, :] == 0))).any(axis=0)
+        perm = np.argsort(~any2, kind="stable")
+        u_pos = u_pos[:, perm]
+        mu_pos = mu_pos[:, perm]
+        lane_lo = np.ascontiguousarray(lane_lo[:, :, perm])
+        lane_span = np.ascontiguousarray(lane_span[:, :, perm])
+        u2 = int(any2.sum())
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
-                        int(positions.size), mirror)
+                        int(positions.size), mirror, u2=u2)
     return pad_union_key_plan(
         plan, pad_to if pad_to is not None else _bucket(u_count), n_pixels)
 
@@ -1114,44 +1134,75 @@ def pad_union_key_plan(plan: UnionKeyPlan, u_pad: int,
         raise ValueError(f"n_slots {s_pad} < slot count {s}")
     padw = ((0, 0), (0, u_pad - u))
     lane_pad = ((0, 0), (0, s_pad - s), (0, u_pad - u))
+    # padding appends sentinel elements with empty slot-2 windows, so
+    # the segmentation prefix [0, u2) is unchanged
     return UnionKeyPlan(
         np.pad(plan.u_pos, padw, constant_values=n_pixels),
         np.pad(plan.mu_pos, padw, constant_values=n_pixels),
         np.pad(plan.lane_lo, lane_pad, constant_values=int(_EMPTY_LO)),
         np.pad(plan.lane_span, lane_pad),
-        plan.query_size, plan.mirror)
+        plan.query_size, plan.mirror, u2=plan.u2)
 
 
 def stack_union_plan_args(plans: list, n_pixels: int):
     """Host [B, ...] stacks of (u_pos, mu_pos, lane_lo, lane_span) for
     a batch of union plans, padded to the batch's common union bucket
     and interval-slot count (slot counts vary per mask after
-    compact_interval_slots)."""
+    compact_interval_slots).
+
+    Also returns the batch's slot-2 prefix width ``u2_pad`` (static
+    kernel parameter): the max of the members' segmentation prefixes,
+    bucketed so dispatch shapes are reused; ``u_pad`` for any
+    unsegmented member (the kernel then tests slot 2 full-width, which
+    is always correct)."""
     u_pad = max(p.u_pos.shape[1] for p in plans)
     n_slots = max(p.lane_lo.shape[1] for p in plans)
+
+    def eff_u2(p):
+        if p.lane_lo.shape[1] < 2:
+            return 0  # no live slot-2 windows at all
+        return p.u2 if p.u2 >= 0 else u_pad
+
+    u2_pad = max(eff_u2(p) for p in plans)
+    if 0 < u2_pad < u_pad:
+        u2_pad = min(u_pad, _bucket(u2_pad, minimum=128))
     plans = [pad_union_key_plan(p, u_pad, n_pixels, n_slots)
              for p in plans]
     return (np.stack([p.u_pos for p in plans]),
             np.stack([p.mu_pos for p in plans]),
             np.stack([p.lane_lo for p in plans]),
-            np.stack([p.lane_span for p in plans]))
+            np.stack([p.lane_span for p in plans]),
+            u2_pad)
 
 
 def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
                                mu_pos: jax.Array, lane_lo: jax.Array,
-                               lane_span: jax.Array):
+                               lane_span: jax.Array,
+                               u2: int | None = None):
     """Union-lane key scoring of one plan.
 
     Returns int32 [S*L*(1+mirror), T] exact per-variant counts; straight
     slots first, ordered (dy set major, dx lane minor).
+
+    ``u2`` (static) is the slot-2 segmentation prefix: with elements
+    permuted so every live second window sits in [0, u2)
+    (build_full_union_key_plan), the second range test runs only on that
+    prefix — elements beyond it have empty slot-2 windows that can never
+    match, so skipping their tests is exact.  At production tolerances
+    only ~21% of elements carry a second window, cutting the kernel's
+    dominant VPU work (the per-lane range tests) by ~1.5x
+    (docs/DESIGN.md §6).  None = test every slot full-width.
     """
     n_lanes = lane_lo.shape[0]
     n_slots = lane_lo.shape[1]
+    u_count = lane_lo.shape[2]
+    seg = (u2 is not None and n_slots == 2 and 0 <= u2 < u_count)
     outs = []
     pos_sets = [u_pos, mu_pos] if mu_pos.shape[0] else [u_pos]
     for pos in pos_sets:
         for i in range(pos.shape[0]):
             g = jnp.take(t_keys, pos[i], axis=0).astype(jnp.uint32)  # [U, T]
+            g2 = g[:u2] if seg else None
             for j in range(n_lanes):
                 lo, sp = lane_lo[j], lane_span[j]
                 # slot count is a plan-build property: at production
@@ -1159,25 +1210,37 @@ def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
                 # compact_interval_slots drops the dead third test
                 # (1/3 of the kernel's VPU work)
                 m = (g - lo[0][:, None]) <= sp[0][:, None]
+                if seg:
+                    if u2 == 0:
+                        outs.append(m.sum(axis=0, dtype=jnp.int32))
+                        continue
+                    m2 = (g2 - lo[1][:u2, None]) <= sp[1][:u2, None]
+                    outs.append(
+                        (m[:u2] | m2).sum(axis=0, dtype=jnp.int32)
+                        + m[u2:].sum(axis=0, dtype=jnp.int32))
+                    continue
                 for s in range(1, n_slots):
                     m = m | ((g - lo[s][:, None]) <= sp[s][:, None])
                 outs.append(m.sum(axis=0, dtype=jnp.int32))
     return jnp.stack(outs)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("u2",))
 def score_query_batch_union_keys(t_keys: jax.Array, u_pos: jax.Array,
                                  mu_pos: jax.Array, lane_lo: jax.Array,
-                                 lane_span: jax.Array):
+                                 lane_span: jax.Array,
+                                 u2: int | None = None):
     """Batched union-lane key scoring (args are [B, ...] stacks).
 
     Returns (best [B, T], mirrored [B, T], pair_flags [B, T] — always
-    zero, kept for interface parity)."""
+    zero, kept for interface parity).  ``u2`` is the batch's static
+    slot-2 segmentation prefix (stack_union_plan_args)."""
     n_straight = u_pos.shape[1] * lane_lo.shape[1]
 
     def one(args):
         up, mp, lo, sp = args
-        scores = score_query_union_keys_raw(t_keys, up, mp, lo, sp)
+        scores = score_query_union_keys_raw(t_keys, up, mp, lo, sp,
+                                            u2=u2)
         return reduce_variants_device(
             scores, jnp.zeros_like(scores), n_straight)
 

@@ -291,11 +291,13 @@ def make_sharded_batch_step_keys(mesh: Mesh, *, n_straight: int,
     return jax.jit(step)
 
 
-def make_sharded_batch_step_union_keys(mesh: Mesh, *, top_k: int = 0):
+def make_sharded_batch_step_union_keys(mesh: Mesh, *, top_k: int = 0,
+                                       u2: int | None = None):
     """x-union lane twin of make_sharded_batch_step_keys: the same
     rank-key planes, but positions come as per-dy-set unions and the dx
     shifts are interval lanes (ops/pixel_match.build_union_key_plan) —
-    half the gathered rows per mask.  Flags are structurally zero."""
+    half the gathered rows per mask.  Flags are structurally zero.
+    ``u2`` = static slot-2 segmentation prefix (full-union plans)."""
 
     def local_step(t_keys, u_pos, mu_pos, lane_lo, lane_span):
         n_straight = u_pos.shape[1] * lane_lo.shape[1]
@@ -303,7 +305,7 @@ def make_sharded_batch_step_union_keys(mesh: Mesh, *, top_k: int = 0):
         def one(args):
             up, mp, lo, sp = args
             scores = pixel_match.score_query_union_keys_raw(
-                t_keys, up, mp, lo, sp)
+                t_keys, up, mp, lo, sp, u2=u2)
             return pixel_match.reduce_variants_device(
                 scores, jnp.zeros_like(scores), n_straight)
 

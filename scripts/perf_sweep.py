@@ -487,22 +487,37 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6,
         return pixel_match.score_query_batch_union_keys(
             t_keys, f_pos, fm_pos, f_lo, f_span)
 
+    def full_union_seg_once():
+        # slot-2 segmentation (the engine default): second range test
+        # confined to the plan's u2 prefix
+        return pixel_match.score_query_batch_union_keys(
+            t_keys, f_pos, fm_pos, f_lo, f_span,
+            u2=(fplan.u2 if fplan.u2 >= 0 else None))
+
+    log(f"full-union slot-2 prefix u2={fplan.u2} of U_pad {fu} "
+        f"({fplan.u2 / fu:.1%})")
     kb, km, _ = (np.asarray(x) for x in keys_once())
     ub, um, _ = (np.asarray(x) for x in union_once())
     fb, fm, _ = (np.asarray(x) for x in full_union_once())
+    sb, sm, _ = (np.asarray(x) for x in full_union_seg_once())
     log(f"x-union-vs-keys equality: {(kb == ub).all()} / "
         f"{(km == um).all()}; full-union: {(kb == fb).all()} / "
-        f"{(km == fm).all()}")
+        f"{(km == fm).all()}; seg: {(kb == sb).all()} / "
+        f"{(km == sm).all()}")
     assert (kb == ub).all() and (km == um).all(), \
         np.argwhere(kb != ub)[:5]
     assert (kb == fb).all() and (km == fm).all(), \
         np.argwhere(kb != fb)[:5]
+    assert (kb == sb).all() and (km == sm).all(), \
+        np.argwhere(kb != sb)[:5]
 
     rows = {"rank_keys": v * q, "union_keys": n_sets * u,
-            "full_union_keys": f_sets * fu}
+            "full_union_keys": f_sets * fu,
+            "full_union_seg": f_sets * fu}
     for name, fn in (("rank_keys", keys_once),
                      ("union_keys", union_once),
-                     ("full_union_keys", full_union_once)):
+                     ("full_union_keys", full_union_once),
+                     ("full_union_seg", full_union_seg_once)):
         dt = time_step(fn, repeats)
         emit({
             "kind": name, "t_width": t_width, "mask_batch": b,

@@ -133,10 +133,9 @@ def selftest(out_path: str) -> int:
 
     def union_batch(build):
         uplans = [build(m) for m in masks]
-        return tuple(jnp.asarray(a) for a in
-                     pixel_match.stack_union_plan_args(uplans, h * w))
+        *arrs, u2 = pixel_match.stack_union_plan_args(uplans, h * w)
+        return tuple(jnp.asarray(a) for a in arrs), u2
 
-    ustep = make_sharded_batch_step_union_keys(mesh)
     union_ok = True
     for build in (
             lambda m: pixel_match.build_union_key_plan(
@@ -145,7 +144,9 @@ def selftest(out_path: str) -> int:
             lambda m: pixel_match.build_full_union_key_plan(
                 m, 20, mirror=True, xy_shift=2,
                 pix_color_fluctuation=2.0)):
-        ubest = ustep(key_planes, *union_batch(build))[0]
+        uargs, u2 = union_batch(build)
+        ustep = make_sharded_batch_step_union_keys(mesh, u2=u2)
+        ubest = ustep(key_planes, *uargs)[0]
         ubest = np.asarray(multihost_utils.process_allgather(
             ubest, tiled=True))[:, :n_targets]
         union_ok = union_ok and bool((ubest == ref_best).all())

@@ -339,9 +339,9 @@ def test_union_keys_batch_equals_classic_keys():
     uplans = [pixel_match.build_union_key_plan(
         q, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
         for q in queries]
+    *uarrs, uu2 = pixel_match.stack_union_plan_args(uplans, h * w)
     ubest, umirrored, uflags = pixel_match.score_query_batch_union_keys(
-        t_keys, *[jnp.asarray(a) for a in
-                  pixel_match.stack_union_plan_args(uplans, h * w)])
+        t_keys, *[jnp.asarray(a) for a in uarrs], u2=uu2)
     assert (np.asarray(uflags) == 0).all()
     assert (np.asarray(ubest) == np.asarray(best)).all()
     assert (np.asarray(umirrored) == np.asarray(mirrored)).all()
@@ -428,9 +428,9 @@ def test_full_union_keys_batch_equals_classic_keys(xy_shift):
     fplans = [pixel_match.build_full_union_key_plan(
         q, thr, mirror=True, xy_shift=xy_shift, pix_color_fluctuation=flu)
         for q in queries]
+    *farrs, fu2 = pixel_match.stack_union_plan_args(fplans, h * w)
     ubest, umirrored, uflags = pixel_match.score_query_batch_union_keys(
-        t_keys, *[jnp.asarray(a) for a in
-                  pixel_match.stack_union_plan_args(fplans, h * w)])
+        t_keys, *[jnp.asarray(a) for a in farrs], u2=fu2)
     assert (np.asarray(uflags) == 0).all()
     assert (np.asarray(ubest) == np.asarray(best)).all()
     assert (np.asarray(umirrored) == np.asarray(mirrored)).all()
