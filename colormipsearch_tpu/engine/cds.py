@@ -687,16 +687,46 @@ class CDSearchEngine:
                     if shape != shard.shape:
                         # the reference requires target size == query size
                         continue
-                    for i in range(0, len(entries), self.MASK_BATCH):
-                        batch = entries[i:i + self.MASK_BATCH]
-                        out = self._score_batch(
-                            batch, shard, tags, session_ref_id,
-                            top_k=max_matches_per_mask)
-                        GLOBAL.add("pairsScored",
-                                   len(batch) * shard.count)
-                        n_pairs += len(batch) * shard.count
-                        n_matches += len(out)
-                        yield out
+                    batches = [entries[i:i + self.MASK_BATCH]
+                               for i in range(0, len(entries),
+                                              self.MASK_BATCH)]
+                    # build+upload the NEXT batch's plan args on a
+                    # worker thread while the device scores the current
+                    # batch (the union-plan build + its ~MB-scale arg
+                    # upload is the per-batch serial cost at production
+                    # mask counts; _stacked_*_args caches by plan
+                    # identity, so _score_batch then hits the cache)
+                    n_px = shape[0] * shape[1]
+
+                    def warm(batch):
+                        try:
+                            if self.use_key_planes and \
+                                    self.use_union_keys:
+                                self._stacked_union_args(batch, n_px)
+                            elif self.use_key_planes:
+                                self._stacked_key_args(
+                                    [e[3] for e in batch], n_px)
+                        except Exception:  # noqa: BLE001 - warm only
+                            pass  # the real call surfaces the error
+
+                    with concurrent.futures.ThreadPoolExecutor(
+                            max_workers=1) as argpool:
+                        fut = None
+                        for bi, batch in enumerate(batches):
+                            if bi + 1 < len(batches):
+                                fut = argpool.submit(
+                                    warm, batches[bi + 1])
+                            out = self._score_batch(
+                                batch, shard, tags, session_ref_id,
+                                top_k=max_matches_per_mask)
+                            GLOBAL.add("pairsScored",
+                                       len(batch) * shard.count)
+                            n_pairs += len(batch) * shard.count
+                            n_matches += len(out)
+                            yield out
+                            if fut is not None:
+                                fut.result()
+                                fut = None
         GLOBAL.add("matchesFound", n_matches)
         if n_pairs == 0 and groups and n_targets > 0:
             LOG.warning(
