@@ -26,7 +26,7 @@ _SRC = os.path.join(os.path.dirname(os.path.dirname(
 # source tree (the supported no-source install path) is never loaded
 # with missing symbols — it simply doesn't match the name and the
 # callers fall back to the numpy/PIL paths.
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 _lock = threading.Lock()
 _lib = None
@@ -130,6 +130,15 @@ def _bind_symbols(lib) -> None:
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int)]
+        lib.cdm_coo_count.restype = None
+        lib.cdm_coo_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        lib.cdm_coo_fill.restype = None
+        lib.cdm_coo_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         lib.cdm_build_shape_row.restype = None
         lib.cdm_build_shape_row.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -348,6 +357,38 @@ def shape_tile_from_store(zsl_mm: np.ndarray, grad_mm: np.ndarray,
         n_or, n_gap_pad, n_he_words, sl_shift,
         ptr(t_gap.ctypes.data), ptr(t_he.ctypes.data), n_threads)
     return t_gap, t_he
+
+
+def coo_select(arena: np.ndarray, threshold: int, n_threads: int = 0):
+    """Threaded sparse foreground select over a uint8 [T, H, W, 3]
+    arena: (pos int32 [N], tidx int32 [N], rgb uint8 [N, 3]) of every
+    pixel with any channel > threshold, ordered by (image, pixel).
+    Returns None when the native library is unavailable (callers fall
+    back to the numpy nonzero path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    assert arena.dtype == np.uint8 and arena.ndim == 4 \
+        and arena.shape[-1] == 3 and arena.flags.c_contiguous
+    n_img = arena.shape[0]
+    n_px = arena.shape[1] * arena.shape[2]
+    if n_threads <= 0:
+        n_threads = min(32, os.cpu_count() or 1)
+    counts = np.empty(n_img, np.int64)
+    ptr = ctypes.c_void_p
+    lib.cdm_coo_count(ptr(arena.ctypes.data), n_img, n_px,
+                      int(threshold), ptr(counts.ctypes.data), n_threads)
+    offsets = np.zeros(n_img, np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    total = int(counts.sum())
+    pos = np.empty(total, np.int32)
+    tidx = np.empty(total, np.int32)
+    rgb = np.empty((total, 3), np.uint8)
+    lib.cdm_coo_fill(ptr(arena.ctypes.data), n_img, n_px,
+                     int(threshold), ptr(offsets.ctypes.data),
+                     ptr(pos.ctypes.data), ptr(tidx.ctypes.data),
+                     ptr(rgb.ctypes.data), n_threads)
+    return pos, tidx, rgb
 
 
 def decode_tiff_batch(blobs: list[bytes], *, width: int, height: int,

@@ -255,10 +255,22 @@ def pack_target_planes_keys_sparse(stack: "object", data_threshold: int,
 
     t, h, w, _ = stack.shape
     n_px = h * w
-    flat = stack.reshape(t, n_px, 3)
-    live = flat.max(axis=2) > data_threshold
-    tidx, pos = np.nonzero(live)
-    vals = flat[tidx, pos]
+    sel = None
+    try:
+        from colormipsearch_tpu.io import native_decoder
+        if stack.flags.c_contiguous:
+            # threaded native select (~100x the numpy nonzero path,
+            # which measured ~24 ms/target at production shape)
+            sel = native_decoder.coo_select(stack, data_threshold)
+    except ImportError:
+        pass
+    if sel is not None:
+        pos, tidx, vals = sel
+    else:
+        flat = stack.reshape(t, n_px, 3)
+        live = flat.max(axis=2) > data_threshold
+        tidx, pos = np.nonzero(live)
+        vals = flat[tidx, pos]
     n = pos.size
     n_pad = _sparse_bucket(n)
     pos_p = np.full(n_pad, n_px, np.int32)

@@ -643,6 +643,65 @@ void cdm_img_decode_batch(const uint8_t** bufs, const size_t* lens,
     for (auto& th : threads) th.join();
 }
 
+// Sparse COO select over a decoded uint8 RGB arena: for each image,
+// emit (flat pixel index, rgb) of every pixel with ANY channel >
+// threshold.  Two-pass: cdm_coo_count fills per-image foreground
+// counts (the host prefix-sums them into offsets), cdm_coo_fill writes
+// the compacted triplets.  This is the host half of the sparse
+// key-plane upload (ops/common.pack_target_planes_keys_sparse) — the
+// numpy nonzero/fancy-index path measured ~24 ms/target, ~100x the
+// memory-bound floor this pass runs at.
+void cdm_coo_count(const uint8_t* arena, int64_t n_img, int64_t n_px,
+                   int thr, int64_t* counts, int n_threads) {
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_img) break;
+            const uint8_t* p = arena + i * n_px * 3;
+            int64_t c = 0;
+            for (int64_t j = 0; j < n_px; j++) {
+                const uint8_t* px = p + j * 3;
+                c += (px[0] > thr) | (px[1] > thr) | (px[2] > thr);
+            }
+            counts[i] = c;
+        }
+    };
+    int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_img));
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
+void cdm_coo_fill(const uint8_t* arena, int64_t n_img, int64_t n_px,
+                  int thr, const int64_t* offsets, int32_t* pos_out,
+                  int32_t* tidx_out, uint8_t* rgb_out, int n_threads) {
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_img) break;
+            const uint8_t* p = arena + i * n_px * 3;
+            int64_t o = offsets[i];
+            for (int64_t j = 0; j < n_px; j++) {
+                const uint8_t* px = p + j * 3;
+                if ((px[0] > thr) | (px[1] > thr) | (px[2] > thr)) {
+                    pos_out[o] = (int32_t)j;
+                    tidx_out[o] = (int32_t)i;
+                    rgb_out[o * 3] = px[0];
+                    rgb_out[o * 3 + 1] = px[1];
+                    rgb_out[o * 3 + 2] = px[2];
+                    o++;
+                }
+            }
+        }
+    };
+    int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_img));
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
 // Full-plane store-row fields in one pass (native twin of
 // io/shape_pack.build_row_fields, bit-identical): per pixel i
 //   zsl[i]      = slice_lut[(r<<16)|(g<<8)|b]          (zgap RGB)

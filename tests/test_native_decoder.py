@@ -108,6 +108,32 @@ def test_batch_decode():
         np.testing.assert_array_equal(arena[i], _pil_rgb(d))
 
 
+def test_coo_select_equals_numpy():
+    """Threaded sparse foreground select (the sparse-upload host half)
+    must equal the numpy nonzero path, including threshold edges, an
+    all-black image, and a fully-lit image."""
+    rng = np.random.default_rng(31)
+    arena = np.zeros((5, 17, 23, 3), np.uint8)
+    for i in range(4):
+        n = 60
+        ys, xs = rng.integers(0, 17, n), rng.integers(0, 23, n)
+        arena[i, ys, xs] = rng.integers(0, 256, (n, 3))
+    arena[1, 0, 0] = (20, 20, 20)   # at threshold: dead
+    arena[1, 0, 1] = (0, 0, 21)     # just above: live
+    arena[3] = 0                    # all black
+    arena[4] = 200                  # fully lit
+    res = native_decoder.coo_select(arena, 20)
+    assert res is not None
+    pos, tidx, rgb = res
+    flat = arena.reshape(5, -1, 3)
+    live = flat.max(axis=2) > 20
+    rtidx, rpos = np.nonzero(live)
+    np.testing.assert_array_equal(tidx, rtidx)
+    np.testing.assert_array_equal(pos, rpos)
+    np.testing.assert_array_equal(rgb, flat[rtidx, rpos])
+    assert not (tidx == 3).any() and (tidx == 4).sum() == 17 * 23
+
+
 def test_read_image_uses_native(tmp_path):
     from colormipsearch_tpu.io.image import read_image
 
