@@ -746,6 +746,43 @@ def _key_interval_table(z_tol: float):
     return tab_lo, tab_span
 
 
+@functools.lru_cache(maxsize=4)
+def _key_interval_table2(z_tol: float):
+    """Slot-compacted twin of _key_interval_table: (lo, span) uint32
+    [2, 7 << KEY_RANK_BITS] plus per-key metadata for the segmented
+    kernel: ``any2`` bool [n_keys] (second window live) and
+    ``disjoint_ok`` (True iff for EVERY key the live windows sit in
+    distinct class segments — the proof that the segmented kernel's
+    window-indicator sums need no OR).
+
+    Compacting once at table build removes the per-plan
+    compact_interval_slots pass (the heaviest part of the ~39 ms
+    full-union plan build) and shrinks the per-lane gathers by 1/3.
+    """
+    from colormipsearch_tpu.ops.common import KEY_RANK_BITS
+
+    tab_lo3, tab_span3 = _key_interval_table(z_tol)
+    ne = ~((tab_lo3 == _EMPTY_LO) & (tab_span3 == 0))  # [3, n]
+    order = np.argsort(~ne, axis=0, kind="stable")
+    lo = np.take_along_axis(tab_lo3, order, axis=0)
+    span = np.take_along_axis(tab_span3, order, axis=0)
+    ne = np.take_along_axis(ne, order, axis=0)
+    if ne[2].any():
+        # 3 live windows at this tolerance: callers fall back to the
+        # uncompacted 3-slot path (never observed at production
+        # tolerances; proven per tolerance here, not assumed)
+        return None
+    seg_lo = lo >> KEY_RANK_BITS
+    seg_hi = (lo + span) >> KEY_RANK_BITS
+    both = ne[0] & ne[1]
+    disjoint_ok = bool((~both | ((seg_lo[0] != seg_lo[1])
+                                 & (seg_lo[0] == seg_hi[0])
+                                 & (seg_lo[1] == seg_hi[1]))).all())
+    return (np.ascontiguousarray(lo[:2]),
+            np.ascontiguousarray(span[:2]),
+            np.ascontiguousarray(ne[1]), disjoint_ok)
+
+
 def build_key_intervals(q_cls: np.ndarray, q_s: np.ndarray,
                         q_p: np.ndarray, z_tol: float):
     """Per-query-pixel key intervals (lo uint32 [3, Q], span uint32 [3, Q]).
@@ -1071,9 +1108,31 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
     # lane (dx, dy) at union element u reads query pixel q = u - dx -
     # dy*w (same-row x and in-image y required); inactive elements get
     # class 0 -> the empty interval
+    from colormipsearch_tpu.ops.common import (
+        KEY_RANK_BITS,
+        ratio_rank_table,
+    )
+
     ztol = float(pix_color_fluctuation) / 100.0
-    lane_lo = np.empty((len(offsets), 3, u_count), np.uint32)
+    tab2 = _key_interval_table2(ztol)
+    if tab2 is not None:
+        # fast path: slot-compacted per-key table — one key lookup per
+        # query pixel, then per-lane table gathers (no per-plan
+        # compaction pass)
+        tab_lo, tab_span, tab_any2, disjoint_ok = tab2
+        _, rank_tab = ratio_rank_table()
+        key_q = np.where(
+            cls > 0,
+            (cls.astype(np.int64) << KEY_RANK_BITS)
+            | rank_tab[np.minimum(s, 255), np.minimum(p, 255)],
+            0)
+        n_slots0 = 2
+    else:
+        disjoint_ok = False
+        n_slots0 = 3
+    lane_lo = np.empty((len(offsets), n_slots0, u_count), np.uint32)
     lane_span = np.empty_like(lane_lo)
+    lane_any2 = np.zeros((len(offsets), u_count), bool)
     for j, (dx, dy) in enumerate(offsets):
         qx = ux - dx
         qy = uy - dy
@@ -1082,9 +1141,16 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         active = ((qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
                   & (jj >= 0))
         idx = np.where(active, jj, 0)
-        lane_lo[j], lane_span[j] = build_key_intervals(
-            np.where(active, cls[idx], 0), np.where(active, s[idx], 0),
-            np.where(active, p[idx], 0), ztol)
+        if tab2 is not None:
+            k_lane = np.where(active, key_q[idx], 0)
+            lane_lo[j] = tab_lo[:, k_lane]
+            lane_span[j] = tab_span[:, k_lane]
+            lane_any2[j] = tab_any2[k_lane]
+        else:
+            lane_lo[j], lane_span[j] = build_key_intervals(
+                np.where(active, cls[idx], 0),
+                np.where(active, s[idx], 0),
+                np.where(active, p[idx], 0), ztol)
 
     # one straight row set; the mirrored set reuses the lane table —
     # mirror(q + dx + dy*w) = mirror_x(q) - dx + dy*w, so it covers the
@@ -1094,16 +1160,21 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
     mu_pos = (union + (w - 1) - 2 * ux).astype(np.int32) \
         .reshape(1, u_count) if mirror else np.zeros((0, u_count),
                                                      np.int32)
-    lane_lo, lane_span = compact_interval_slots(lane_lo, lane_span)
+    if tab2 is None:
+        lane_lo, lane_span = compact_interval_slots(lane_lo, lane_span)
     u2 = -1
-    if lane_lo.shape[1] == 2 and u_count:
+    if lane_lo.shape[1] == 2 and u_count and disjoint_ok:
         # slot-2 segmentation: permute elements so those with a live
         # second window (in any lane) form the prefix — the kernel then
         # confines slot-2 range tests to [0, u2).  The mirror position
         # set shares the element order, so one permutation serves both.
-        any2 = (~((lane_lo[:, 1, :] == _EMPTY_LO)
-                  & (lane_span[:, 1, :] == 0))).any(axis=0)
-        perm = np.argsort(~any2, kind="stable")
+        # The segmented kernel ADDS the two slots' indicator sums
+        # (no OR), which is exact because _key_interval_table2 proved
+        # every key's live windows sit in distinct class segments
+        # (disjoint_ok) — no key can match both.
+        any2 = lane_any2.any(axis=0)
+        perm = np.concatenate([np.flatnonzero(any2),
+                               np.flatnonzero(~any2)])
         u_pos = u_pos[:, perm]
         mu_pos = mu_pos[:, perm]
         lane_lo = np.ascontiguousarray(lane_lo[:, :, perm])
@@ -1202,7 +1273,14 @@ def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
     for pos in pos_sets:
         for i in range(pos.shape[0]):
             g = jnp.take(t_keys, pos[i], axis=0).astype(jnp.uint32)  # [U, T]
-            g2 = g[:u2] if seg else None
+            # segmented form: a SEPARATE small gather for the slot-2
+            # prefix — slicing the big gathered intermediate defeated
+            # XLA fusion and measured 1.8x slower.  An element's two
+            # windows live in distinct class segments (verified at plan
+            # build), so a key matches at most one and the two indicator
+            # sums add without an OR.
+            g2 = (jnp.take(t_keys, pos[i, :u2], axis=0)
+                  .astype(jnp.uint32) if seg and u2 > 0 else None)
             for j in range(n_lanes):
                 lo, sp = lane_lo[j], lane_span[j]
                 # slot count is a plan-build property: at production
@@ -1211,13 +1289,11 @@ def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
                 # (1/3 of the kernel's VPU work)
                 m = (g - lo[0][:, None]) <= sp[0][:, None]
                 if seg:
-                    if u2 == 0:
-                        outs.append(m.sum(axis=0, dtype=jnp.int32))
-                        continue
-                    m2 = (g2 - lo[1][:u2, None]) <= sp[1][:u2, None]
-                    outs.append(
-                        (m[:u2] | m2).sum(axis=0, dtype=jnp.int32)
-                        + m[u2:].sum(axis=0, dtype=jnp.int32))
+                    cnt = m.sum(axis=0, dtype=jnp.int32)
+                    if u2 > 0:
+                        m2 = (g2 - lo[1][:u2, None]) <= sp[1][:u2, None]
+                        cnt = cnt + m2.sum(axis=0, dtype=jnp.int32)
+                    outs.append(cnt)
                     continue
                 for s in range(1, n_slots):
                     m = m | ((g - lo[s][:, None]) <= sp[s][:, None])

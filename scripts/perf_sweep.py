@@ -487,15 +487,21 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6,
         return pixel_match.score_query_batch_union_keys(
             t_keys, f_pos, fm_pos, f_lo, f_span)
 
+    # bucketed (tile-aligned) prefix, as the engine's batch stacking
+    # produces — raw u2 is sublane-misaligned
+    fu2 = fplan.u2
+    if fu2 > 0:
+        fu2 = min(fu, pixel_match._bucket(fu2, minimum=128))
+
     def full_union_seg_once():
         # slot-2 segmentation (the engine default): second range test
         # confined to the plan's u2 prefix
         return pixel_match.score_query_batch_union_keys(
             t_keys, f_pos, fm_pos, f_lo, f_span,
-            u2=(fplan.u2 if fplan.u2 >= 0 else None))
+            u2=(fu2 if fu2 >= 0 else None))
 
-    log(f"full-union slot-2 prefix u2={fplan.u2} of U_pad {fu} "
-        f"({fplan.u2 / fu:.1%})")
+    log(f"full-union slot-2 prefix u2={fplan.u2} (bucketed {fu2}) of "
+        f"U_pad {fu} ({max(fu2, 0) / fu:.1%})")
     kb, km, _ = (np.asarray(x) for x in keys_once())
     ub, um, _ = (np.asarray(x) for x in union_once())
     fb, fm, _ = (np.asarray(x) for x in full_union_once())
