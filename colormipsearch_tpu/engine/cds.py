@@ -448,6 +448,7 @@ class CDSearchEngine:
         self._mesh = None
         self._sharded_steps: dict = {}
         self._plan_args_cache: dict = {}
+        self._itabs = None  # device interval tables (qkey wire form)
         if use_mesh and len(jax.devices()) > 1:
             from colormipsearch_tpu.parallel import create_mesh
 
@@ -494,16 +495,31 @@ class CDSearchEngine:
         return self._cached_plan_args(("keys", n_pixels), plans, build)
 
     def _union_keys_step(self, top_k: int = 0,
-                         u2: int | None = None):
+                         u2: int | None = None,
+                         form: str | None = None):
         from colormipsearch_tpu.parallel.mesh import (
             make_sharded_batch_step_union_keys,
+            make_sharded_batch_step_union_qkeys,
         )
 
-        key = ("ukeys", top_k, u2)
+        key = ("ukeys", top_k, u2, form)
         if key not in self._sharded_steps:
-            self._sharded_steps[key] = make_sharded_batch_step_union_keys(
+            maker = (make_sharded_batch_step_union_qkeys
+                     if form == "qkeys"
+                     else make_sharded_batch_step_union_keys)
+            self._sharded_steps[key] = maker(
                 self._mesh, top_k=top_k, u2=u2)
         return self._sharded_steps[key]
+
+    def _interval_tables_device(self):
+        """The shared per-tolerance interval tables as device arrays
+        (uploaded once per engine — the qkey wire form's counterpart)."""
+        if self._itabs is None:
+            arrs = pixel_match.interval_table_arrays(
+                float(self.params.pix_color_fluctuation) / 100.0)
+            assert arrs is not None  # qkey plans exist => tables do
+            self._itabs = tuple(jnp.asarray(a) for a in arrs)
+        return self._itabs
 
     def _stacked_union_args(self, batch, n_pixels: int):
         """Stacked union-key plan device arrays for one mask batch.
@@ -539,11 +555,21 @@ class CDSearchEngine:
                     max_workers=min(len(batch),
                                     self.decode_concurrency)) as pool:
                 ups = list(pool.map(build_one, batch))
+            # qkey wire form when available (full-union plans under the
+            # table disjointness proof): ~3.5x fewer uploaded bytes per
+            # mask — the device gathers lo/span from the shared table
+            if self.use_union_keys == "full":
+                qk = pixel_match.stack_union_qkey_args(ups, n_pixels)
+                if qk is not None:
+                    *arrs, u2 = qk
+                    return ("qkeys",) + tuple(
+                        jnp.asarray(a) for a in arrs) + (u2,)
             # plans pad to the batch's common union bucket AND interval
             # slot count (slots vary per mask after compaction); the
             # trailing u2 (slot-2 segmentation prefix) stays a host int
             *arrs, u2 = pixel_match.stack_union_plan_args(ups, n_pixels)
-            return tuple(jnp.asarray(a) for a in arrs) + (u2,)
+            return ("tables",) + tuple(
+                jnp.asarray(a) for a in arrs) + (u2,)
 
         return self._cached_plan_args(
             ("ukeys", self.use_union_keys, n_pixels), plans, build)
@@ -836,9 +862,13 @@ class CDSearchEngine:
             n_pixels = shard.shape[0] * shard.shape[1]
             t_args0 = time.time()
             u2 = None
+            uform = None
             if union:
-                *kargs, u2 = self._stacked_union_args(batch, n_pixels)
+                uform, *kargs, u2 = \
+                    self._stacked_union_args(batch, n_pixels)
                 kargs = tuple(kargs)
+                if uform == "qkeys":
+                    kargs = kargs + self._interval_tables_device()
             else:
                 kargs = self._stacked_key_args(plans, n_pixels)
             _METRICS.add("cds.planArgs.seconds", time.time() - t_args0)
@@ -846,8 +876,8 @@ class CDSearchEngine:
             if on_mesh:
                 planes = self._mesh_planes(shard)
                 if top_k > 0:
-                    step = (self._union_keys_step(top_k, u2) if union
-                            else
+                    step = (self._union_keys_step(top_k, u2, uform)
+                            if union else
                             self._keys_step(plans[0].n_straight, top_k))
                     scores_k, idx_k, mirr_k, flags_k, _gmax, _nf = \
                         step(planes, *kargs)
@@ -855,9 +885,14 @@ class CDSearchEngine:
                         batch, shard, np.asarray(scores_k),
                         np.asarray(idx_k), np.asarray(mirr_k),
                         np.asarray(flags_k), tags, session_ref_id)
-                step = (self._union_keys_step(u2=u2) if union else
+                step = (self._union_keys_step(u2=u2, form=uform)
+                        if union else
                         self._keys_step(plans[0].n_straight))
                 best, mirrored, pair_flags, _gmax = step(planes, *kargs)
+            elif union and uform == "qkeys":
+                best, mirrored, pair_flags = \
+                    pixel_match.score_query_batch_union_qkeys(
+                        shard.planes, *kargs, u2=u2)
             elif union:
                 best, mirrored, pair_flags = \
                     pixel_match.score_query_batch_union_keys(

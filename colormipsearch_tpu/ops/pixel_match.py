@@ -941,6 +941,14 @@ class UnionKeyPlan:
     # (~21% of elements at production tolerances — docs/DESIGN.md §6).
     # -1 = unsegmented (x-union plans, or a single-slot table).
     u2: int = -1
+    # per-(lane, element) QUERY KEYS int32 [L, U] (0 = inactive) — the
+    # compressed wire form of the lane tables: the device gathers
+    # lo/span from the shared per-tolerance interval table instead of
+    # receiving the ~740 KB/mask expanded tables (~3.5x less plan-arg
+    # upload; decisive when thousands of masks stream over a slow
+    # host->device link).  None on the 3-slot fallback path.
+    qkeys: np.ndarray | None = None
+    z_tol: float | None = None
 
     @property
     def n_sets(self) -> int:
@@ -1133,6 +1141,8 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
     lane_lo = np.empty((len(offsets), n_slots0, u_count), np.uint32)
     lane_span = np.empty_like(lane_lo)
     lane_any2 = np.zeros((len(offsets), u_count), bool)
+    qkeys = (np.zeros((len(offsets), u_count), np.int32)
+             if tab2 is not None else None)
     for j, (dx, dy) in enumerate(offsets):
         qx = ux - dx
         qy = uy - dy
@@ -1143,6 +1153,7 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         idx = np.where(active, jj, 0)
         if tab2 is not None:
             k_lane = np.where(active, key_q[idx], 0)
+            qkeys[j] = k_lane
             lane_lo[j] = tab_lo[:, k_lane]
             lane_span[j] = tab_span[:, k_lane]
             lane_any2[j] = tab_any2[k_lane]
@@ -1162,6 +1173,10 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
                                                      np.int32)
     if tab2 is None:
         lane_lo, lane_span = compact_interval_slots(lane_lo, lane_span)
+    if not disjoint_ok:
+        # the qkey kernel ADDS the two slots' indicator sums, valid
+        # only under the per-table disjointness proof
+        qkeys = None
     u2 = -1
     if lane_lo.shape[1] == 2 and u_count and disjoint_ok:
         # slot-2 segmentation: permute elements so those with a live
@@ -1179,9 +1194,12 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         mu_pos = mu_pos[:, perm]
         lane_lo = np.ascontiguousarray(lane_lo[:, :, perm])
         lane_span = np.ascontiguousarray(lane_span[:, :, perm])
+        if qkeys is not None:
+            qkeys = np.ascontiguousarray(qkeys[:, perm])
         u2 = int(any2.sum())
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
-                        int(positions.size), mirror, u2=u2)
+                        int(positions.size), mirror, u2=u2,
+                        qkeys=qkeys, z_tol=ztol)
     return pad_union_key_plan(
         plan, pad_to if pad_to is not None else _bucket(u_count), n_pixels)
 
@@ -1206,13 +1224,16 @@ def pad_union_key_plan(plan: UnionKeyPlan, u_pad: int,
     padw = ((0, 0), (0, u_pad - u))
     lane_pad = ((0, 0), (0, s_pad - s), (0, u_pad - u))
     # padding appends sentinel elements with empty slot-2 windows, so
-    # the segmentation prefix [0, u2) is unchanged
+    # the segmentation prefix [0, u2) is unchanged (qkey 0 = inactive)
     return UnionKeyPlan(
         np.pad(plan.u_pos, padw, constant_values=n_pixels),
         np.pad(plan.mu_pos, padw, constant_values=n_pixels),
         np.pad(plan.lane_lo, lane_pad, constant_values=int(_EMPTY_LO)),
         np.pad(plan.lane_span, lane_pad),
-        plan.query_size, plan.mirror, u2=plan.u2)
+        plan.query_size, plan.mirror, u2=plan.u2,
+        qkeys=(None if plan.qkeys is None
+               else np.pad(plan.qkeys, padw)),
+        z_tol=plan.z_tol)
 
 
 def stack_union_plan_args(plans: list, n_pixels: int):
@@ -1321,3 +1342,95 @@ def score_query_batch_union_keys(t_keys: jax.Array, u_pos: jax.Array,
             scores, jnp.zeros_like(scores), n_straight)
 
     return jax.lax.map(one, (u_pos, mu_pos, lane_lo, lane_span))
+
+
+def interval_table_arrays(z_tol: float):
+    """The shared (lo, span) uint32 [2, 7 << KEY_RANK_BITS] per-key
+    interval tables the qkey kernel gathers from, or None when the
+    tolerance needs 3 slots (callers use the expanded lane tables)."""
+    tab2 = _key_interval_table2(float(z_tol))
+    if tab2 is None:
+        return None
+    tab_lo, tab_span, _any2, ok = tab2
+    return (tab_lo, tab_span) if ok else None
+
+
+def stack_union_qkey_args(plans: list, n_pixels: int):
+    """[B, ...] stacks of (u_pos, mu_pos, qkeys) + static u2 for the
+    qkey wire form, or None when any plan lacks qkeys (3-slot
+    tolerance, or disjointness unproven).  ~3.5x fewer plan-arg bytes
+    than the expanded lane tables: the device re-expands lo/span by
+    gathering the shared per-tolerance table."""
+    if any(p.qkeys is None for p in plans):
+        return None
+    u_pad = max(p.u_pos.shape[1] for p in plans)
+    u2s = [p.u2 if p.u2 >= 0 else u_pad for p in plans]
+    u2_pad = max(u2s)
+    if 0 < u2_pad < u_pad:
+        u2_pad = min(u_pad, _bucket(u2_pad, minimum=128))
+    plans = [pad_union_key_plan(p, u_pad, n_pixels) for p in plans]
+    return (np.stack([p.u_pos for p in plans]),
+            np.stack([p.mu_pos for p in plans]),
+            np.stack([p.qkeys for p in plans]),
+            u2_pad)
+
+
+def score_query_union_qkeys_raw(t_keys: jax.Array, u_pos: jax.Array,
+                                mu_pos: jax.Array, qkeys: jax.Array,
+                                tab_lo: jax.Array, tab_span: jax.Array,
+                                u2: int | None = None):
+    """Qkey wire-form twin of score_query_union_keys_raw: per-lane
+    interval bounds are gathered ON DEVICE from the shared per-tolerance
+    table (tab_lo/tab_span uint32 [2, n_keys]) at the plan's query keys
+    (qkeys int32 [L, U], 0 = inactive -> empty windows).  Always the
+    segmented no-OR form — qkeys exist only under the table's
+    window-disjointness proof."""
+    n_lanes = qkeys.shape[0]
+    u_count = qkeys.shape[1]
+    u2e = u2 if (u2 is not None and 0 <= u2 <= u_count) else u_count
+    lo1 = jnp.take(tab_lo[0], qkeys)      # [L, U]
+    sp1 = jnp.take(tab_span[0], qkeys)
+    qk2 = qkeys[:, :u2e]
+    lo2 = jnp.take(tab_lo[1], qk2)
+    sp2 = jnp.take(tab_span[1], qk2)
+    outs = []
+    pos_sets = [u_pos, mu_pos] if mu_pos.shape[0] else [u_pos]
+    for pos in pos_sets:
+        for i in range(pos.shape[0]):
+            g = jnp.take(t_keys, pos[i], axis=0).astype(jnp.uint32)
+            if u2e == u_count:
+                g2 = g
+            elif u2e > 0:
+                g2 = jnp.take(t_keys, pos[i, :u2e], axis=0) \
+                    .astype(jnp.uint32)
+            else:
+                g2 = None
+            for j in range(n_lanes):
+                m = (g - lo1[j][:, None]) <= sp1[j][:, None]
+                cnt = m.sum(axis=0, dtype=jnp.int32)
+                if g2 is not None:
+                    m2 = (g2 - lo2[j][:, None]) <= sp2[j][:, None]
+                    cnt = cnt + m2.sum(axis=0, dtype=jnp.int32)
+                outs.append(cnt)
+    return jnp.stack(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("u2",))
+def score_query_batch_union_qkeys(t_keys: jax.Array, u_pos: jax.Array,
+                                  mu_pos: jax.Array, qkeys: jax.Array,
+                                  tab_lo: jax.Array,
+                                  tab_span: jax.Array,
+                                  u2: int | None = None):
+    """Batched qkey scoring ([B, ...] stacks; the tables are shared).
+
+    Returns (best [B, T], mirrored [B, T], pair_flags [B, T] zeros)."""
+    n_straight = u_pos.shape[1] * qkeys.shape[1]
+
+    def one(args):
+        up, mp, qk = args
+        scores = score_query_union_qkeys_raw(
+            t_keys, up, mp, qk, tab_lo, tab_span, u2=u2)
+        return reduce_variants_device(
+            scores, jnp.zeros_like(scores), n_straight)
+
+    return jax.lax.map(one, (u_pos, mu_pos, qkeys))

@@ -201,6 +201,49 @@ def test_key_planes_from_packed_equals_direct_pack():
     assert (direct[-1] == 0).all()  # sentinel row
 
 
+@pytest.mark.parametrize("xy_shift", [2, 4])
+def test_union_qkeys_batch_equals_classic_keys(xy_shift):
+    """The qkey wire form (device-side table gather) must equal the
+    classic key kernel exactly, across shifts and a mask batch."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(41 + xy_shift)
+    h, w = 30, 40
+    queries = [_mk(rng, h, w, 250) for _ in range(3)]
+    targets = [_mk(rng, h, w, 200) for _ in range(7)] + [queries[0]]
+    thr, flu = 20, 1.0
+
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(np.stack(targets)), thr, common.rank_lut_device())
+    plans = [pixel_match.build_query_plan(
+        q, thr, mirror=True, xy_shift=xy_shift,
+        pix_color_fluctuation=flu) for q in queries]
+    kplans = [pixel_match.key_plan_from_query_plan(p, h * w, flu)
+              for p in plans]
+    best, mirrored, _ = pixel_match.score_query_batch_keys(
+        t_keys,
+        jnp.asarray(np.stack([kp.positions for kp in kplans])),
+        jnp.asarray(np.stack([kp.lo for kp in kplans])),
+        jnp.asarray(np.stack([kp.span for kp in kplans])),
+        n_straight=plans[0].n_straight)
+
+    fplans = [pixel_match.build_full_union_key_plan(
+        q, thr, mirror=True, xy_shift=xy_shift,
+        pix_color_fluctuation=flu) for q in queries]
+    assert all(p.qkeys is not None for p in fplans)
+    stacked = pixel_match.stack_union_qkey_args(fplans, h * w)
+    assert stacked is not None
+    *arrs, u2 = stacked
+    tabs = pixel_match.interval_table_arrays(flu / 100.0)
+    assert tabs is not None
+    qbest, qmirrored, qflags = pixel_match.score_query_batch_union_qkeys(
+        t_keys, *[jnp.asarray(a) for a in arrs],
+        jnp.asarray(tabs[0]), jnp.asarray(tabs[1]), u2=u2)
+    assert (np.asarray(qflags) == 0).all()
+    assert (np.asarray(qbest) == np.asarray(best)).all()
+    assert (np.asarray(qmirrored) == np.asarray(mirrored)).all()
+
+
 def test_sparse_key_planes_equal_dense():
     """The sparse COO upload path must produce BIT-IDENTICAL key planes
     to the dense device pack — including t_pad padding columns, the
