@@ -239,20 +239,33 @@ def bench_tpu_keys(target_rgb, plan, packed_max: int,
     assert int(final.max()) == packed_max, (int(final.max()), packed_max)
     union_rate = N_MASK_REPEATS * MASK_BATCH * N_TARGETS / dt
 
-    # full (x+y) union form: one gathered row set per orientation
+    # full (x+y) union form: one gathered row set per orientation, in
+    # the engine-default qkey wire form (device-side table gather +
+    # slot-2 segmentation) when available
     fplan = pixel_match.build_full_union_key_plan(
         mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
         excluded_region=region)
-    f_pos = jax.device_put(np.stack([fplan.u_pos] * MASK_BATCH))
-    fm_pos = jax.device_put(np.stack([fplan.mu_pos] * MASK_BATCH))
-    f_lo = jax.device_put(np.stack([fplan.lane_lo] * MASK_BATCH))
-    f_span = jax.device_put(np.stack([fplan.lane_span] * MASK_BATCH))
+    if fplan.qkeys is not None:
+        stacked = pixel_match.stack_union_qkey_args(
+            [fplan] * MASK_BATCH, h * w)
+        *arrs, fu2 = stacked
+        f_args = tuple(jax.device_put(a) for a in arrs)
+        tabs = pixel_match.interval_table_arrays(1.0 / 100.0)
+        f_tabs = tuple(jax.device_put(a) for a in tabs)
 
-    def full_union_once():
-        # u2 = slot-2 segmentation prefix — the engine default form
-        return pixel_match.score_query_batch_union_keys(
-            t_keys, f_pos, fm_pos, f_lo, f_span,
-            u2=(fplan.u2 if fplan.u2 >= 0 else None))
+        def full_union_once():
+            return pixel_match.score_query_batch_union_qkeys(
+                t_keys, *f_args, *f_tabs, u2=fu2)
+    else:
+        f_pos = jax.device_put(np.stack([fplan.u_pos] * MASK_BATCH))
+        fm_pos = jax.device_put(np.stack([fplan.mu_pos] * MASK_BATCH))
+        f_lo = jax.device_put(np.stack([fplan.lane_lo] * MASK_BATCH))
+        f_span = jax.device_put(np.stack([fplan.lane_span] * MASK_BATCH))
+
+        def full_union_once():
+            return pixel_match.score_query_batch_union_keys(
+                t_keys, f_pos, fm_pos, f_lo, f_span,
+                u2=(fplan.u2 if fplan.u2 >= 0 else None))
 
     np.asarray(full_union_once()[0])
     t0 = time.perf_counter()
@@ -654,7 +667,9 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
                       "--output-filename", f"{name}.json"])
         out = _os.path.join(tmp, "results")
         stages = ("cds.prepMasks.seconds", "cds.decodeTargets.seconds",
-                  "cds.packUpload.seconds", "cds.scoreAllPairs.seconds")
+                  "cds.packUpload.seconds", "cds.scoreAllPairs.seconds",
+                  "cds.planArgs.seconds", "cds.dispatch.seconds",
+                  "cds.emit.seconds")
         before = {s: GLOBAL.get(s) for s in stages}
         t0 = time.perf_counter()
         _run_cli(["colorDepthSearch",

@@ -500,8 +500,22 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6,
             t_keys, f_pos, fm_pos, f_lo, f_span,
             u2=(fu2 if fu2 >= 0 else None))
 
+    qk_stacked = pixel_match.stack_union_qkey_args([fplan] * b, h * w)
+    full_union_qkeys_once = None
+    if qk_stacked is not None:
+        *qk_arrs, qk_u2 = qk_stacked
+        qk_args = tuple(jax.device_put(a) for a in qk_arrs)
+        qk_tabs = tuple(jax.device_put(a) for a in
+                        pixel_match.interval_table_arrays(1.0 / 100.0))
+
+        def full_union_qkeys_once():
+            # engine-default wire form: device-side table gather
+            return pixel_match.score_query_batch_union_qkeys(
+                t_keys, *qk_args, *qk_tabs, u2=qk_u2)
+
     log(f"full-union slot-2 prefix u2={fplan.u2} (bucketed {fu2}) of "
-        f"U_pad {fu} ({max(fu2, 0) / fu:.1%})")
+        f"U_pad {fu} ({max(fu2, 0) / fu:.1%}); qkeys "
+        f"{'yes' if qk_stacked is not None else 'no'}")
     kb, km, _ = (np.asarray(x) for x in keys_once())
     ub, um, _ = (np.asarray(x) for x in union_once())
     fb, fm, _ = (np.asarray(x) for x in full_union_once())
@@ -517,13 +531,23 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6,
     assert (kb == sb).all() and (km == sm).all(), \
         np.argwhere(kb != sb)[:5]
 
+    if full_union_qkeys_once is not None:
+        qb, qm, _ = (np.asarray(x) for x in full_union_qkeys_once())
+        assert (kb == qb).all() and (km == qm).all(), \
+            np.argwhere(kb != qb)[:5]
+        log("qkeys equality: True / True")
+
     rows = {"rank_keys": v * q, "union_keys": n_sets * u,
             "full_union_keys": f_sets * fu,
-            "full_union_seg": f_sets * fu}
-    for name, fn in (("rank_keys", keys_once),
-                     ("union_keys", union_once),
-                     ("full_union_keys", full_union_once),
-                     ("full_union_seg", full_union_seg_once)):
+            "full_union_seg": f_sets * fu,
+            "full_union_qkeys": f_sets * fu}
+    variants = [("rank_keys", keys_once),
+                ("union_keys", union_once),
+                ("full_union_keys", full_union_once),
+                ("full_union_seg", full_union_seg_once)]
+    if full_union_qkeys_once is not None:
+        variants.append(("full_union_qkeys", full_union_qkeys_once))
+    for name, fn in variants:
         dt = time_step(fn, repeats)
         emit({
             "kind": name, "t_width": t_width, "mask_batch": b,
