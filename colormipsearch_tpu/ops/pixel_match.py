@@ -1344,6 +1344,89 @@ def score_query_batch_union_keys(t_keys: jax.Array, u_pos: jax.Array,
     return jax.lax.map(one, (u_pos, mu_pos, lane_lo, lane_span))
 
 
+def split_key_planes(t_keys: jax.Array):
+    """int32 [P+1, T] key planes -> (rank uint16, cls uint8) planes.
+
+    3 gathered bytes/element instead of 4.  For the CLASSIC kernel this
+    encoding is a measured dead end (row-issue-bound gathers,
+    DESIGN §6), but the full-union form runs at ~7.7M rows/s — far
+    below the ~36M rows/s issue ceiling — and is BANDWIDTH-bound at
+    ~126 GB/s, so two thinner gathers (0.75x bytes) trade favorably.
+    The kernel reconstructs k = (cls << KEY_RANK_BITS) | rank with one
+    shift+or per element.
+    """
+    v = t_keys.astype(jnp.uint32)
+    from colormipsearch_tpu.ops.common import KEY_RANK_BITS
+
+    rank = (v & ((1 << KEY_RANK_BITS) - 1)).astype(jnp.uint16)
+    cls = (v >> KEY_RANK_BITS).astype(jnp.uint8)
+    return rank, cls
+
+
+def score_query_union_keys_splitk_raw(t_rank: jax.Array,
+                                      t_cls: jax.Array,
+                                      u_pos: jax.Array,
+                                      mu_pos: jax.Array,
+                                      lane_lo: jax.Array,
+                                      lane_span: jax.Array,
+                                      u2: int | None = None):
+    """score_query_union_keys_raw over split (u16 rank + u8 cls) key
+    planes — identical results, 3 gathered bytes/element."""
+    from colormipsearch_tpu.ops.common import KEY_RANK_BITS
+
+    n_lanes = lane_lo.shape[0]
+    n_slots = lane_lo.shape[1]
+    u_count = lane_lo.shape[2]
+    seg = (u2 is not None and n_slots == 2 and 0 <= u2 < u_count)
+
+    def gather_keys(pos_v):
+        r = jnp.take(t_rank, pos_v, axis=0).astype(jnp.uint32)
+        c = jnp.take(t_cls, pos_v, axis=0).astype(jnp.uint32)
+        return (c << KEY_RANK_BITS) | r
+
+    outs = []
+    pos_sets = [u_pos, mu_pos] if mu_pos.shape[0] else [u_pos]
+    for pos in pos_sets:
+        for i in range(pos.shape[0]):
+            g = gather_keys(pos[i])
+            g2 = gather_keys(pos[i, :u2]) if seg and u2 > 0 else None
+            for j in range(n_lanes):
+                lo, sp = lane_lo[j], lane_span[j]
+                m = (g - lo[0][:, None]) <= sp[0][:, None]
+                if seg:
+                    cnt = m.sum(axis=0, dtype=jnp.int32)
+                    if u2 > 0:
+                        m2 = (g2 - lo[1][:u2, None]) <= sp[1][:u2, None]
+                        cnt = cnt + m2.sum(axis=0, dtype=jnp.int32)
+                    outs.append(cnt)
+                    continue
+                for s in range(1, n_slots):
+                    m = m | ((g - lo[s][:, None]) <= sp[s][:, None])
+                outs.append(m.sum(axis=0, dtype=jnp.int32))
+    return jnp.stack(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("u2",))
+def score_query_batch_union_keys_splitk(t_rank: jax.Array,
+                                        t_cls: jax.Array,
+                                        u_pos: jax.Array,
+                                        mu_pos: jax.Array,
+                                        lane_lo: jax.Array,
+                                        lane_span: jax.Array,
+                                        u2: int | None = None):
+    """Batched split-key-plane union scoring."""
+    n_straight = u_pos.shape[1] * lane_lo.shape[1]
+
+    def one(args):
+        up, mp, lo, sp = args
+        scores = score_query_union_keys_splitk_raw(
+            t_rank, t_cls, up, mp, lo, sp, u2=u2)
+        return reduce_variants_device(
+            scores, jnp.zeros_like(scores), n_straight)
+
+    return jax.lax.map(one, (u_pos, mu_pos, lane_lo, lane_span))
+
+
 def interval_table_arrays(z_tol: float):
     """The shared (lo, span) uint32 [2, 7 << KEY_RANK_BITS] per-key
     interval tables the qkey kernel gathers from, or None when the

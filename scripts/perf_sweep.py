@@ -160,6 +160,9 @@ def main():
                     help="A/B the x-union lane form of the key kernel "
                          "against the classic key kernel (keys planes "
                          "only — defaults to the production T=4096)")
+    ap.add_argument("--split-keys", action="store_true",
+                    help="A/B the full-union kernel on u32 vs split "
+                         "(u16 rank + u8 cls) key planes")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -185,6 +188,13 @@ def main():
         union_keys_experiment(
             t_width=int(args.widths.split(",")[-1]) if args.widths
             else 4096,
+            b=int(args.batches.split(",")[0]),
+            repeats_pairs=args.repeats_pairs, out=args.out)
+        return 0
+    if args.split_keys:
+        split_keys_experiment(
+            t_width=int(args.widths.split(",")[-1]) if args.widths
+            else 2048,
             b=int(args.batches.split(",")[0]),
             repeats_pairs=args.repeats_pairs, out=args.out)
         return 0
@@ -554,6 +564,72 @@ def union_keys_experiment(t_width=4096, b=8, repeats_pairs=4e6,
             "pairs_per_s": round(repeats * b * t_width / dt),
             "gather_gb_per_s": round(
                 repeats * b * rows[name] * t_width * 4 / dt / 1e9, 1),
+            "repeats": repeats, "secs": round(dt, 2)}, out)
+
+
+def split_keys_experiment(t_width=2048, b=8, repeats_pairs=4e6,
+                          out=None):
+    """A/B: full-union kernel on u32 key planes vs split (u16 rank +
+    u8 cls) planes.  For the classic kernel this was a row-issue dead
+    end; the full-union form is BANDWIDTH-bound at ~7.7M rows/s (far
+    below the issue ceiling), so 0.75x bytes should trade favorably
+    (DESIGN §6 round-4 entry)."""
+    import jax
+    import jax.numpy as jnp
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.oracle.pixel import label_regions_mask
+    from colormipsearch_tpu.ops import pixel_match
+
+    mask_rgb = read_image(MASK_TIF).as_rgb()
+    target_rgb = read_image(TARGET_TIF).as_rgb()
+    h, w = mask_rgb.shape[:2]
+    region = label_regions_mask(w, h)
+    fplan = pixel_match.build_full_union_key_plan(
+        mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        excluded_region=region)
+    fu = fplan.u_pos.shape[1]
+    fu2 = fplan.u2
+    if fu2 > 0:
+        fu2 = min(fu, pixel_match._bucket(fu2, minimum=128))
+
+    t0 = time.perf_counter()
+    t_keys = build_key_planes(target_rgb, t_width)
+    r16, c8 = pixel_match.split_key_planes(t_keys)
+    r16, c8 = jax.block_until_ready(r16), jax.block_until_ready(c8)
+    log(f"T={t_width}: planes u32 {t_keys.nbytes / 1e9:.1f} GB + split "
+        f"{(r16.nbytes + c8.nbytes) / 1e9:.1f} GB in "
+        f"{time.perf_counter() - t0:.1f}s; u2={fu2}")
+
+    f_pos = jax.device_put(np.stack([fplan.u_pos] * b))
+    fm_pos = jax.device_put(np.stack([fplan.mu_pos] * b))
+    f_lo = jax.device_put(np.stack([fplan.lane_lo] * b))
+    f_span = jax.device_put(np.stack([fplan.lane_span] * b))
+    repeats = max(2, int(repeats_pairs / (b * t_width)))
+
+    def u32_once():
+        return pixel_match.score_query_batch_union_keys(
+            t_keys, f_pos, fm_pos, f_lo, f_span,
+            u2=(fu2 if fu2 >= 0 else None))
+
+    def split_once():
+        return pixel_match.score_query_batch_union_keys_splitk(
+            r16, c8, f_pos, fm_pos, f_lo, f_span,
+            u2=(fu2 if fu2 >= 0 else None))
+
+    ub, um, _ = (np.asarray(x) for x in u32_once())
+    sb, sm, _ = (np.asarray(x) for x in split_once())
+    assert (ub == sb).all() and (um == sm).all(), \
+        np.argwhere(ub != sb)[:5]
+    log("split-keys equality: True")
+    rows = 2 * fu
+    for name, fn, bpe in (("full_union_u32", u32_once, 4),
+                          ("full_union_splitk", split_once, 3)):
+        dt = time_step(fn, repeats)
+        emit({
+            "kind": name, "t_width": t_width, "mask_batch": b,
+            "pairs_per_s": round(repeats * b * t_width / dt),
+            "gather_gb_per_s": round(
+                repeats * b * rows * t_width * bpe / dt / 1e9, 1),
             "repeats": repeats, "secs": round(dt, 2)}, out)
 
 
