@@ -669,7 +669,8 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
         stages = ("cds.prepMasks.seconds", "cds.decodeTargets.seconds",
                   "cds.packUpload.seconds", "cds.scoreAllPairs.seconds",
                   "cds.planArgs.seconds", "cds.dispatch.seconds",
-                  "cds.emit.seconds")
+                  "cds.emit.seconds", "cds.packSelect.seconds",
+                  "cds.packTransfer.seconds", "cds.packScatter.seconds")
         before = {s: GLOBAL.get(s) for s in stages}
         t0 = time.perf_counter()
         _run_cli(["colorDepthSearch",

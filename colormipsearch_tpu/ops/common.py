@@ -251,10 +251,15 @@ def pack_target_planes_keys_sparse(stack: "object", data_threshold: int,
     (key 0 everywhere else in BOTH paths — proven in
     tests/test_ops_pixel_keys.py).
     """
+    import time as _time
+
     import numpy as np
+
+    from colormipsearch_tpu.utils.metrics import GLOBAL as _M
 
     t, h, w, _ = stack.shape
     n_px = h * w
+    t0 = _time.time()
     sel = None
     try:
         from colormipsearch_tpu.io import native_decoder
@@ -279,9 +284,21 @@ def pack_target_planes_keys_sparse(stack: "object", data_threshold: int,
     tidx_p[:n] = tidx
     vals_p = np.zeros((n_pad, 3), np.uint8)
     vals_p[:n] = vals
-    return _scatter_key_planes(
-        jnp.asarray(pos_p), jnp.asarray(tidx_p), jnp.asarray(vals_p),
-        rank_lut, t_pad=t_pad, n_px=n_px)
+    _M.add("cds.packSelect.seconds", _time.time() - t0)
+    t0 = _time.time()
+    d_pos = jnp.asarray(pos_p)
+    d_tidx = jnp.asarray(tidx_p)
+    d_vals = jnp.asarray(vals_p)
+    import jax as _jax
+
+    d_vals = _jax.block_until_ready(d_vals)
+    _M.add("cds.packTransfer.seconds", _time.time() - t0)
+    t0 = _time.time()
+    out = _scatter_key_planes(
+        d_pos, d_tidx, d_vals, rank_lut, t_pad=t_pad, n_px=n_px)
+    np.asarray(out[-1, :1])  # force the scatter (tunnel-safe sync)
+    _M.add("cds.packScatter.seconds", _time.time() - t0)
+    return out
 
 
 @jax.jit
