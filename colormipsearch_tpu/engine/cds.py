@@ -548,13 +548,18 @@ class CDSearchEngine:
         def build():
             import concurrent.futures
 
-            # union builds are the heaviest host plan work (per-lane
-            # table gathers over the dilated support); fan the batch out
-            # like the mask prep does
-            with concurrent.futures.ThreadPoolExecutor(
-                    max_workers=min(len(batch),
-                                    self.decode_concurrency)) as pool:
-                ups = list(pool.map(build_one, batch))
+            if isinstance(plans[0], pixel_match.UnionKeyPlan):
+                # the prep pass already built the union plans (pure
+                # full-union path) — no per-batch rebuild
+                ups = plans
+            else:
+                # union builds are the heaviest host plan work (per-lane
+                # table gathers over the dilated support); fan the batch
+                # out like the mask prep does
+                with concurrent.futures.ThreadPoolExecutor(
+                        max_workers=min(len(batch),
+                                        self.decode_concurrency)) as pool:
+                    ups = list(pool.map(build_one, batch))
             # qkey wire form when available (full-union plans under the
             # table disjointness proof): ~3.5x fewer uploaded bytes per
             # mask — the device gathers lo/span from the shared table
@@ -651,6 +656,16 @@ class CDSearchEngine:
         # the numpy classify/shift work all release the GIL) — at
         # production scale (44k masks x ~36 ms/plan) a serial build
         # would exceed the device scoring time
+        # on the pure full-union path the CLASSIC plan is never consumed
+        # (the qkey/table dispatch and the emit ratio only need the
+        # union plan), so prep builds the union plan DIRECTLY — one
+        # build per mask instead of classic-at-prep + union-at-batch,
+        # and light plans drop the expanded lane tables when the qkey
+        # wire form applies (~740 KB/mask of host RAM at 44k masks)
+        union_prep = (self.use_union_keys == "full"
+                      and self.use_key_planes
+                      and self.neg_query_rgb is None)
+
         def prep_mask(mask):
             mask_mip = mips_io.load_compute_file(
                 mask, ComputeFileType.InputColorDepthImage)
@@ -660,11 +675,18 @@ class CDSearchEngine:
             mask_rgb = mask_mip.image.as_rgb()
             h, w = mask_rgb.shape[:2]
             region = p.excluded_region(h, w)
-            plan = pixel_match.build_query_plan(
-                mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
-                xy_shift=p.xy_shift,
-                pix_color_fluctuation=p.pix_color_fluctuation,
-                excluded_region=region)
+            if union_prep:
+                plan = pixel_match.build_full_union_key_plan(
+                    mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
+                    xy_shift=p.xy_shift,
+                    pix_color_fluctuation=p.pix_color_fluctuation,
+                    excluded_region=region, light=True)
+            else:
+                plan = pixel_match.build_query_plan(
+                    mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
+                    xy_shift=p.xy_shift,
+                    pix_color_fluctuation=p.pix_color_fluctuation,
+                    excluded_region=region)
             if plan.query_size == 0:
                 return None
             neg_plan = None
@@ -687,7 +709,9 @@ class CDSearchEngine:
             if entry is None:
                 continue
             _, mask_rgb, _, plan, neg_plan = entry
-            key = (mask_rgb.shape[:2], plan.positions.shape[1],
+            q_pad = (plan.u_pos.shape[1] if union_prep
+                     else plan.positions.shape[1])
+            key = (mask_rgb.shape[:2], q_pad,
                    None if neg_plan is None else neg_plan.positions.shape[1])
             groups.setdefault(key, []).append(entry)
         if masks and not groups:

@@ -956,7 +956,8 @@ class UnionKeyPlan:
 
     @property
     def n_lanes(self) -> int:
-        return self.lane_lo.shape[0]
+        return (self.lane_lo.shape[0] if self.lane_lo is not None
+                else self.qkeys.shape[0])
 
     @property
     def n_straight(self) -> int:
@@ -1078,7 +1079,8 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
                               *, mirror: bool, xy_shift: int,
                               pix_color_fluctuation,
                               excluded_region: np.ndarray | None = None,
-                              pad_to: int | None = None) -> UnionKeyPlan:
+                              pad_to: int | None = None,
+                              light: bool = False) -> UnionKeyPlan:
     """Full (x+y) union form: ONE gathered row set per orientation, every
     shift offset an interval lane (S=1, L=n_offsets in UnionKeyPlan
     terms).  ~0.5x the gathered rows of the x-union form for ~1.5x the
@@ -1197,6 +1199,12 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         if qkeys is not None:
             qkeys = np.ascontiguousarray(qkeys[:, perm])
         u2 = int(any2.sum())
+    if light and qkeys is not None:
+        # qkey wire form only: drop the expanded lane tables (~740 KB/
+        # mask) — the engine's qkey dispatch never touches them, and at
+        # production mask counts holding them for every prepped mask
+        # costs GBs of host RAM
+        lane_lo = lane_span = None
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
                         int(positions.size), mirror, u2=u2,
                         qkeys=qkeys, z_tol=ztol)
@@ -1213,7 +1221,8 @@ def pad_union_key_plan(plan: UnionKeyPlan, u_pad: int,
     ``n_slots`` additionally pads the (compacted) interval-slot axis so
     plans with different slot counts stack too."""
     u = plan.u_pos.shape[1]
-    s = plan.lane_lo.shape[1]
+    light = plan.lane_lo is None
+    s = 2 if light else plan.lane_lo.shape[1]
     s_pad = s if n_slots is None else n_slots
     if u_pad == u and s_pad == s:
         return plan
@@ -1228,8 +1237,9 @@ def pad_union_key_plan(plan: UnionKeyPlan, u_pad: int,
     return UnionKeyPlan(
         np.pad(plan.u_pos, padw, constant_values=n_pixels),
         np.pad(plan.mu_pos, padw, constant_values=n_pixels),
-        np.pad(plan.lane_lo, lane_pad, constant_values=int(_EMPTY_LO)),
-        np.pad(plan.lane_span, lane_pad),
+        None if light else np.pad(plan.lane_lo, lane_pad,
+                                  constant_values=int(_EMPTY_LO)),
+        None if light else np.pad(plan.lane_span, lane_pad),
         plan.query_size, plan.mirror, u2=plan.u2,
         qkeys=(None if plan.qkeys is None
                else np.pad(plan.qkeys, padw)),
@@ -1445,6 +1455,8 @@ def stack_union_qkey_args(plans: list, n_pixels: int):
     than the expanded lane tables: the device re-expands lo/span by
     gathering the shared per-tolerance table."""
     if any(p.qkeys is None for p in plans):
+        assert all(p.lane_lo is not None for p in plans), \
+            "light union plans (no lane tables) require qkeys"
         return None
     u_pad = max(p.u_pos.shape[1] for p in plans)
     u2s = [p.u2 if p.u2 >= 0 else u_pad for p in plans]
