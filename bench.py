@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import contextlib
 import io
 import json
 import sys
@@ -850,6 +851,30 @@ def bench_oracle_baseline(mask_rgb, targets, region):
     return single_core * REFERENCE_NODE_THREADS
 
 
+class _SectionTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def _watchdog(name: str, seconds: int):
+    """SIGALRM watchdog for the optional bench sections: a wedged
+    tunnel mid-section must not lose the WHOLE round artifact (the
+    headline line prints regardless; the timed-out section reports its
+    failure in extras)."""
+    import signal
+
+    def _raise(signum, frame):
+        raise _SectionTimeout(name)
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main() -> int:
     mask_rgb, target_rgb, host_sample, region = build_workload()
     (packed_rate, gather_gb_s, keys_rate, union_rate, full_union_rate,
@@ -861,22 +886,38 @@ def main() -> int:
         sweep = mesh_sweep()
         if sweep:
             e2e["mesh_sweep"] = sweep
+    e2e_cds_rate = None
     if _os.environ.get("CDS_BENCH_E2E", "1") != "0":
-        e2e_cds_rate, e2e_cds_split = bench_e2e_cds(mask_rgb, target_rgb)
-        e2e_shape_hit, e2e_shape_build, e2e_shape_split = \
-            bench_e2e_shape(mask_rgb, target_rgb)
+        try:
+            with _watchdog("e2e", int(_os.environ.get(
+                    "CDS_BENCH_E2E_TIMEOUT", "1800"))):
+                e2e_cds_rate, e2e_cds_split = bench_e2e_cds(
+                    mask_rgb, target_rgb)
+                e2e_shape_hit, e2e_shape_build, e2e_shape_split = \
+                    bench_e2e_shape(mask_rgb, target_rgb)
+        except _SectionTimeout:
+            e2e["e2e_error"] = "e2e section timed out (wedged tunnel?)"
+            print("# e2e section timed out", file=sys.stderr, flush=True)
     if _os.environ.get("CDS_BENCH_DRESS", "1") != "0":
-        dress_rate, dress_split = bench_dress_rehearsal(
-            mask_rgb, target_rgb)
-        e2e |= {
-            "e2e_dress_pairs_per_s": round(dress_rate, 1),
-            "e2e_dress_unit": "production-shaped colorDepthSearch CLI "
-                              f"({DRESS_MASKS} on-disk masks x "
-                              f"{DRESS_TARGETS} on-disk targets, "
-                              "decode+upload amortized)",
-            "e2e_dress_split": dress_split,
-        }
-    if _os.environ.get("CDS_BENCH_E2E", "1") != "0":
+        try:
+            with _watchdog("dress", int(_os.environ.get(
+                    "CDS_BENCH_DRESS_TIMEOUT", "2700"))):
+                dress_rate, dress_split = bench_dress_rehearsal(
+                    mask_rgb, target_rgb)
+            e2e |= {
+                "e2e_dress_pairs_per_s": round(dress_rate, 1),
+                "e2e_dress_unit": "production-shaped colorDepthSearch "
+                                  f"CLI ({DRESS_MASKS} on-disk masks x "
+                                  f"{DRESS_TARGETS} on-disk targets, "
+                                  "decode+upload amortized)",
+                "e2e_dress_split": dress_split,
+            }
+        except _SectionTimeout:
+            e2e["e2e_dress_error"] = \
+                "dress section timed out (wedged tunnel?)"
+            print("# dress section timed out", file=sys.stderr,
+                  flush=True)
+    if e2e_cds_rate is not None:
         e2e |= {
             "e2e_cds_pairs_per_s": round(e2e_cds_rate, 1),
             "e2e_cds_unit": "decode-inclusive colorDepthSearch CLI run "
