@@ -949,6 +949,11 @@ class UnionKeyPlan:
     # host->device link).  None on the 3-slot fallback path.
     qkeys: np.ndarray | None = None
     z_tol: float | None = None
+    # factored qkey wire form (2x smaller again): qidx uint16 [L, U]
+    # indexes key_list int32 [Q_pad + 1] (last entry = 0, the inactive
+    # slot); qkeys[j, u] == key_list[qidx[j, u]].  Present iff qkeys is.
+    qidx: np.ndarray | None = None
+    key_list: np.ndarray | None = None
 
     @property
     def n_sets(self) -> int:
@@ -1143,8 +1148,12 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
     lane_lo = np.empty((len(offsets), n_slots0, u_count), np.uint32)
     lane_span = np.empty_like(lane_lo)
     lane_any2 = np.zeros((len(offsets), u_count), bool)
+    n_q = positions.size
+    factored = tab2 is not None and n_q < 65535
     qkeys = (np.zeros((len(offsets), u_count), np.int32)
              if tab2 is not None else None)
+    qidx = (np.full((len(offsets), u_count), n_q, np.uint16)
+            if factored else None)
     for j, (dx, dy) in enumerate(offsets):
         qx = ux - dx
         qy = uy - dy
@@ -1156,6 +1165,8 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         if tab2 is not None:
             k_lane = np.where(active, key_q[idx], 0)
             qkeys[j] = k_lane
+            if factored:
+                qidx[j] = np.where(active, jj, n_q)
             lane_lo[j] = tab_lo[:, k_lane]
             lane_span[j] = tab_span[:, k_lane]
             lane_any2[j] = tab_any2[k_lane]
@@ -1164,6 +1175,12 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
                 np.where(active, cls[idx], 0),
                 np.where(active, s[idx], 0),
                 np.where(active, p[idx], 0), ztol)
+    key_list = None
+    if factored:
+        # key_list[q] = the query pixel's key; the trailing slot is the
+        # inactive 0-key every out-of-lane element points at
+        key_list = np.zeros(n_q + 1, np.int32)
+        key_list[:n_q] = key_q.astype(np.int32)
 
     # one straight row set; the mirrored set reuses the lane table —
     # mirror(q + dx + dy*w) = mirror_x(q) - dx + dy*w, so it covers the
@@ -1198,6 +1215,8 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         lane_span = np.ascontiguousarray(lane_span[:, :, perm])
         if qkeys is not None:
             qkeys = np.ascontiguousarray(qkeys[:, perm])
+        if qidx is not None:
+            qidx = np.ascontiguousarray(qidx[:, perm])
         u2 = int(any2.sum())
     if light and qkeys is not None:
         # qkey wire form only: drop the expanded lane tables (~740 KB/
@@ -1207,7 +1226,8 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         lane_lo = lane_span = None
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
                         int(positions.size), mirror, u2=u2,
-                        qkeys=qkeys, z_tol=ztol)
+                        qkeys=qkeys, z_tol=ztol, qidx=qidx,
+                        key_list=key_list)
     return pad_union_key_plan(
         plan, pad_to if pad_to is not None else _bucket(u_count), n_pixels)
 
@@ -1243,7 +1263,12 @@ def pad_union_key_plan(plan: UnionKeyPlan, u_pad: int,
         plan.query_size, plan.mirror, u2=plan.u2,
         qkeys=(None if plan.qkeys is None
                else np.pad(plan.qkeys, padw)),
-        z_tol=plan.z_tol)
+        z_tol=plan.z_tol,
+        # pad elements point at the plan's own inactive 0-key slot
+        qidx=(None if plan.qidx is None
+              else np.pad(plan.qidx, padw,
+                          constant_values=plan.query_size)),
+        key_list=plan.key_list)
 
 
 def stack_union_plan_args(plans: list, n_pixels: int):
@@ -1449,12 +1474,14 @@ def interval_table_arrays(z_tol: float):
 
 
 def stack_union_qkey_args(plans: list, n_pixels: int):
-    """[B, ...] stacks of (u_pos, mu_pos, qkeys) + static u2 for the
-    qkey wire form, or None when any plan lacks qkeys (3-slot
-    tolerance, or disjointness unproven).  ~3.5x fewer plan-arg bytes
-    than the expanded lane tables: the device re-expands lo/span by
-    gathering the shared per-tolerance table."""
-    if any(p.qkeys is None for p in plans):
+    """[B, ...] stacks of (u_pos, mu_pos, qidx, key_list) + static u2
+    for the factored qkey wire form, or None when any plan lacks it
+    (3-slot tolerance, disjointness unproven, or a >=65535-px query).
+    ~7x fewer plan-arg bytes than the expanded lane tables: per-lane
+    elements carry u16 indices into the mask's key list, and the
+    device re-expands lo/span by gathering the shared per-tolerance
+    table."""
+    if any(p.qkeys is None or p.qidx is None for p in plans):
         assert all(p.lane_lo is not None for p in plans), \
             "light union plans (no lane tables) require qkeys"
         return None
@@ -1464,22 +1491,32 @@ def stack_union_qkey_args(plans: list, n_pixels: int):
     if 0 < u2_pad < u_pad:
         u2_pad = min(u_pad, _bucket(u2_pad, minimum=128))
     plans = [pad_union_key_plan(p, u_pad, n_pixels) for p in plans]
+    kl_pad = _bucket(max(p.key_list.size for p in plans), minimum=512)
+    kl = np.zeros((len(plans), kl_pad), np.int32)
+    for i, p in enumerate(plans):
+        # trailing zeros keep every inactive index (q = query_size)
+        # pointing at a 0 key
+        kl[i, :p.key_list.size] = p.key_list
     return (np.stack([p.u_pos for p in plans]),
             np.stack([p.mu_pos for p in plans]),
-            np.stack([p.qkeys for p in plans]),
+            np.stack([p.qidx for p in plans]),
+            kl,
             u2_pad)
 
 
 def score_query_union_qkeys_raw(t_keys: jax.Array, u_pos: jax.Array,
-                                mu_pos: jax.Array, qkeys: jax.Array,
+                                mu_pos: jax.Array, qidx: jax.Array,
+                                key_list: jax.Array,
                                 tab_lo: jax.Array, tab_span: jax.Array,
                                 u2: int | None = None):
     """Qkey wire-form twin of score_query_union_keys_raw: per-lane
-    interval bounds are gathered ON DEVICE from the shared per-tolerance
-    table (tab_lo/tab_span uint32 [2, n_keys]) at the plan's query keys
-    (qkeys int32 [L, U], 0 = inactive -> empty windows).  Always the
-    segmented no-OR form — qkeys exist only under the table's
-    window-disjointness proof."""
+    query keys are expanded from the factored wire form (qidx uint16
+    [L, U] indexing key_list int32 [KL]; index query_size -> key 0 =
+    inactive), then interval bounds are gathered ON DEVICE from the
+    shared per-tolerance table (tab_lo/tab_span uint32 [2, n_keys]).
+    Always the segmented no-OR form — the factored form exists only
+    under the table's window-disjointness proof."""
+    qkeys = jnp.take(key_list, qidx.astype(jnp.int32))
     n_lanes = qkeys.shape[0]
     u_count = qkeys.shape[1]
     u2e = u2 if (u2 is not None and 0 <= u2 <= u_count) else u_count
@@ -1512,20 +1549,21 @@ def score_query_union_qkeys_raw(t_keys: jax.Array, u_pos: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("u2",))
 def score_query_batch_union_qkeys(t_keys: jax.Array, u_pos: jax.Array,
-                                  mu_pos: jax.Array, qkeys: jax.Array,
+                                  mu_pos: jax.Array, qidx: jax.Array,
+                                  key_list: jax.Array,
                                   tab_lo: jax.Array,
                                   tab_span: jax.Array,
                                   u2: int | None = None):
     """Batched qkey scoring ([B, ...] stacks; the tables are shared).
 
     Returns (best [B, T], mirrored [B, T], pair_flags [B, T] zeros)."""
-    n_straight = u_pos.shape[1] * qkeys.shape[1]
+    n_straight = u_pos.shape[1] * qidx.shape[1]
 
     def one(args):
-        up, mp, qk = args
+        up, mp, qi, kl = args
         scores = score_query_union_qkeys_raw(
-            t_keys, up, mp, qk, tab_lo, tab_span, u2=u2)
+            t_keys, up, mp, qi, kl, tab_lo, tab_span, u2=u2)
         return reduce_variants_device(
             scores, jnp.zeros_like(scores), n_straight)
 
-    return jax.lax.map(one, (u_pos, mu_pos, qkeys))
+    return jax.lax.map(one, (u_pos, mu_pos, qidx, key_list))

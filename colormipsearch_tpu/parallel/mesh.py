@@ -329,25 +329,26 @@ def make_sharded_batch_step_union_qkeys(mesh: Mesh, *, top_k: int = 0,
     args are (u_pos, mu_pos, qkeys) plus the replicated shared interval
     tables; per-lane bounds are gathered on device."""
 
-    def local_step(t_keys, u_pos, mu_pos, qkeys, tab_lo, tab_span):
-        n_straight = u_pos.shape[1] * qkeys.shape[1]
+    def local_step(t_keys, u_pos, mu_pos, qidx, key_list, tab_lo,
+                   tab_span):
+        n_straight = u_pos.shape[1] * qidx.shape[1]
 
         def one(args):
-            up, mp, qk = args
+            up, mp, qi, kl = args
             scores = pixel_match.score_query_union_qkeys_raw(
-                t_keys, up, mp, qk, tab_lo, tab_span, u2=u2)
+                t_keys, up, mp, qi, kl, tab_lo, tab_span, u2=u2)
             return pixel_match.reduce_variants_device(
                 scores, jnp.zeros_like(scores), n_straight)
 
         best, mirrored, pair_flags = jax.lax.map(
-            one, (u_pos, mu_pos, qkeys))
+            one, (u_pos, mu_pos, qidx, key_list))
         return _finish_batched_step(best, mirrored, pair_flags, top_k)
 
     step = shard_map(
         local_step, mesh=mesh,
         in_specs=(P(None, TARGET_AXIS), P(None, None, None),
                   P(None, None, None), P(None, None, None),
-                  P(None, None), P(None, None)),
+                  P(None, None), P(None, None), P(None, None)),
         out_specs=_batched_out_specs(top_k),
         check_rep=False)
     return jax.jit(step)
