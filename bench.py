@@ -666,6 +666,9 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
             _run_cli(["createColorDepthSearchDataInput", "-i", d,
                       "-l", f"dress-{name}", "-od", tmp,
                       "--output-filename", f"{name}.json"])
+        # wide dispatches amortize per-batch round trips at this mask
+        # count (engine reads the env at construction)
+        _os.environ.setdefault("CDS_MASK_BATCH", "64")
         out = _os.path.join(tmp, "results")
         stages = ("cds.prepMasks.seconds", "cds.decodeTargets.seconds",
                   "cds.packUpload.seconds", "cds.scoreAllPairs.seconds",
