@@ -449,6 +449,10 @@ class CDSearchEngine:
         self._sharded_steps: dict = {}
         self._plan_args_cache: dict = {}
         self._itabs = None  # device interval tables (qkey wire form)
+        # re-read the env at construction so in-process callers (bench)
+        # can tune the dispatch width per run
+        self.MASK_BATCH = int(os.environ.get(
+            "CDS_MASK_BATCH", str(type(self).MASK_BATCH)))
         if use_mesh and len(jax.devices()) > 1:
             from colormipsearch_tpu.parallel import create_mesh
 

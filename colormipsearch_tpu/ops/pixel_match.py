@@ -1390,12 +1390,17 @@ def split_key_planes(t_keys: jax.Array):
     The kernel reconstructs k = (cls << KEY_RANK_BITS) | rank with one
     shift+or per element.
     """
-    v = t_keys.astype(jnp.uint32)
     from colormipsearch_tpu.ops.common import KEY_RANK_BITS
 
-    rank = (v & ((1 << KEY_RANK_BITS) - 1)).astype(jnp.uint16)
-    cls = (v >> KEY_RANK_BITS).astype(jnp.uint8)
-    return rank, cls
+    @jax.jit
+    def _split(v):
+        # jitted so XLA fuses the elementwise ops: eager mode
+        # materializes multi-GB temporaries and OOMs at wide T
+        v = v.astype(jnp.uint32)
+        return ((v & ((1 << KEY_RANK_BITS) - 1)).astype(jnp.uint16),
+                (v >> KEY_RANK_BITS).astype(jnp.uint8))
+
+    return _split(t_keys)
 
 
 def score_query_union_keys_splitk_raw(t_rank: jax.Array,
