@@ -674,7 +674,7 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
                   "cds.packUpload.seconds", "cds.scoreAllPairs.seconds",
                   "cds.planArgs.seconds", "cds.dispatch.seconds",
                   "cds.emit.seconds", "cds.packSelect.seconds",
-                  "cds.packTransfer.seconds", "cds.packScatter.seconds")
+                  "cds.packScatter.seconds")
         before = {s: GLOBAL.get(s) for s in stages}
         t0 = time.perf_counter()
         _run_cli(["colorDepthSearch",
@@ -901,6 +901,10 @@ def main() -> int:
         except _SectionTimeout:
             e2e["e2e_error"] = "e2e section timed out (wedged tunnel?)"
             print("# e2e section timed out", file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001 - keep the headline alive
+            e2e["e2e_error"] = f"e2e section failed: {e!r}"[:300]
+            print(f"# e2e section failed: {e!r}", file=sys.stderr,
+                  flush=True)
     if _os.environ.get("CDS_BENCH_DRESS", "1") != "0":
         try:
             with _watchdog("dress", int(_os.environ.get(
@@ -919,6 +923,10 @@ def main() -> int:
             e2e["e2e_dress_error"] = \
                 "dress section timed out (wedged tunnel?)"
             print("# dress section timed out", file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 - keep the headline alive
+            e2e["e2e_dress_error"] = f"dress failed: {e!r}"[:300]
+            print(f"# dress section failed: {e!r}", file=sys.stderr,
                   flush=True)
     if e2e_cds_rate is not None:
         e2e |= {

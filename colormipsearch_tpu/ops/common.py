@@ -201,46 +201,36 @@ def pack_target_planes_keys(rgb_stack: jax.Array, data_threshold: int,
     return jnp.pad(planes, ((0, 1), (0, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("t_pad", "n_px"))
-def _scatter_key_planes(pos: jax.Array, counts: jax.Array,
-                        rgb: jax.Array, rank_lut: jax.Array, *,
-                        t_pad: int, n_px: int) -> jax.Array:
-    """Sparse foreground pixels -> int32 [P+1, T] rank-key planes.
+# elements per scatter chunk: bounds the scatter's index-tensor
+# transient (XLA materializes [chunk, 2] s32 pairs — an UNCHUNKED
+# 58.7M-element dress shard allocated 30 GB and OOMed) and gives every
+# shard the same compiled chunk shape
+_SCATTER_CHUNK = 4 << 20
 
-    Classify + rank ONLY the uploaded foreground pixels, then scatter
-    their keys into zero-initialized planes.  The target index is
-    RECONSTRUCTED on device from the per-target foreground counts
-    (elements arrive target-major from the COO select), saving 4 of
-    the 9 uploaded bytes per pixel.  Pad elements (i >= sum(counts))
-    carry pos = n_px (the sentinel row) and rgb = 0 -> key 0, and
+
+@functools.partial(jax.jit, static_argnames=("t_pad", "n_px"),
+                   donate_argnums=(0,))
+def _scatter_key_chunk(planes: jax.Array, pos: jax.Array,
+                       rgb: jax.Array, cum: jax.Array,
+                       start: jax.Array, rank_lut: jax.Array, *,
+                       t_pad: int, n_px: int) -> jax.Array:
+    """Scatter one chunk of sparse foreground pixels into the donated
+    [P+1, T] planes.  The target index is RECONSTRUCTED on device from
+    the cumulative per-target foreground counts (elements arrive
+    target-major from the COO select), saving 4 of the 9 uploaded
+    bytes per pixel.  Pad elements (global index >= sum(counts)) carry
+    pos = n_px (the sentinel row) and rgb = 0 -> key 0, and
     searchsorted sends them past the last target (clamped), so the
-    sentinel row stays all-zero.
-    """
+    sentinel row stays all-zero."""
     cls, s, p, _ = classify(rgb)
     rank = jnp.take(rank_lut, (s << 8) | p)
     key = jnp.where(cls > 0, (cls << KEY_RANK_BITS) | rank, 0) \
         .astype(jnp.int32)
-    cum = jnp.cumsum(counts)
-    tidx = jnp.searchsorted(
-        cum, jnp.arange(pos.shape[0], dtype=counts.dtype),
-        side="right")
+    gidx = start + jnp.arange(pos.shape[0], dtype=cum.dtype)
+    tidx = jnp.searchsorted(cum, gidx, side="right")
     tidx = jnp.minimum(tidx, t_pad - 1).astype(jnp.int32)
-    planes = jnp.zeros((n_px + 1, t_pad), jnp.int32)
     return planes.at[pos, tidx].set(key, mode="drop",
                                     unique_indices=False)
-
-
-def _sparse_bucket(n: int, minimum: int = 1 << 16) -> int:
-    """Pad sparse element counts to the {1, 1.25, 1.5, 1.75} x 2^k
-    ladder so scatter-kernel shapes are reused across shards."""
-    b = minimum
-    while b < n:
-        b *= 2
-    for frac in (5, 6, 7):
-        cand = b // 8 * frac
-        if cand >= n:
-            return cand
-    return b
 
 
 def pack_target_planes_keys_sparse(stack: "object", data_threshold: int,
@@ -287,26 +277,26 @@ def pack_target_planes_keys_sparse(stack: "object", data_threshold: int,
         vals = flat[tidx, pos]
     n = pos.size
     counts = np.bincount(tidx, minlength=t_pad).astype(np.int32)
-    n_pad = _sparse_bucket(n)
+    # pad to whole scatter chunks: ONE compiled chunk shape serves
+    # every shard size (and every run — the compile is tunnel-expensive)
+    n_pad = max(_SCATTER_CHUNK,
+                -(-n // _SCATTER_CHUNK) * _SCATTER_CHUNK)
     pos_p = np.full(n_pad, n_px, np.int32)
     pos_p[:n] = pos
     vals_p = np.zeros((n_pad, 3), np.uint8)
     vals_p[:n] = vals
     _M.add("cds.packSelect.seconds", _time.time() - t0)
     t0 = _time.time()
-    d_pos = jnp.asarray(pos_p)
-    d_counts = jnp.asarray(counts)
-    d_vals = jnp.asarray(vals_p)
-    import jax as _jax
-
-    d_vals = _jax.block_until_ready(d_vals)
-    _M.add("cds.packTransfer.seconds", _time.time() - t0)
-    t0 = _time.time()
-    out = _scatter_key_planes(
-        d_pos, d_counts, d_vals, rank_lut, t_pad=t_pad, n_px=n_px)
-    np.asarray(out[-1, :1])  # force the scatter (tunnel-safe sync)
+    d_cum = jnp.asarray(np.cumsum(counts).astype(np.int64))
+    planes = jnp.zeros((n_px + 1, t_pad), jnp.int32)
+    for c0 in range(0, n_pad, _SCATTER_CHUNK):
+        planes = _scatter_key_chunk(
+            planes, jnp.asarray(pos_p[c0:c0 + _SCATTER_CHUNK]),
+            jnp.asarray(vals_p[c0:c0 + _SCATTER_CHUNK]), d_cum,
+            jnp.int64(c0), rank_lut, t_pad=t_pad, n_px=n_px)
+    np.asarray(planes[-1, :1])  # force the scatter (tunnel-safe sync)
     _M.add("cds.packScatter.seconds", _time.time() - t0)
-    return out
+    return planes
 
 
 @jax.jit
