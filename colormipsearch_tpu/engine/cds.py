@@ -704,6 +704,18 @@ class CDSearchEngine:
                     excluded_region=region)
             return (mask, mask_rgb, region, plan, neg_plan)
 
+        # start decoding + packing the FIRST target shard while the
+        # masks prep (different resources: shard decode is native-
+        # threaded C++ + device transfer, prep is numpy): at production
+        # mask counts prep takes minutes and fully hides the target
+        # decode+upload
+        shard_iter = iter_target_shards(
+            list(targets), pack_threshold=p.data_threshold,
+            plane_kind="keys" if self.use_key_planes else "packed")
+        shard0_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1)
+        shard0_fut = shard0_pool.submit(lambda: next(shard_iter, None))
+
         groups: dict[tuple, list] = {}
         with stage_timer("cds.prepMasks"), \
                 concurrent.futures.ThreadPoolExecutor(
@@ -729,13 +741,18 @@ class CDSearchEngine:
         n_matches = 0
         n_targets = 0
         n_pairs = 0
+        def _shards():
+            first = shard0_fut.result()
+            shard0_pool.shutdown()
+            if first is not None:
+                yield first
+            yield from shard_iter
+
         with stage_timer("cds.scoreAllPairs"):
             # targets stream in device-sized tiles, decode of the next
-            # tile overlapping the scoring of the current one
-            for shard in iter_target_shards(
-                    list(targets), pack_threshold=p.data_threshold,
-                    plane_kind="keys" if self.use_key_planes
-                    else "packed"):
+            # tile overlapping the scoring of the current one (and the
+            # FIRST tile overlapping the mask prep above)
+            for shard in _shards():
                 n_targets += shard.count
                 for (shape, *_), entries in groups.items():
                     if shape != shard.shape:
