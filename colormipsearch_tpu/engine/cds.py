@@ -938,10 +938,12 @@ class CDSearchEngine:
                 best, mirrored, pair_flags = \
                     pixel_match.score_query_batch_union_qkeys(
                         shard.planes, *kargs, u2=u2)
+                pair_flags = None  # structurally zero: skip the pull
             elif union:
                 best, mirrored, pair_flags = \
                     pixel_match.score_query_batch_union_keys(
                         shard.planes, *kargs, u2=u2)
+                pair_flags = None  # structurally zero: skip the pull
             else:
                 best, mirrored, pair_flags = \
                     pixel_match.score_query_batch_keys(
@@ -1051,7 +1053,8 @@ class CDSearchEngine:
 
         best = pull_target_cols(best)[:, :shard.count]
         mirrored = pull_target_cols(mirrored)[:, :shard.count]
-        pair_flags = pull_target_cols(pair_flags)[:, :shard.count]
+        pair_flags = (np.zeros_like(best) if pair_flags is None
+                      else pull_target_cols(pair_flags)[:, :shard.count])
         _METRICS.add("cds.dispatch.seconds", time.time() - t_disp0)
         t_emit0 = time.time()
 
