@@ -356,7 +356,7 @@ def bench_shape_tpu(mask_rgb, target_rgb, region):
 
 E2E_CDS_MASKS = int(_os.environ.get("CDS_BENCH_E2E_MASKS", 16))
 E2E_CDS_TARGETS = int(_os.environ.get("CDS_BENCH_E2E_TARGETS", 96))
-E2E_SHAPE_TARGETS = int(_os.environ.get("CDS_BENCH_E2E_SHAPE_TARGETS", 1024))
+E2E_SHAPE_TARGETS = int(_os.environ.get("CDS_BENCH_E2E_SHAPE_TARGETS", 2048))
 
 
 def _synth_cdm_library(out_dir, src_rgb, n, *, seed, fmt="tif"):
