@@ -247,16 +247,22 @@ def bench_tpu_keys(target_rgb, plan, packed_max: int,
         mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
         excluded_region=region)
     if fplan.qkeys is not None:
+        # the engine-default flow: factored wire form, lane tables
+        # expanded ON DEVICE once per batch, fast tables kernel per
+        # dispatch
         stacked = pixel_match.stack_union_qkey_args(
             [fplan] * MASK_BATCH, h * w)
-        *arrs, fu2 = stacked
-        f_args = tuple(jax.device_put(a) for a in arrs)
+        u_pos_s, mu_pos_s, qidx_s, kl_s, fu2 = stacked
         tabs = pixel_match.interval_table_arrays(1.0 / 100.0)
-        f_tabs = tuple(jax.device_put(a) for a in tabs)
+        f_lo, f_span = pixel_match.expand_union_tables(
+            jax.device_put(qidx_s), jax.device_put(kl_s),
+            jax.device_put(tabs[0]), jax.device_put(tabs[1]))
+        f_pos = jax.device_put(u_pos_s)
+        fm_pos = jax.device_put(mu_pos_s)
 
         def full_union_once():
-            return pixel_match.score_query_batch_union_qkeys(
-                t_keys, *f_args, *f_tabs, u2=fu2)
+            return pixel_match.score_query_batch_union_keys(
+                t_keys, f_pos, fm_pos, f_lo, f_span, u2=fu2)
     else:
         f_pos = jax.device_put(np.stack([fplan.u_pos] * MASK_BATCH))
         fm_pos = jax.device_put(np.stack([fplan.mu_pos] * MASK_BATCH))

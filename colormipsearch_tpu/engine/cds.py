@@ -565,14 +565,20 @@ class CDSearchEngine:
                                         self.decode_concurrency)) as pool:
                     ups = list(pool.map(build_one, batch))
             # qkey wire form when available (full-union plans under the
-            # table disjointness proof): ~3.5x fewer uploaded bytes per
-            # mask — the device gathers lo/span from the shared table
+            # table disjointness proof): ~7x fewer uploaded bytes per
+            # mask; the lane tables are re-EXPANDED on device once per
+            # batch (expand_union_tables) so dispatches run the fast
+            # expanded-tables kernel
             if self.use_union_keys == "full":
                 qk = pixel_match.stack_union_qkey_args(ups, n_pixels)
                 if qk is not None:
-                    *arrs, u2 = qk
-                    return ("qkeys",) + tuple(
-                        jnp.asarray(a) for a in arrs) + (u2,)
+                    u_pos, mu_pos, qidx, key_list, u2 = qk
+                    lane_lo, lane_span = pixel_match.expand_union_tables(
+                        jnp.asarray(qidx), jnp.asarray(key_list),
+                        *self._interval_tables_device())
+                    return ("tables", jnp.asarray(u_pos),
+                            jnp.asarray(mu_pos), lane_lo, lane_span,
+                            u2)
             # plans pad to the batch's common union bucket AND interval
             # slot count (slots vary per mask after compaction); the
             # trailing u2 (slot-2 segmentation prefix) stays a host int
@@ -909,11 +915,11 @@ class CDSearchEngine:
             u2 = None
             uform = None
             if union:
+                # uform is always "tables" now (the factored qkey wire
+                # form expands to device lane tables at build time)
                 uform, *kargs, u2 = \
                     self._stacked_union_args(batch, n_pixels)
                 kargs = tuple(kargs)
-                if uform == "qkeys":
-                    kargs = kargs + self._interval_tables_device()
             else:
                 kargs = self._stacked_key_args(plans, n_pixels)
             _METRICS.add("cds.planArgs.seconds", time.time() - t_args0)
@@ -934,11 +940,6 @@ class CDSearchEngine:
                         if union else
                         self._keys_step(plans[0].n_straight))
                 best, mirrored, pair_flags, _gmax = step(planes, *kargs)
-            elif union and uform == "qkeys":
-                best, mirrored, pair_flags = \
-                    pixel_match.score_query_batch_union_qkeys(
-                        shard.planes, *kargs, u2=u2)
-                pair_flags = None  # structurally zero: skip the pull
             elif union:
                 best, mirrored, pair_flags = \
                     pixel_match.score_query_batch_union_keys(

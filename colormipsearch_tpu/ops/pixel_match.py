@@ -1467,6 +1467,28 @@ def score_query_batch_union_keys_splitk(t_rank: jax.Array,
     return jax.lax.map(one, (u_pos, mu_pos, lane_lo, lane_span))
 
 
+@jax.jit
+def expand_union_tables(qidx: jax.Array, key_list: jax.Array,
+                        tab_lo: jax.Array, tab_span: jax.Array):
+    """Factored qkey wire form -> expanded device lane tables.
+
+    (qidx uint16 [B, L, U], key_list int32 [B, KL]) -> (lane_lo,
+    lane_span) uint32 [B, L, 2, U].  Runs ONCE per mask batch at
+    plan-arg build time: the scalar-gather expansion costs about as
+    much as one kernel dispatch, so doing it inside the scoring kernel
+    (the original qkey kernel) halved the measured rate — expanded
+    device tables restore the full tables-kernel speed while the WIRE
+    stays the ~110 KB/mask factored form."""
+    def one(qi, kl):
+        qk = jnp.take(kl, qi.astype(jnp.int32))          # [L, U]
+        lo = jnp.take(tab_lo, qk, axis=1)                # [2, L, U]
+        sp = jnp.take(tab_span, qk, axis=1)
+        return (jnp.transpose(lo, (1, 0, 2)),
+                jnp.transpose(sp, (1, 0, 2)))            # [L, 2, U]
+
+    return jax.vmap(one)(qidx, key_list)
+
+
 def interval_table_arrays(z_tol: float):
     """The shared (lo, span) uint32 [2, 7 << KEY_RANK_BITS] per-key
     interval tables the qkey kernel gathers from, or None when the
