@@ -676,6 +676,18 @@ class CDSearchEngine:
                       and self.use_key_planes
                       and self.neg_query_rgb is None)
 
+        region_cache: dict = {}
+        region_lock = threading.Lock()
+
+        def shared_region(h, w):
+            # one region array per image shape instead of per mask
+            # (8192 masks x 685 KB was 5.6 GB of identical booleans)
+            with region_lock:
+                key = (h, w)
+                if key not in region_cache:
+                    region_cache[key] = p.excluded_region(h, w)
+                return region_cache[key]
+
         def prep_mask(mask):
             mask_mip = mips_io.load_compute_file(
                 mask, ComputeFileType.InputColorDepthImage)
@@ -684,13 +696,18 @@ class CDSearchEngine:
                 return None
             mask_rgb = mask_mip.image.as_rgb()
             h, w = mask_rgb.shape[:2]
-            region = p.excluded_region(h, w)
+            region = shared_region(h, w)
             if union_prep:
                 plan = pixel_match.build_full_union_key_plan(
                     mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
                     xy_shift=p.xy_shift,
                     pix_color_fluctuation=p.pix_color_fluctuation,
                     excluded_region=region, light=True)
+                # the decoded image (2 MB/mask) is only ever consumed
+                # by the flag-triggered oracle rescore — structurally
+                # unreachable on this path (flags are identically 0) —
+                # so drop it instead of pinning ~17 GB at 8k masks
+                mask_rgb = None
             else:
                 plan = pixel_match.build_query_plan(
                     mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
@@ -848,8 +865,11 @@ class CDSearchEngine:
 
     # stacked query-plan device arrays, cached so a batch re-scored
     # against every streamed target shard uploads its plans ONCE (the
-    # axon tunnel uploads at ~10 MB/s); bounded FIFO (device memory)
-    _ARGS_CACHE_MAX = 64
+    # axon tunnel uploads at ~10 MB/s); bounded FIFO.  Small: the
+    # full-union entries now hold device-EXPANDED lane tables
+    # (~94 MB per 64-mask batch) and 64 cached entries next to a
+    # T=4096 plane set blew the 16 GB HBM
+    _ARGS_CACHE_MAX = 4
 
     def _cached_plan_args(self, tag, plans, build):
         """id()-keyed device-args cache.  Each entry pins the source
