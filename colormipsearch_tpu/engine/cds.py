@@ -707,8 +707,10 @@ class CDSearchEngine:
                 # the decoded image (2 MB/mask) is only ever consumed
                 # by the flag-triggered oracle rescore — structurally
                 # unreachable on this path (flags are identically 0) —
-                # so drop it instead of pinning ~17 GB at 8k masks
-                mask_rgb = None
+                # so drop it instead of pinning ~17 GB at 8k masks.
+                # A zero-byte stub keeps the shape for the group key
+                # and fails loudly on any accidental pixel use.
+                mask_rgb = np.empty((h, w, 0), np.uint8)
             else:
                 plan = pixel_match.build_query_plan(
                     mask_rgb, p.mask_threshold, mirror=p.mirror_mask,
