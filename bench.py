@@ -658,6 +658,25 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
 
     from colormipsearch_tpu.utils.metrics import GLOBAL
 
+    import gc
+
+    import jax
+
+    # earlier sections must not pin device memory into the dress (a
+    # leaked plane set next to the dress's own T=4096 planes OOMs HBM)
+    gc.collect()
+    live = [a for a in jax.live_arrays() if a.nbytes > (64 << 20)]
+    if live:
+        tot = sum(a.nbytes for a in live) / 1e9
+        shapes = sorted(((a.nbytes, str(a.shape), str(a.dtype))
+                         for a in live), reverse=True)[:6]
+        print(f"# pre-dress leaked device arrays: {len(live)} "
+              f"({tot:.2f} GB): {shapes}", file=sys.stderr, flush=True)
+        for a in live:
+            a.delete()
+        del live
+        gc.collect()
+
     m, t = DRESS_MASKS, DRESS_TARGETS
     with tempfile.TemporaryDirectory() as tmp:
         masks_dir = _os.path.join(tmp, "masks")
@@ -708,10 +727,15 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
         proj = (st["prepMasks"] * pm / m
                 + decode_upload * pt / t
                 + pm * pt / device_rate)
+        # decode+pack of the single target shard OVERLAPS the mask
+        # prep (engine starts shard 0 before prep): only the excess
+        # past prep sits on the critical path
+        critical = max(0.0, decode_upload - st["prepMasks"])
         split = {
             "masks": m, "targets": t, "wall_s": round(wall, 1),
             **{k: v for k, v in st.items()},
             "decode_upload_share": round(decode_upload / wall, 3),
+            "decode_upload_critical_share": round(critical / wall, 3),
             "device_score_pairs_per_s": round(device_rate, 1),
             "synth_s": round(synth_s, 1),
             "production_44593x7391_projection_s": round(proj, 1),
