@@ -1479,14 +1479,17 @@ def expand_union_tables(qidx: jax.Array, key_list: jax.Array,
     (the original qkey kernel) halved the measured rate — expanded
     device tables restore the full tables-kernel speed while the WIRE
     stays the ~110 KB/mask factored form."""
-    def one(qi, kl):
+    def one(args):
+        qi, kl = args
         qk = jnp.take(kl, qi.astype(jnp.int32))          # [L, U]
         lo = jnp.take(tab_lo, qk, axis=1)                # [2, L, U]
         sp = jnp.take(tab_span, qk, axis=1)
         return (jnp.transpose(lo, (1, 0, 2)),
                 jnp.transpose(sp, (1, 0, 2)))            # [L, 2, U]
 
-    return jax.vmap(one)(qidx, key_list)
+    # sequential over the batch: vmap's whole-batch gather transients
+    # (~2.4 GB at B=128) OOMed next to a T=4096 plane set
+    return jax.lax.map(one, (qidx, key_list))
 
 
 def interval_table_arrays(z_tol: float):
