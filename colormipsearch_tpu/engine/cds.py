@@ -449,6 +449,7 @@ class CDSearchEngine:
         self._mesh = None
         self._sharded_steps: dict = {}
         self._plan_args_cache: dict = {}
+        self._plan_args_lock = threading.Lock()
         self._itabs = None  # device interval tables (qkey wire form)
         # re-read the env at construction so in-process callers (bench)
         # can tune the dispatch width per run
@@ -878,17 +879,22 @@ class CDSearchEngine:
         """id()-keyed device-args cache.  Each entry pins the source
         plan objects, so an id can only hit while its plan is alive —
         a recycled id of a freed plan can never alias a live entry
-        (the identity check is belt-and-braces)."""
+        (the identity check is belt-and-braces).  Locked: the warm-
+        ahead thread and the scoring thread both mutate the FIFO, and
+        a concurrent double-evict of the same oldest key would raise.
+        build() runs outside the lock (it uploads over the tunnel)."""
         key = (tag,) + tuple(id(pl) for pl in plans)
-        cached = self._plan_args_cache.get(key)
-        if cached is not None and all(
-                a is b for a, b in zip(cached[0], plans)):
-            return cached[1]
+        with self._plan_args_lock:
+            cached = self._plan_args_cache.get(key)
+            if cached is not None and all(
+                    a is b for a, b in zip(cached[0], plans)):
+                return cached[1]
         args = build()
-        if len(self._plan_args_cache) >= self._ARGS_CACHE_MAX:
-            self._plan_args_cache.pop(
-                next(iter(self._plan_args_cache)))
-        self._plan_args_cache[key] = (tuple(plans), args)
+        with self._plan_args_lock:
+            while len(self._plan_args_cache) >= self._ARGS_CACHE_MAX:
+                self._plan_args_cache.pop(
+                    next(iter(self._plan_args_cache)), None)
+            self._plan_args_cache[key] = (tuple(plans), args)
         return args
 
     def _stacked_plan_args(self, plans):

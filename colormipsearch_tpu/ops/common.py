@@ -276,6 +276,12 @@ def pack_target_planes_keys_sparse(stack: "object", data_threshold: int,
         tidx, pos = np.nonzero(live)
         vals = flat[tidx, pos]
     n = pos.size
+    # jax canonicalizes int64 to int32 (x64 is never enabled here), so
+    # fail LOUDLY before indices could wrap instead of scattering to
+    # wrong targets silently (review r4)
+    assert n < 2**31, \
+        f"sparse shard has {n} foreground pixels (>= 2^31): split the " \
+        "shard (tile_size) before packing"
     counts = np.bincount(tidx, minlength=t_pad).astype(np.int32)
     # pad to whole scatter chunks: ONE compiled chunk shape serves
     # every shard size (and every run — the compile is tunnel-expensive)

@@ -1218,11 +1218,13 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         if qidx is not None:
             qidx = np.ascontiguousarray(qidx[:, perm])
         u2 = int(any2.sum())
-    if light and qkeys is not None:
-        # qkey wire form only: drop the expanded lane tables (~740 KB/
-        # mask) — the engine's qkey dispatch never touches them, and at
-        # production mask counts holding them for every prepped mask
-        # costs GBs of host RAM
+    if light and qidx is not None:
+        # factored qkey wire form only: drop the expanded lane tables
+        # (~740 KB/mask) — the engine's dispatch never touches them,
+        # and at production mask counts holding them for every prepped
+        # mask costs GBs of host RAM.  Gated on qidx (not qkeys): a
+        # >=65535-px query has qkeys but no factored form, and the
+        # engine then needs the tables for the fallback stacking.
         lane_lo = lane_span = None
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
                         int(positions.size), mirror, u2=u2,
