@@ -244,6 +244,23 @@ def test_union_qkeys_batch_equals_classic_keys(xy_shift):
     assert (np.asarray(qmirrored) == np.asarray(mirrored)).all()
 
 
+def test_large_query_falls_back_to_table_stacking():
+    """Regression (review r4): a >=65535-px query has qkeys but no
+    factored qidx; light plans must KEEP the lane tables so the
+    engine's fallback stacking works instead of crashing."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(30, 256, (300, 300, 3)).astype(np.uint8)  # 90k fg
+    p = pixel_match.build_full_union_key_plan(
+        img, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
+        light=True)
+    assert p.query_size >= 65535
+    assert p.qidx is None
+    assert p.lane_lo is not None  # kept for the fallback
+    assert pixel_match.stack_union_qkey_args([p], 300 * 300) is None
+    arrs = pixel_match.stack_union_plan_args([p], 300 * 300)
+    assert arrs is not None and len(arrs) == 5
+
+
 def test_sparse_key_planes_equal_dense():
     """The sparse COO upload path must produce BIT-IDENTICAL key planes
     to the dense device pack — including t_pad padding columns, the
