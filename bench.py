@@ -246,7 +246,7 @@ def bench_tpu_keys(target_rgb, plan, packed_max: int,
     fplan = pixel_match.build_full_union_key_plan(
         mask_rgb, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0,
         excluded_region=region)
-    if fplan.qkeys is not None:
+    if fplan.qidx is not None:
         # the engine-default flow: factored wire form, lane tables
         # expanded ON DEVICE once per batch, fast tables kernel per
         # dispatch

@@ -961,8 +961,10 @@ class UnionKeyPlan:
 
     @property
     def n_lanes(self) -> int:
-        return (self.lane_lo.shape[0] if self.lane_lo is not None
-                else self.qkeys.shape[0])
+        if self.lane_lo is not None:
+            return self.lane_lo.shape[0]
+        return (self.qkeys if self.qkeys is not None
+                else self.qidx).shape[0]
 
     @property
     def n_straight(self) -> int:
@@ -990,6 +992,36 @@ def compact_interval_slots(lane_lo: np.ndarray, lane_span: np.ndarray):
     n_slots = max(int(used.sum()), 1)
     return (np.ascontiguousarray(lo[..., :n_slots, :]),
             np.ascontiguousarray(sp[..., :n_slots, :]))
+
+
+def _select_query_foreground(query_rgb: np.ndarray,
+                             query_threshold: int,
+                             excluded_region: np.ndarray | None):
+    """(flat positions int64 [Q], rgb uint8 [Q, 3]) of the query
+    foreground.  Uses the native threaded COO pass when available (the
+    full-plane numpy any-reduce was the plan build's largest single
+    cost at production mask counts); numpy otherwise — identical
+    output either way."""
+    sel = None
+    try:
+        from colormipsearch_tpu.io import native_decoder
+        if query_rgb.flags.c_contiguous:
+            sel = native_decoder.coo_select(
+                query_rgb[None], query_threshold)
+    except ImportError:
+        pass
+    if sel is not None:
+        pos0, _t, vals = sel
+        if excluded_region is not None:
+            keep = ~excluded_region.reshape(-1)[pos0]
+            pos0 = pos0[keep]
+            vals = vals[keep]
+        return pos0.astype(np.int64), vals
+    fg = (query_rgb > query_threshold).any(axis=-1)
+    if excluded_region is not None:
+        fg &= ~excluded_region
+    positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
+    return positions, query_rgb.reshape(-1, 3)[positions]
 
 
 def offsets_form_grid(xy_shift: int) -> bool:
@@ -1022,15 +1054,12 @@ def build_union_key_plan(query_rgb: np.ndarray, query_threshold: int, *,
 
     h, w = query_rgb.shape[:2]
     n_pixels = h * w
-    fg = (query_rgb > query_threshold).any(axis=-1)
-    if excluded_region is not None:
-        fg &= ~excluded_region
-    positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
+    positions, vals = _select_query_foreground(
+        query_rgb, query_threshold, excluded_region)
 
     # classify only the foreground; pos_index maps a flat pixel back to
     # its row in the classified arrays (-1 = not a query position)
-    cls, s, p = oracle_pixel.classify_rgb(
-        query_rgb.reshape(-1, 3)[positions])
+    cls, s, p = oracle_pixel.classify_rgb(vals)
     pos_index = np.full(n_pixels, -1, np.int64)
     pos_index[positions] = np.arange(positions.size)
 
@@ -1095,15 +1124,12 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
 
     h, w = query_rgb.shape[:2]
     n_pixels = h * w
-    fg = (query_rgb > query_threshold).any(axis=-1)
-    if excluded_region is not None:
-        fg &= ~excluded_region
-    positions = np.flatnonzero(fg.reshape(-1)).astype(np.int64)
+    positions, vals = _select_query_foreground(
+        query_rgb, query_threshold, excluded_region)
 
     # classify only the foreground; pos_index maps a flat pixel back to
     # its row in the classified arrays (-1 = not a query position)
-    cls, s, p = oracle_pixel.classify_rgb(
-        query_rgb.reshape(-1, 3)[positions])
+    cls, s, p = oracle_pixel.classify_rgb(vals)
     pos_index = np.full(n_pixels, -1, np.int64)
     pos_index[positions] = np.arange(positions.size)
 
@@ -1145,42 +1171,57 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
     else:
         disjoint_ok = False
         n_slots0 = 3
-    lane_lo = np.empty((len(offsets), n_slots0, u_count), np.uint32)
-    lane_span = np.empty_like(lane_lo)
-    lane_any2 = np.zeros((len(offsets), u_count), bool)
     n_q = positions.size
     factored = tab2 is not None and n_q < 65535
-    qkeys = (np.zeros((len(offsets), u_count), np.int32)
-             if tab2 is not None else None)
-    qidx = (np.full((len(offsets), u_count), n_q, np.uint16)
-            if factored else None)
-    for j, (dx, dy) in enumerate(offsets):
-        qx = ux - dx
-        qy = uy - dy
-        src = union - dx - dy * w
+    qkeys = qidx = key_list = None
+    if tab2 is not None:
+        # all lanes at once: [L, U] geometry, one pos_index gather, one
+        # key gather (the per-lane python loop was the plan build's
+        # second-largest cost)
+        offs = np.asarray(offsets, np.int64)
+        dxs = offs[:, 0][:, None]
+        dys = offs[:, 1][:, None]
+        qx = ux[None, :] - dxs
+        qy = uy[None, :] - dys
+        src = union[None, :] - dxs - dys * w
         jj = pos_index[np.clip(src, 0, n_pixels - 1)]
         active = ((qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
                   & (jj >= 0))
-        idx = np.where(active, jj, 0)
-        if tab2 is not None:
-            k_lane = np.where(active, key_q[idx], 0)
-            qkeys[j] = k_lane
-            if factored:
-                qidx[j] = np.where(active, jj, n_q)
-            lane_lo[j] = tab_lo[:, k_lane]
-            lane_span[j] = tab_span[:, k_lane]
-            lane_any2[j] = tab_any2[k_lane]
+        k_lane = np.where(active, key_q[np.where(active, jj, 0)], 0)
+        lane_any2 = tab_any2[k_lane]
+        if factored:
+            qidx = np.where(active, jj, n_q).astype(np.uint16)
+            # key_list[q] = the query pixel's key; the trailing slot is
+            # the inactive 0-key every out-of-lane element points at
+            key_list = np.zeros(n_q + 1, np.int32)
+            key_list[:n_q] = key_q.astype(np.int32)
+        if light and factored and disjoint_ok:
+            # the engine's wire form never touches the expanded tables
+            # or the full qkeys matrix: skip materializing them (the
+            # dominant remaining plan-build cost at production counts)
+            lane_lo = lane_span = None
         else:
+            qkeys = k_lane.astype(np.int32)
+            lane_lo = np.ascontiguousarray(
+                np.swapaxes(tab_lo[:, k_lane], 0, 1))
+            lane_span = np.ascontiguousarray(
+                np.swapaxes(tab_span[:, k_lane], 0, 1))
+    else:
+        lane_lo = np.empty((len(offsets), n_slots0, u_count), np.uint32)
+        lane_span = np.empty_like(lane_lo)
+        lane_any2 = np.zeros((len(offsets), u_count), bool)
+        for j, (dx, dy) in enumerate(offsets):
+            qx = ux - dx
+            qy = uy - dy
+            src = union - dx - dy * w
+            jj = pos_index[np.clip(src, 0, n_pixels - 1)]
+            active = ((qx >= 0) & (qx < w) & (qy >= 0) & (qy < h)
+                      & (jj >= 0))
+            idx = np.where(active, jj, 0)
             lane_lo[j], lane_span[j] = build_key_intervals(
                 np.where(active, cls[idx], 0),
                 np.where(active, s[idx], 0),
                 np.where(active, p[idx], 0), ztol)
-    key_list = None
-    if factored:
-        # key_list[q] = the query pixel's key; the trailing slot is the
-        # inactive 0-key every out-of-lane element points at
-        key_list = np.zeros(n_q + 1, np.int32)
-        key_list[:n_q] = key_q.astype(np.int32)
 
     # one straight row set; the mirrored set reuses the lane table —
     # mirror(q + dx + dy*w) = mirror_x(q) - dx + dy*w, so it covers the
@@ -1196,8 +1237,11 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         # the qkey kernel ADDS the two slots' indicator sums, valid
         # only under the per-table disjointness proof
         qkeys = None
+        qidx = key_list = None
     u2 = -1
-    if lane_lo.shape[1] == 2 and u_count and disjoint_ok:
+    two_slots = (tab2 is not None if lane_lo is None
+                 else lane_lo.shape[1] == 2)
+    if two_slots and u_count and disjoint_ok:
         # slot-2 segmentation: permute elements so those with a live
         # second window (in any lane) form the prefix — the kernel then
         # confines slot-2 range tests to [0, u2).  The mirror position
@@ -1211,21 +1255,14 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
                                np.flatnonzero(~any2)])
         u_pos = u_pos[:, perm]
         mu_pos = mu_pos[:, perm]
-        lane_lo = np.ascontiguousarray(lane_lo[:, :, perm])
-        lane_span = np.ascontiguousarray(lane_span[:, :, perm])
+        if lane_lo is not None:
+            lane_lo = np.ascontiguousarray(lane_lo[:, :, perm])
+            lane_span = np.ascontiguousarray(lane_span[:, :, perm])
         if qkeys is not None:
             qkeys = np.ascontiguousarray(qkeys[:, perm])
         if qidx is not None:
             qidx = np.ascontiguousarray(qidx[:, perm])
         u2 = int(any2.sum())
-    if light and qidx is not None:
-        # factored qkey wire form only: drop the expanded lane tables
-        # (~740 KB/mask) — the engine's dispatch never touches them,
-        # and at production mask counts holding them for every prepped
-        # mask costs GBs of host RAM.  Gated on qidx (not qkeys): a
-        # >=65535-px query has qkeys but no factored form, and the
-        # engine then needs the tables for the fallback stacking.
-        lane_lo = lane_span = None
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
                         int(positions.size), mirror, u2=u2,
                         qkeys=qkeys, z_tol=ztol, qidx=qidx,
@@ -1513,7 +1550,7 @@ def stack_union_qkey_args(plans: list, n_pixels: int):
     elements carry u16 indices into the mask's key list, and the
     device re-expands lo/span by gathering the shared per-tolerance
     table."""
-    if any(p.qkeys is None or p.qidx is None for p in plans):
+    if any(p.qidx is None or p.key_list is None for p in plans):
         assert all(p.lane_lo is not None for p in plans), \
             "light union plans (no lane tables) require qkeys"
         return None
