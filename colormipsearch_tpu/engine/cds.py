@@ -566,12 +566,32 @@ class CDSearchEngine:
                         max_workers=min(len(batch),
                                         self.decode_concurrency)) as pool:
                     ups = list(pool.map(build_one, batch))
-            # qkey wire form when available (full-union plans under the
-            # table disjointness proof): ~7x fewer uploaded bytes per
-            # mask; the lane tables are re-EXPANDED on device once per
-            # batch (expand_union_tables) so dispatches run the fast
-            # expanded-tables kernel
+            # compressed wire forms for full-union plans (under the
+            # table disjointness proof); the lane tables are
+            # re-EXPANDED on device once per batch so dispatches run
+            # the fast expanded-tables kernel.  Preferred: the
+            # POSITIONAL form (~65 KB/mask — the per-lane index matrix
+            # is re-derived on device); fallback: the factored qkey
+            # form (~110 KB/mask).
             if self.use_union_keys == "full":
+                pa = pixel_match.stack_union_pos_args(ups, n_pixels)
+                if pa is not None:
+                    from colormipsearch_tpu.oracle.pixel import (
+                        shift_offsets)
+
+                    u_pos, mu_pos, q_pos, key_list, u2 = pa
+                    h, w = batch[0][1].shape[:2]
+                    offs = tuple((int(dx), int(dy)) for dx, dy
+                                 in shift_offsets(self.params.xy_shift))
+                    lane_lo, lane_span = \
+                        pixel_match.expand_union_tables_from_pos(
+                            jnp.asarray(u_pos), jnp.asarray(q_pos),
+                            jnp.asarray(key_list),
+                            *self._interval_tables_device(),
+                            offsets=offs, w=w, h=h)
+                    return ("tables", jnp.asarray(u_pos),
+                            jnp.asarray(mu_pos), lane_lo, lane_span,
+                            u2)
                 qk = pixel_match.stack_union_qkey_args(ups, n_pixels)
                 if qk is not None:
                     u_pos, mu_pos, qidx, key_list, u2 = qk

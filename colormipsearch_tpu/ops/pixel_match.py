@@ -954,6 +954,12 @@ class UnionKeyPlan:
     # slot); qkeys[j, u] == key_list[qidx[j, u]].  Present iff qkeys is.
     qidx: np.ndarray | None = None
     key_list: np.ndarray | None = None
+    # positional wire form (the smallest): the flat query positions
+    # themselves — the device derives qidx from (u_pos, q_pos,
+    # offsets) via a pos_index scatter + gathers
+    # (expand_union_tables_from_pos), so the per-(lane, element) index
+    # matrix never crosses the wire at all (~14 KB vs 92 KB per mask).
+    q_pos: np.ndarray | None = None
 
     @property
     def n_sets(self) -> int:
@@ -1173,7 +1179,7 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         n_slots0 = 3
     n_q = positions.size
     factored = tab2 is not None and n_q < 65535
-    qkeys = qidx = key_list = None
+    qkeys = qidx = key_list = q_pos = None
     if tab2 is not None:
         # all lanes at once: [L, U] geometry, one pos_index gather, one
         # key gather (the per-lane python loop was the plan build's
@@ -1191,6 +1197,7 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         lane_any2 = tab_any2[k_lane]
         if factored:
             qidx = np.where(active, jj, n_q).astype(np.uint16)
+            q_pos = positions.astype(np.int32)
             # key_list[q] = the query pixel's key; the trailing slot is
             # the inactive 0-key every out-of-lane element points at
             key_list = np.zeros(n_q + 1, np.int32)
@@ -1237,7 +1244,7 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
         # the qkey kernel ADDS the two slots' indicator sums, valid
         # only under the per-table disjointness proof
         qkeys = None
-        qidx = key_list = None
+        qidx = key_list = q_pos = None
     u2 = -1
     two_slots = (tab2 is not None if lane_lo is None
                  else lane_lo.shape[1] == 2)
@@ -1266,7 +1273,7 @@ def build_full_union_key_plan(query_rgb: np.ndarray, query_threshold: int,
     plan = UnionKeyPlan(u_pos, mu_pos, lane_lo, lane_span,
                         int(positions.size), mirror, u2=u2,
                         qkeys=qkeys, z_tol=ztol, qidx=qidx,
-                        key_list=key_list)
+                        key_list=key_list, q_pos=q_pos)
     return pad_union_key_plan(
         plan, pad_to if pad_to is not None else _bucket(u_count), n_pixels)
 
@@ -1307,7 +1314,7 @@ def pad_union_key_plan(plan: UnionKeyPlan, u_pad: int,
         qidx=(None if plan.qidx is None
               else np.pad(plan.qidx, padw,
                           constant_values=plan.query_size)),
-        key_list=plan.key_list)
+        key_list=plan.key_list, q_pos=plan.q_pos)
 
 
 def stack_union_plan_args(plans: list, n_pixels: int):
@@ -1529,6 +1536,78 @@ def expand_union_tables(qidx: jax.Array, key_list: jax.Array,
     # sequential over the batch: vmap's whole-batch gather transients
     # (~2.4 GB at B=128) OOMed next to a T=4096 plane set
     return jax.lax.map(one, (qidx, key_list))
+
+
+def stack_union_pos_args(plans: list, n_pixels: int):
+    """[B, ...] stacks of (u_pos, mu_pos, q_pos, key_list) + static u2
+    for the POSITIONAL wire form, or None when any plan lacks it.  The
+    per-(lane, element) index matrix never crosses the wire: the device
+    re-derives it from the query positions
+    (expand_union_tables_from_pos), cutting plan args to ~65 KB/mask."""
+    if any(p.q_pos is None or p.key_list is None for p in plans):
+        return None
+    u_pad = max(p.u_pos.shape[1] for p in plans)
+    u2s = [p.u2 if p.u2 >= 0 else u_pad for p in plans]
+    u2_pad = max(u2s)
+    if 0 < u2_pad < u_pad:
+        u2_pad = min(u_pad, _bucket(u2_pad, minimum=128))
+    plans = [pad_union_key_plan(p, u_pad, n_pixels) for p in plans]
+    kl_pad = _bucket(max(p.key_list.size for p in plans), minimum=512)
+    kl = np.zeros((len(plans), kl_pad), np.int32)
+    qp = np.full((len(plans), kl_pad - 1), n_pixels, np.int32)
+    for i, p in enumerate(plans):
+        kl[i, :p.key_list.size] = p.key_list
+        qp[i, :p.q_pos.size] = p.q_pos
+    return (np.stack([p.u_pos for p in plans]),
+            np.stack([p.mu_pos for p in plans]),
+            qp, kl, u2_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "w", "h"))
+def expand_union_tables_from_pos(u_pos: jax.Array, q_pos: jax.Array,
+                                 key_list: jax.Array,
+                                 tab_lo: jax.Array, tab_span: jax.Array,
+                                 *, offsets: tuple, w: int, h: int):
+    """Positional wire form -> expanded device lane tables.
+
+    Re-derives each lane's query mapping ON DEVICE from the flat query
+    positions: a pos_index scatter per plan, then per-lane geometry +
+    gathers — exactly the host derivation in build_full_union_key_plan
+    (out-of-image shifts inactive, non-query pixels inactive, sentinel
+    pads inactive).  Returns (lane_lo, lane_span) uint32 [B, L, 2, U].
+    """
+    n_px = w * h
+
+    def one(args):
+        up, qp, kl = args
+        u = up[0].astype(jnp.int32)            # [U]; sentinel = n_px
+        n_inact = kl.shape[0] - 1              # any index here keys 0
+        pos_index = jnp.full((n_px + 1,), n_inact, jnp.int32)
+        qi = jnp.arange(qp.shape[0], dtype=jnp.int32)
+        # pad q_pos entries (= n_px) scatter into the extra slot, which
+        # no clipped src ever reads
+        pos_index = pos_index.at[qp].set(qi, mode="drop")
+        ux = u % w
+        uy = u // w
+        los = []
+        sps = []
+        for dx, dy in offsets:
+            qx = ux - dx
+            qy = uy - dy
+            src = u - dx - dy * w
+            ok = ((u < n_px) & (qx >= 0) & (qx < w)
+                  & (qy >= 0) & (qy < h))
+            j = jnp.where(
+                ok, jnp.take(pos_index,
+                             jnp.clip(src, 0, n_px - 1)), n_inact)
+            qk = jnp.take(kl, j)
+            los.append(jnp.stack([jnp.take(tab_lo[0], qk),
+                                  jnp.take(tab_lo[1], qk)]))
+            sps.append(jnp.stack([jnp.take(tab_span[0], qk),
+                                  jnp.take(tab_span[1], qk)]))
+        return jnp.stack(los), jnp.stack(sps)  # [L, 2, U]
+
+    return jax.lax.map(one, (u_pos, q_pos, key_list))
 
 
 def interval_table_arrays(z_tol: float):

@@ -244,6 +244,46 @@ def test_union_qkeys_batch_equals_classic_keys(xy_shift):
     assert (np.asarray(qmirrored) == np.asarray(mirrored)).all()
 
 
+@pytest.mark.parametrize("xy_shift", [2, 4])
+def test_pos_expansion_equals_host_tables(xy_shift):
+    """The positional wire form's ON-DEVICE lane-table derivation
+    (pos_index scatter + geometry, expand_union_tables_from_pos) must
+    reproduce the host-built expanded tables bit-for-bit, including
+    sentinel pads, out-of-image shifts, excluded regions, and batch
+    members with different query sizes."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(51 + xy_shift)
+    h, w = 30, 40
+    region = np.zeros((h, w), bool)
+    region[:4, :6] = True
+    queries = [_mk(rng, h, w, n) for n in (250, 90, 170)]
+    plans = [pixel_match.build_full_union_key_plan(
+        q, 20, mirror=True, xy_shift=xy_shift, pix_color_fluctuation=1.0,
+        excluded_region=region) for q in queries]
+    assert all(p.q_pos is not None for p in plans)
+    pa = pixel_match.stack_union_pos_args(plans, h * w)
+    assert pa is not None
+    u_pos, mu_pos, q_pos, key_list, u2 = pa
+    tabs = pixel_match.interval_table_arrays(1.0 / 100.0)
+    from colormipsearch_tpu.oracle.pixel import shift_offsets
+
+    offs = tuple((int(dx), int(dy))
+                 for dx, dy in shift_offsets(xy_shift))
+    lo_dev, sp_dev = pixel_match.expand_union_tables_from_pos(
+        jnp.asarray(u_pos), jnp.asarray(q_pos), jnp.asarray(key_list),
+        jnp.asarray(tabs[0]), jnp.asarray(tabs[1]),
+        offsets=offs, w=w, h=h)
+    # host reference: the plans' own expanded lane tables
+    u_pad = max(p.u_pos.shape[1] for p in plans)
+    padded = [pixel_match.pad_union_key_plan(p, u_pad, h * w)
+              for p in plans]
+    np.testing.assert_array_equal(
+        np.asarray(lo_dev), np.stack([p.lane_lo for p in padded]))
+    np.testing.assert_array_equal(
+        np.asarray(sp_dev), np.stack([p.lane_span for p in padded]))
+
+
 def test_large_query_falls_back_to_table_stacking():
     """Regression (review r4): a >=65535-px query has qkeys but no
     factored qidx; light plans must KEEP the lane tables so the
