@@ -1327,7 +1327,24 @@ def stack_union_plan_args(plans: list, n_pixels: int):
     kernel parameter): the max of the members' segmentation prefixes,
     bucketed so dispatch shapes are reused; ``u_pad`` for any
     unsegmented member (the kernel then tests slot 2 full-width, which
-    is always correct)."""
+    is always correct).  LIGHT plans (tables dropped for the
+    compressed wire forms) get their tables re-expanded on host here,
+    so this stacker works for any plan."""
+
+    def host_expand(p):
+        if p.lane_lo is not None:
+            return p
+        tabs = interval_table_arrays(p.z_tol)
+        assert tabs is not None and p.qidx is not None
+        qk = p.key_list[p.qidx.astype(np.int64)]
+        return dataclasses.replace(
+            p,
+            lane_lo=np.ascontiguousarray(
+                np.swapaxes(tabs[0][:, qk], 0, 1)),
+            lane_span=np.ascontiguousarray(
+                np.swapaxes(tabs[1][:, qk], 0, 1)))
+
+    plans = [host_expand(p) for p in plans]
     u_pad = max(p.u_pos.shape[1] for p in plans)
     n_slots = max(p.lane_lo.shape[1] for p in plans)
 

@@ -599,6 +599,38 @@ def test_engine_key_path_equals_packed_path(tmp_path):
     assert got == ref and len(ref) > 0
 
 
+def test_engine_wire_form_fallbacks_equal(tmp_path, monkeypatch):
+    """The engine's three full-union wire forms (positional, factored
+    qkeys, expanded tables) must yield identical matches — the fallback
+    chain is exercised by disabling the preferred stackers."""
+    from colormipsearch_tpu.engine.cds import CDSParams
+    from colormipsearch_tpu.ops import pixel_match as pm
+
+    rng = np.random.default_rng(61)
+    h, w = 36, 48
+    masks = [_mk(rng, h, w, 350) for _ in range(3)]
+    targets = [_mk(rng, h, w, 300) for _ in range(9)] + [masks[0]]
+    mask_neurons = _write_neurons(tmp_path, masks, "wm")
+    target_neurons = _write_neurons(tmp_path, targets, "wt")
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       pix_color_fluctuation=1.0, xy_shift=2,
+                       mirror_mask=True)
+
+    def run():
+        return _engine_matches(tmp_path, True, mask_neurons,
+                               target_neurons, params,
+                               use_union_keys="full")
+
+    ref = run()  # positional form (default)
+    assert len(ref) > 0
+    monkeypatch.setattr(pm, "stack_union_pos_args",
+                        lambda plans, n: None)
+    assert run() == ref  # factored qkey form
+    monkeypatch.setattr(pm, "stack_union_qkey_args",
+                        lambda plans, n: None)
+    assert run() == ref  # expanded-tables form
+
+
 def test_engine_key_path_top_k(tmp_path):
     from colormipsearch_tpu.engine.cds import CDSearchEngine, CDSParams
 
