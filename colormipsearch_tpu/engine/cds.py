@@ -583,13 +583,14 @@ class CDSearchEngine:
                     h, w = batch[0][1].shape[:2]
                     offs = tuple((int(dx), int(dy)) for dx, dy
                                  in shift_offsets(self.params.xy_shift))
+                    u_dev = jnp.asarray(u_pos)  # upload ONCE, reuse
                     lane_lo, lane_span = \
                         pixel_match.expand_union_tables_from_pos(
-                            jnp.asarray(u_pos), jnp.asarray(q_pos),
+                            u_dev, jnp.asarray(q_pos),
                             jnp.asarray(key_list),
                             *self._interval_tables_device(),
                             offsets=offs, w=w, h=h)
-                    return ("tables", jnp.asarray(u_pos),
+                    return ("tables", u_dev,
                             jnp.asarray(mu_pos), lane_lo, lane_span,
                             u2)
                 qk = pixel_match.stack_union_qkey_args(ups, n_pixels)

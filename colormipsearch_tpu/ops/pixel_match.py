@@ -1011,7 +1011,9 @@ def _select_query_foreground(query_rgb: np.ndarray,
     sel = None
     try:
         from colormipsearch_tpu.io import native_decoder
-        if query_rgb.flags.c_contiguous:
+        if (query_rgb.flags.c_contiguous
+                and query_rgb.dtype == np.uint8
+                and query_rgb.ndim == 3 and query_rgb.shape[-1] == 3):
             sel = native_decoder.coo_select(
                 query_rgb[None], query_threshold)
     except ImportError:
@@ -1345,17 +1347,13 @@ def stack_union_plan_args(plans: list, n_pixels: int):
                 np.swapaxes(tabs[1][:, qk], 0, 1)))
 
     plans = [host_expand(p) for p in plans]
-    u_pad = max(p.u_pos.shape[1] for p in plans)
     n_slots = max(p.lane_lo.shape[1] for p in plans)
-
-    def eff_u2(p):
-        if p.lane_lo.shape[1] < 2:
-            return 0  # no live slot-2 windows at all
-        return p.u2 if p.u2 >= 0 else u_pad
-
-    u2_pad = max(eff_u2(p) for p in plans)
-    if 0 < u2_pad < u_pad:
-        u2_pad = min(u_pad, _bucket(u2_pad, minimum=128))
+    # single-slot tables carry no live slot-2 windows: clamp their u2
+    # so the common bucketing (one source of truth) sees 0
+    plans = [dataclasses.replace(p, u2=0) if p.lane_lo.shape[1] < 2
+             and p.u2 < 0 else p for p in plans]
+    plans, u_pad, u2_pad, _kl = _stack_union_common(
+        plans, n_pixels, with_key_list=False)
     plans = [pad_union_key_plan(p, u_pad, n_pixels, n_slots)
              for p in plans]
     return (np.stack([p.u_pos for p in plans]),
@@ -1563,17 +1561,10 @@ def stack_union_pos_args(plans: list, n_pixels: int):
     (expand_union_tables_from_pos), cutting plan args to ~65 KB/mask."""
     if any(p.q_pos is None or p.key_list is None for p in plans):
         return None
-    u_pad = max(p.u_pos.shape[1] for p in plans)
-    u2s = [p.u2 if p.u2 >= 0 else u_pad for p in plans]
-    u2_pad = max(u2s)
-    if 0 < u2_pad < u_pad:
-        u2_pad = min(u_pad, _bucket(u2_pad, minimum=128))
-    plans = [pad_union_key_plan(p, u_pad, n_pixels) for p in plans]
-    kl_pad = _bucket(max(p.key_list.size for p in plans), minimum=512)
-    kl = np.zeros((len(plans), kl_pad), np.int32)
-    qp = np.full((len(plans), kl_pad - 1), n_pixels, np.int32)
+    plans, _u_pad, u2_pad, kl = _stack_union_common(
+        plans, n_pixels, with_key_list=True)
+    qp = np.full((len(plans), kl.shape[1] - 1), n_pixels, np.int32)
     for i, p in enumerate(plans):
-        kl[i, :p.key_list.size] = p.key_list
         qp[i, :p.q_pos.size] = p.q_pos
     return (np.stack([p.u_pos for p in plans]),
             np.stack([p.mu_pos for p in plans]),
@@ -1638,6 +1629,29 @@ def interval_table_arrays(z_tol: float):
     return (tab_lo, tab_span) if ok else None
 
 
+def _stack_union_common(plans: list, n_pixels: int,
+                        with_key_list: bool):
+    """Shared stacking core of the three union wire forms: the common
+    union bucket, the batch's bucketed slot-2 prefix, padded plans, and
+    (optionally) the padded key-list matrix — ONE source of truth for
+    the dispatch-shape rules."""
+    u_pad = max(p.u_pos.shape[1] for p in plans)
+    u2_pad = max(p.u2 if p.u2 >= 0 else u_pad for p in plans)
+    if 0 < u2_pad < u_pad:
+        u2_pad = min(u_pad, _bucket(u2_pad, minimum=128))
+    plans = [pad_union_key_plan(p, u_pad, n_pixels) for p in plans]
+    kl = None
+    if with_key_list:
+        kl_pad = _bucket(max(p.key_list.size for p in plans),
+                         minimum=512)
+        kl = np.zeros((len(plans), kl_pad), np.int32)
+        for i, p in enumerate(plans):
+            # trailing zeros keep every inactive index (q >= query
+            # size) pointing at a 0 key
+            kl[i, :p.key_list.size] = p.key_list
+    return plans, u_pad, u2_pad, kl
+
+
 def stack_union_qkey_args(plans: list, n_pixels: int):
     """[B, ...] stacks of (u_pos, mu_pos, qidx, key_list) + static u2
     for the factored qkey wire form, or None when any plan lacks it
@@ -1647,21 +1661,11 @@ def stack_union_qkey_args(plans: list, n_pixels: int):
     device re-expands lo/span by gathering the shared per-tolerance
     table."""
     if any(p.qidx is None or p.key_list is None for p in plans):
-        assert all(p.lane_lo is not None for p in plans), \
-            "light union plans (no lane tables) require qkeys"
+        # mixed batches (light + >=65535-px queries) fall back to the
+        # tables stacker, which host-expands the light plans' tables
         return None
-    u_pad = max(p.u_pos.shape[1] for p in plans)
-    u2s = [p.u2 if p.u2 >= 0 else u_pad for p in plans]
-    u2_pad = max(u2s)
-    if 0 < u2_pad < u_pad:
-        u2_pad = min(u_pad, _bucket(u2_pad, minimum=128))
-    plans = [pad_union_key_plan(p, u_pad, n_pixels) for p in plans]
-    kl_pad = _bucket(max(p.key_list.size for p in plans), minimum=512)
-    kl = np.zeros((len(plans), kl_pad), np.int32)
-    for i, p in enumerate(plans):
-        # trailing zeros keep every inactive index (q = query_size)
-        # pointing at a 0 key
-        kl[i, :p.key_list.size] = p.key_list
+    plans, _u_pad, u2_pad, kl = _stack_union_common(
+        plans, n_pixels, with_key_list=True)
     return (np.stack([p.u_pos for p in plans]),
             np.stack([p.mu_pos for p in plans]),
             np.stack([p.qidx for p in plans]),
