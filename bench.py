@@ -680,7 +680,7 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
                       "--output-filename", f"{name}.json"])
         # wide dispatches amortize per-batch round trips at this mask
         # count (engine reads the env at construction)
-        _os.environ.setdefault("CDS_MASK_BATCH", "128")
+        _os.environ.setdefault("CDS_MASK_BATCH", "256")
         out = _os.path.join(tmp, "results")
         stages = ("cds.prepMasks.seconds", "cds.decodeTargets.seconds",
                   "cds.packUpload.seconds", "cds.scoreAllPairs.seconds",
