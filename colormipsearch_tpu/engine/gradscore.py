@@ -236,6 +236,28 @@ class GradScoreEngine:
                      self._pack_store_dir, len(self._pack_store))
         return self._pack_store
 
+    def _device_store_fields(self, store):
+        """Device-resident store fields (CDS_SHAPE_STORE_DEVICE=1):
+        uploaded once per (store, row count) and reused by every mask's
+        device tile build — the multi-GB one-time upload amortizes over
+        many masks (docs/DESIGN.md §6 round-5 rung); default off, the
+        host tile pack path is unchanged."""
+        import os
+
+        if os.environ.get("CDS_SHAPE_STORE_DEVICE", "0") != "1":
+            return None
+        from colormipsearch_tpu.ops import shape_score
+
+        key = (id(store), len(store))
+        cached = getattr(self, "_dev_store_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        fields = shape_score.device_store_fields(store)
+        self._dev_store_cache = (key, fields)
+        LOG.info("uploaded %d store rows to device (%.1f GB)",
+                 len(store), sum(f.nbytes for f in fields) / 1e9)
+        return fields
+
     def _store_ctx(self, mask_shape, region, pos_gap, n_gap_pad,
                    pos_he, n_he_w):
         """Once-per-group state for the packed-store fast path: the
@@ -485,11 +507,45 @@ class GradScoreEngine:
                 row = store.lookup(key) if key else None
                 (hits if row is not None else misses).append((m, row))
             group = [m for m, _ in misses]
+            dev_fields = self._device_store_fields(store) if hits else None
             for i in range(0, len(hits), dispatch_tile):
                 chunk = hits[i:i + dispatch_tile]
-                t_gap, t_he = shape_score.select_target_tile_from_store(
-                    store, [r for _, r in chunk], pos_gap, n_gap_pad,
-                    n_he_w, gather_plan, mirror=p.mirror_mask)
+                if dev_fields is not None:
+                    # device-resident store (CDS_SHAPE_STORE_DEVICE=1):
+                    # only the mask's support positions cross the wire,
+                    # and the built planes STAY on device (the T-axis
+                    # pad runs there too)
+                    import jax.numpy as jnp
+
+                    g_pos, h_pos, keep_he = gather_plan
+                    n_or = 2 if p.mirror_mask else 1
+                    t_gap, t_he = shape_score.shape_tile_device(
+                        *dev_fields,
+                        jnp.asarray(np.asarray([r for _, r in chunk],
+                                               np.int32)),
+                        jnp.asarray(pos_gap), jnp.asarray(g_pos),
+                        jnp.asarray(h_pos),
+                        None if keep_he is None
+                        else jnp.asarray(keep_he),
+                        n_gap_pad=n_gap_pad, n_he_words=n_he_w,
+                        mirror=p.mirror_mask, sg=pos_gap.size,
+                        sh=h_pos.size // n_or)
+                    t_pad_d = shape_score.support_bucket(
+                        len(chunk), minimum=512)
+                    if t_pad_d > len(chunk):
+                        padw = ((0, 0), (0, 0),
+                                (0, t_pad_d - len(chunk)))
+                        t_gap = jnp.pad(t_gap, padw)
+                        t_he = jnp.pad(t_he, padw)
+                    n += self._score_group_tile(
+                        q_gap, q_he, [m for m, _ in chunk],
+                        (t_gap, t_he))
+                    continue
+                t_gap, t_he = \
+                    shape_score.select_target_tile_from_store(
+                        store, [r for _, r in chunk], pos_gap,
+                        n_gap_pad, n_he_w, gather_plan,
+                        mirror=p.mirror_mask)
                 t_pad = shape_score.support_bucket(len(chunk), minimum=512)
                 if t_pad > len(chunk):
                     padw = ((0, 0), (0, 0), (0, t_pad - len(chunk)))

@@ -573,6 +573,73 @@ def select_target_tile_from_store(store, rows, pos_gap: np.ndarray,
     return t_gap, t_he
 
 
+def device_store_fields(store, rows=None):
+    """Upload a ShapePackStore's query-independent fields ONCE as
+    pixel-major device arrays: (zsl uint16 [n_px, R], grad uint16
+    [n_px, R], tfg uint8 [ceil(n_px/8), R]).
+
+    The round-5 rung of the wire-form series (docs/DESIGN.md §6): with
+    the fields device-resident, each mask's t_gap/t_he dispatch planes
+    are built ON DEVICE from ~KBs of uploaded support positions
+    (shape_tile_device) instead of ~27 MB of host-assembled planes per
+    mask.  Worth the multi-GB one-time upload only when amortized over
+    many masks (or on locally-attached hardware) — the engine gates it
+    behind CDS_SHAPE_STORE_DEVICE=1.  ``rows`` restricts the upload to
+    a subset of store rows (the device tile then indexes positions
+    WITHIN that subset)."""
+    zsl_mm, grad_mm, tfg_mm = store.field_maps()
+    if rows is not None:
+        rows = np.asarray(rows)
+        zsl_mm = zsl_mm[rows]
+        grad_mm = grad_mm[rows]
+        tfg_mm = tfg_mm[rows]
+    return (jnp.asarray(np.ascontiguousarray(zsl_mm.T)),
+            jnp.asarray(np.ascontiguousarray(grad_mm.T)),
+            jnp.asarray(np.ascontiguousarray(tfg_mm.T)))
+
+
+@functools.partial(jax.jit, static_argnames=("n_gap_pad", "n_he_words",
+                                             "mirror", "sg", "sh"))
+def shape_tile_device(zsl_T: jax.Array, grad_T: jax.Array,
+                      tfg_T: jax.Array, rows_sel: jax.Array,
+                      pos_gap: jax.Array, g_pos: jax.Array,
+                      h_pos: jax.Array, keep_he: jax.Array | None, *,
+                      n_gap_pad: int, n_he_words: int, mirror: bool,
+                      sg: int, sh: int):
+    """Device twin of select_target_tile_from_store: builds the
+    (t_gap uint32 [n_or, n_gap_pad, T], t_he uint32 [n_or, W, T])
+    dispatch planes from device-resident store fields — bit-identical
+    to the host path (tests/test_shape_pack.py), with only the mask's
+    support positions crossing the wire."""
+    n_or = 2 if mirror else 1
+    zs = jnp.take(jnp.take(zsl_T, pos_gap, axis=0), rows_sel, axis=1)
+    z_part = zs.astype(jnp.uint32) << _SL_SHIFT           # [Sg, T]
+    g = jnp.take(jnp.take(grad_T, g_pos, axis=0), rows_sel, axis=1) \
+        .astype(jnp.uint32)                               # [n_or*Sg, T]
+    t = rows_sel.shape[0]
+    t_gap = jnp.zeros((n_or, n_gap_pad, t), jnp.uint32)
+    t_gap = t_gap.at[0, :sg].set(z_part | g[:sg])
+    if mirror:
+        t_gap = t_gap.at[1, :sg].set(z_part | g[sg:])
+
+    tb = jnp.take(jnp.take(tfg_T, h_pos >> 3, axis=0), rows_sel,
+                  axis=1)                                 # [n_or*Sh, T]
+    bits = ((tb >> (h_pos & 7)[:, None]) & 1).astype(jnp.uint32)
+    if keep_he is not None:
+        bits = bits * keep_he[:, None].astype(jnp.uint32)
+    pad = n_he_words * 32 - sh
+    he = []
+    for o in range(n_or):
+        b = bits[o * sh:(o + 1) * sh]
+        if pad:
+            b = jnp.pad(b, ((0, pad), (0, 0)))
+        b = b.reshape(n_he_words, 32, t)
+        w = (b << jnp.arange(32, dtype=jnp.uint32)[None, :, None]) \
+            .sum(axis=1, dtype=jnp.uint32)
+        he.append(w)
+    return t_gap, jnp.stack(he)
+
+
 def assemble_target_rows_split(cols: list, n_gap_pad: int,
                                n_he_words: int, *, mirror: bool = True):
     """Stack per-target select_target_cols_split outputs into the

@@ -168,6 +168,65 @@ def test_engine_reuses_store_without_decoding(tmp_path, monkeypatch,
         assert b.normalized_score == a.normalized_score
 
 
+def test_engine_device_store_flag_equals_host(tmp_path, monkeypatch):
+    """GradScoreEngine with CDS_SHAPE_STORE_DEVICE=1 must produce
+    identical scores to the host tile-pack path on a store-hit run."""
+    rng = np.random.default_rng(23)
+    h, w = 60, 80
+    mask_img = _mk_cdm(rng, h, w, 400)
+    Image.fromarray(mask_img).save(tmp_path / "mask.png")
+    mask_neuron = Neuron(mip_id="mask-1")
+    mask_neuron.set_compute_file(
+        ComputeFileType.InputColorDepthImage, str(tmp_path / "mask.png"))
+
+    def mk_matches():
+        out = []
+        for i in range(5):
+            target = Neuron(mip_id=f"t-{i}")
+            for suffix, ftype in (
+                    ("", ComputeFileType.InputColorDepthImage),
+                    ("_grad", ComputeFileType.GradientImage),
+                    ("_zgap", ComputeFileType.ZGapImage)):
+                target.set_compute_file(
+                    ftype, str(tmp_path / f"t{i}{suffix}.png"))
+            out.append(CDMatch(mask_image=mask_neuron,
+                               matched_image=target,
+                               matching_pixels=40 + i))
+        return out
+
+    for i in range(5):
+        t_img = _mk_cdm(rng, h, w, 500)
+        Image.fromarray(t_img).save(tmp_path / f"t{i}.png")
+        Image.fromarray(
+            rng.integers(0, 300, (h, w)).astype(np.uint16)).save(
+            tmp_path / f"t{i}_grad.png")
+        Image.fromarray(dilate_rgb(mask_rgb(t_img, 20), 20)).save(
+            tmp_path / f"t{i}_zgap.png")
+
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       mirror_mask=True, negative_radius=20)
+    store_dir = str(tmp_path / "pack")
+    # build pass (host path) populates the store
+    first = mk_matches()
+    GradScoreEngine(params, use_device=True,
+                    pack_store=store_dir).score_matches(first)
+    # host store-hit reference
+    ref = mk_matches()
+    GradScoreEngine(params, use_device=True,
+                    pack_store=store_dir).score_matches(ref)
+    # device-resident store path
+    monkeypatch.setenv("CDS_SHAPE_STORE_DEVICE", "1")
+    got = mk_matches()
+    eng = GradScoreEngine(params, use_device=True,
+                          pack_store=store_dir)
+    eng.score_matches(got)
+    assert getattr(eng, "_dev_store_cache", None) is not None
+    for a, b in zip(ref, got):
+        assert b.gradient_area_gap == a.gradient_area_gap
+        assert b.high_expression_area == a.high_expression_area
+        assert b.normalized_score == a.normalized_score
+
+
 @pytest.mark.parametrize("mirror", [True, False])
 def test_tile_gather_equals_row_path(tmp_path, mirror):
     """The engine's tile fast lane (one vectorized gather per field)
@@ -200,6 +259,64 @@ def test_tile_gather_equals_row_path(tmp_path, mirror):
         store, rows, pos_gap, n_gap, n_he, plan, mirror=mirror)
     np.testing.assert_array_equal(got[0], want[0])
     np.testing.assert_array_equal(got[1], want[1])
+
+
+@pytest.mark.parametrize("mirror", [True, False])
+@pytest.mark.parametrize("with_region", [True, False])
+def test_device_shape_tile_equals_host(tmp_path, mirror, with_region):
+    """The device-resident store path (device_store_fields +
+    shape_tile_device, the round-5 wire rung) must be bit-identical to
+    select_target_tile_from_store on the same rows."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(19)
+    h, w = 37, 53
+    store = ShapePackStore(tmp_path / "s", h, w)
+    q_rgb = _mk_cdm(rng, h, w, 240)
+    region = None
+    if with_region:
+        region = np.zeros((h, w), bool)
+        region[: h // 3, : w // 4] = True
+    q_pack = shape_score.pack_query(q_rgb, excluded_region=region)
+    pos_gap, pos_he = shape_score.support_split(q_pack)
+    n_gap = shape_score.support_bucket(pos_gap.size, minimum=64)
+    n_he = shape_score.he_words(pos_he.size, minimum=4)
+    plan = shape_score.split_gather_plan(
+        pos_gap, pos_he, w, mirror=mirror, excluded=region)
+    rows = []
+    for i in range(6):
+        t_rgb = _mk_cdm(rng, h, w, 420)
+        grad = rng.integers(0, 300, (h, w)).astype(np.uint16)
+        zgap = dilate_rgb(mask_rgb(t_rgb, 20), 6)
+        rows.append(store.append(
+            f"k{i}", *build_row_fields(t_rgb, grad, zgap,
+                                       mask_threshold=20)))
+    want = shape_score.select_target_tile_from_store(
+        store, rows, pos_gap, n_gap, n_he, plan, mirror=mirror)
+    g_pos, h_pos, keep_he = plan
+    n_or = 2 if mirror else 1
+    fields = shape_score.device_store_fields(store)
+    got = shape_score.shape_tile_device(
+        *fields, jnp.asarray(np.asarray(rows, np.int32)),
+        jnp.asarray(pos_gap), jnp.asarray(g_pos), jnp.asarray(h_pos),
+        None if keep_he is None else jnp.asarray(keep_he),
+        n_gap_pad=n_gap, n_he_words=n_he, mirror=mirror,
+        sg=pos_gap.size, sh=h_pos.size // n_or)
+    np.testing.assert_array_equal(np.asarray(got[0]), want[0])
+    np.testing.assert_array_equal(np.asarray(got[1]), want[1])
+    # subset upload: rows become local indices
+    sub = [rows[4], rows[1], rows[2]]
+    fields_sub = shape_score.device_store_fields(store, rows=sub)
+    got2 = shape_score.shape_tile_device(
+        *fields_sub, jnp.asarray(np.arange(3, dtype=np.int32)),
+        jnp.asarray(pos_gap), jnp.asarray(g_pos), jnp.asarray(h_pos),
+        None if keep_he is None else jnp.asarray(keep_he),
+        n_gap_pad=n_gap, n_he_words=n_he, mirror=mirror,
+        sg=pos_gap.size, sh=h_pos.size // n_or)
+    want2 = shape_score.select_target_tile_from_store(
+        store, sub, pos_gap, n_gap, n_he, plan, mirror=mirror)
+    np.testing.assert_array_equal(np.asarray(got2[0]), want2[0])
+    np.testing.assert_array_equal(np.asarray(got2[1]), want2[1])
 
 
 def test_field_maps_refresh_after_growth(tmp_path):
