@@ -518,18 +518,11 @@ class GradScoreEngine:
                     import jax.numpy as jnp
 
                     g_pos, h_pos, keep_he = gather_plan
-                    n_or = 2 if p.mirror_mask else 1
                     t_gap, t_he = shape_score.shape_tile_device(
-                        *dev_fields,
-                        jnp.asarray(np.asarray([r for _, r in chunk],
-                                               np.int32)),
-                        jnp.asarray(pos_gap), jnp.asarray(g_pos),
-                        jnp.asarray(h_pos),
-                        None if keep_he is None
-                        else jnp.asarray(keep_he),
+                        dev_fields, [r for _, r in chunk],
+                        pos_gap, g_pos, h_pos, keep_he,
                         n_gap_pad=n_gap_pad, n_he_words=n_he_w,
-                        mirror=p.mirror_mask, sg=pos_gap.size,
-                        sh=h_pos.size // n_or)
+                        mirror=p.mirror_mask)
                     t_pad_d = shape_score.support_bucket(
                         len(chunk), minimum=512)
                     if t_pad_d > len(chunk):

@@ -599,45 +599,84 @@ def device_store_fields(store, rows=None):
 
 
 @functools.partial(jax.jit, static_argnames=("n_gap_pad", "n_he_words",
-                                             "mirror", "sg", "sh"))
-def shape_tile_device(zsl_T: jax.Array, grad_T: jax.Array,
-                      tfg_T: jax.Array, rows_sel: jax.Array,
-                      pos_gap: jax.Array, g_pos: jax.Array,
-                      h_pos: jax.Array, keep_he: jax.Array | None, *,
-                      n_gap_pad: int, n_he_words: int, mirror: bool,
-                      sg: int, sh: int):
-    """Device twin of select_target_tile_from_store: builds the
-    (t_gap uint32 [n_or, n_gap_pad, T], t_he uint32 [n_or, W, T])
-    dispatch planes from device-resident store fields — bit-identical
-    to the host path (tests/test_shape_pack.py), with only the mask's
-    support positions crossing the wire."""
+                                             "mirror"))
+def _shape_tile_device(zsl_T: jax.Array, grad_T: jax.Array,
+                       tfg_T: jax.Array, rows_sel: jax.Array,
+                       pos_gap_p: jax.Array, g_pos_p: jax.Array,
+                       h_pos_p: jax.Array, keep_he_p: jax.Array,
+                       sg: jax.Array, sh: jax.Array, *,
+                       n_gap_pad: int, n_he_words: int, mirror: bool):
+    """Jitted core of shape_tile_device.  All position arrays arrive
+    PRE-PADDED to their buckets (pad index 0) and the true support
+    sizes sg/sh are TRACED scalars — otherwise every mask's raw
+    support size would compile a fresh executable (minutes each over
+    the remote-compile tunnel).  Pad rows are zeroed by masks, exactly
+    matching the host path's zero-initialized planes."""
     n_or = 2 if mirror else 1
-    zs = jnp.take(jnp.take(zsl_T, pos_gap, axis=0), rows_sel, axis=1)
-    z_part = zs.astype(jnp.uint32) << _SL_SHIFT           # [Sg, T]
-    g = jnp.take(jnp.take(grad_T, g_pos, axis=0), rows_sel, axis=1) \
-        .astype(jnp.uint32)                               # [n_or*Sg, T]
     t = rows_sel.shape[0]
-    t_gap = jnp.zeros((n_or, n_gap_pad, t), jnp.uint32)
-    t_gap = t_gap.at[0, :sg].set(z_part | g[:sg])
+    live_g = (jnp.arange(n_gap_pad) < sg)[:, None]        # [Sgp, 1]
+    zs = jnp.take(jnp.take(zsl_T, pos_gap_p, axis=0), rows_sel, axis=1)
+    z_part = zs.astype(jnp.uint32) << _SL_SHIFT           # [Sgp, T]
+    g = jnp.take(jnp.take(grad_T, g_pos_p, axis=0), rows_sel, axis=1) \
+        .astype(jnp.uint32)                          # [n_or*Sgp, T]
+    gaps = [jnp.where(live_g, z_part | g[:n_gap_pad], 0)]
     if mirror:
-        t_gap = t_gap.at[1, :sg].set(z_part | g[sg:])
+        gaps.append(jnp.where(live_g, z_part | g[n_gap_pad:], 0))
+    t_gap = jnp.stack(gaps)
 
-    tb = jnp.take(jnp.take(tfg_T, h_pos >> 3, axis=0), rows_sel,
-                  axis=1)                                 # [n_or*Sh, T]
-    bits = ((tb >> (h_pos & 7)[:, None]) & 1).astype(jnp.uint32)
-    if keep_he is not None:
-        bits = bits * keep_he[:, None].astype(jnp.uint32)
-    pad = n_he_words * 32 - sh
+    shp = n_he_words * 32
+    live_h = (jnp.arange(shp) < sh)[:, None]              # [Shp, 1]
+    tb = jnp.take(jnp.take(tfg_T, h_pos_p >> 3, axis=0), rows_sel,
+                  axis=1)                            # [n_or*Shp, T]
+    bits = ((tb >> (h_pos_p & 7)[:, None]) & 1).astype(jnp.uint32)
+    bits = bits * keep_he_p[:, None].astype(jnp.uint32)
     he = []
     for o in range(n_or):
-        b = bits[o * sh:(o + 1) * sh]
-        if pad:
-            b = jnp.pad(b, ((0, pad), (0, 0)))
+        b = jnp.where(live_h, bits[o * shp:(o + 1) * shp], 0)
         b = b.reshape(n_he_words, 32, t)
         w = (b << jnp.arange(32, dtype=jnp.uint32)[None, :, None]) \
             .sum(axis=1, dtype=jnp.uint32)
         he.append(w)
     return t_gap, jnp.stack(he)
+
+
+def shape_tile_device(fields, rows_sel, pos_gap: np.ndarray,
+                      g_pos: np.ndarray, h_pos: np.ndarray,
+                      keep_he: np.ndarray | None, *, n_gap_pad: int,
+                      n_he_words: int, mirror: bool):
+    """Device twin of select_target_tile_from_store: builds the
+    (t_gap uint32 [n_or, n_gap_pad, T], t_he uint32 [n_or, W, T])
+    dispatch planes from device-resident store fields — bit-identical
+    to the host path (tests/test_shape_pack.py), with only the mask's
+    support positions crossing the wire.  Pads the positions to their
+    buckets so kernel shapes are reused across masks."""
+    n_or = 2 if mirror else 1
+    sg = pos_gap.size
+    sh = h_pos.size // n_or
+    shp = n_he_words * 32
+
+    def pad_to(a, n):
+        out = np.zeros(n, np.int32)
+        out[:a.size] = a
+        return out
+
+    pos_gap_p = pad_to(pos_gap, n_gap_pad)
+    g_pos_p = np.zeros(n_or * n_gap_pad, np.int32)
+    for o in range(n_or):
+        g_pos_p[o * n_gap_pad:o * n_gap_pad + sg] = \
+            g_pos[o * sg:(o + 1) * sg]
+    h_pos_p = np.zeros(n_or * shp, np.int32)
+    keep_p = np.zeros(n_or * shp, np.uint8)
+    for o in range(n_or):
+        h_pos_p[o * shp:o * shp + sh] = h_pos[o * sh:(o + 1) * sh]
+        keep_p[o * shp:o * shp + sh] = \
+            1 if keep_he is None else keep_he[o * sh:(o + 1) * sh]
+    return _shape_tile_device(
+        *fields, jnp.asarray(np.asarray(rows_sel, np.int32)),
+        jnp.asarray(pos_gap_p), jnp.asarray(g_pos_p),
+        jnp.asarray(h_pos_p), jnp.asarray(keep_p),
+        jnp.int32(sg), jnp.int32(sh),
+        n_gap_pad=n_gap_pad, n_he_words=n_he_words, mirror=mirror)
 
 
 def assemble_target_rows_split(cols: list, n_gap_pad: int,

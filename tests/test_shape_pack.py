@@ -294,25 +294,18 @@ def test_device_shape_tile_equals_host(tmp_path, mirror, with_region):
     want = shape_score.select_target_tile_from_store(
         store, rows, pos_gap, n_gap, n_he, plan, mirror=mirror)
     g_pos, h_pos, keep_he = plan
-    n_or = 2 if mirror else 1
     fields = shape_score.device_store_fields(store)
     got = shape_score.shape_tile_device(
-        *fields, jnp.asarray(np.asarray(rows, np.int32)),
-        jnp.asarray(pos_gap), jnp.asarray(g_pos), jnp.asarray(h_pos),
-        None if keep_he is None else jnp.asarray(keep_he),
-        n_gap_pad=n_gap, n_he_words=n_he, mirror=mirror,
-        sg=pos_gap.size, sh=h_pos.size // n_or)
+        fields, rows, pos_gap, g_pos, h_pos, keep_he,
+        n_gap_pad=n_gap, n_he_words=n_he, mirror=mirror)
     np.testing.assert_array_equal(np.asarray(got[0]), want[0])
     np.testing.assert_array_equal(np.asarray(got[1]), want[1])
     # subset upload: rows become local indices
     sub = [rows[4], rows[1], rows[2]]
     fields_sub = shape_score.device_store_fields(store, rows=sub)
     got2 = shape_score.shape_tile_device(
-        *fields_sub, jnp.asarray(np.arange(3, dtype=np.int32)),
-        jnp.asarray(pos_gap), jnp.asarray(g_pos), jnp.asarray(h_pos),
-        None if keep_he is None else jnp.asarray(keep_he),
-        n_gap_pad=n_gap, n_he_words=n_he, mirror=mirror,
-        sg=pos_gap.size, sh=h_pos.size // n_or)
+        fields_sub, np.arange(3), pos_gap, g_pos, h_pos, keep_he,
+        n_gap_pad=n_gap, n_he_words=n_he, mirror=mirror)
     want2 = shape_score.select_target_tile_from_store(
         store, sub, pos_gap, n_gap, n_he, plan, mirror=mirror)
     np.testing.assert_array_equal(np.asarray(got2[0]), want2[0])
