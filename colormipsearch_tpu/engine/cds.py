@@ -449,6 +449,7 @@ class CDSearchEngine:
         self._mesh = None
         self._sharded_steps: dict = {}
         self._plan_args_cache: dict = {}
+        self._plan_args_inflight: dict = {}
         self._plan_args_lock = threading.Lock()
         self._itabs = None  # device interval tables (qkey wire form)
         # re-read the env at construction so in-process callers (bench)
@@ -785,6 +786,13 @@ class CDSearchEngine:
                 "non-excluded region — note the name/color-scale label "
                 "regions cover x<330/y<100 and the right corner and are "
                 "excluded by default)", p.mask_threshold)
+        if not groups:
+            # nothing to score: do NOT consume shard0 (the prefetch may
+            # already be decoding+uploading the first target shard over
+            # the ~10 MB/s tunnel) and do not stream the rest (ADVICE r4)
+            shard0_fut.cancel()
+            shard0_pool.shutdown(wait=False, cancel_futures=True)
+            return
 
         n_matches = 0
         n_targets = 0
@@ -903,19 +911,41 @@ class CDSearchEngine:
         (the identity check is belt-and-braces).  Locked: the warm-
         ahead thread and the scoring thread both mutate the FIFO, and
         a concurrent double-evict of the same oldest key would raise.
-        build() runs outside the lock (it uploads over the tunnel)."""
+        build() runs outside the lock (it uploads over the tunnel), but
+        concurrent requesters of the SAME key share one in-flight build
+        via a per-key future — without it the warm-ahead thread and the
+        scoring thread could both upload multi-MB plan args (ADVICE r4)."""
+        import concurrent.futures
+
         key = (tag,) + tuple(id(pl) for pl in plans)
         with self._plan_args_lock:
             cached = self._plan_args_cache.get(key)
             if cached is not None and all(
                     a is b for a, b in zip(cached[0], plans)):
                 return cached[1]
-        args = build()
+            fut = self._plan_args_inflight.get(key)
+            if fut is None:
+                fut = concurrent.futures.Future()
+                self._plan_args_inflight[key] = fut
+                owner = True
+            else:
+                owner = False
+        if not owner:
+            return fut.result()
+        try:
+            args = build()
+        except BaseException as e:
+            fut.set_exception(e)
+            with self._plan_args_lock:
+                self._plan_args_inflight.pop(key, None)
+            raise
         with self._plan_args_lock:
             while len(self._plan_args_cache) >= self._ARGS_CACHE_MAX:
                 self._plan_args_cache.pop(
                     next(iter(self._plan_args_cache)), None)
             self._plan_args_cache[key] = (tuple(plans), args)
+            self._plan_args_inflight.pop(key, None)
+        fut.set_result(args)
         return args
 
     def _stacked_plan_args(self, plans):

@@ -248,12 +248,32 @@ class GradScoreEngine:
             return None
         from colormipsearch_tpu.ops import shape_score
 
+        # small dict keyed by (id, len) with FIFO eviction: a single
+        # slot churned (multi-GB re-upload per swap) when two stores
+        # alternated or one grew mid-run (ADVICE r4).  Each entry pins
+        # its store so a recycled id can never alias a freed store.
         key = (id(store), len(store))
-        cached = getattr(self, "_dev_store_cache", None)
-        if cached is not None and cached[0] == key:
+        cache = getattr(self, "_dev_store_cache", None)
+        if cache is None:
+            cache = self._dev_store_cache = {}
+        cached = cache.get(key)
+        if cached is not None and cached[0] is store:
             return cached[1]
+        grew = any(k[0] == id(store) and entry[0] is store
+                   for k, entry in cache.items())
+        if grew:
+            # the store grew mid-run: evict its stale-length fields so
+            # HBM isn't held twice, and say so (the re-upload is real)
+            LOG.warning("device store fields re-upload: store grew "
+                        "to %d rows (cache churn is multi-GB over "
+                        "the tunnel)", len(store))
+            for k in [k for k, e in cache.items()
+                      if k[0] == id(store) and e[0] is store]:
+                cache.pop(k)
         fields = shape_score.device_store_fields(store)
-        self._dev_store_cache = (key, fields)
+        while len(cache) >= 2:  # two stores may alternate; bound HBM
+            cache.pop(next(iter(cache)))
+        cache[key] = (store, fields)
         LOG.info("uploaded %d store rows to device (%.1f GB)",
                  len(store), sum(f.nbytes for f in fields) / 1e9)
         return fields

@@ -651,39 +651,105 @@ void cdm_img_decode_batch(const uint8_t** bufs, const size_t* lens,
 // key-plane upload (ops/common.pack_target_planes_keys_sparse) — the
 // numpy nonzero/fancy-index path measured ~24 ms/target, ~100x the
 // memory-bound floor this pass runs at.
+// Work splits over (image, pixel-chunk) pairs, not just images, so a
+// SINGLE-image arena (the per-mask query-foreground select,
+// io/native_decoder._select_query_foreground) still uses every thread
+// (ADVICE r4: image-only splitting left n_img=1 on one core).
+static inline int64_t coo_chunk_px(int64_t n_img, int64_t n_px,
+                                   int n_threads) {
+    // aim for ~4 chunks per thread across the whole arena, but never
+    // chunks smaller than 64 KB of pixels (scan is memory-bound;
+    // tiny chunks are all scheduling overhead)
+    int64_t total = n_img * n_px;
+    int64_t want = std::max<int64_t>(1, (int64_t)n_threads * 4);
+    int64_t c = std::max<int64_t>((total + want - 1) / want, 64 * 1024);
+    return std::min<int64_t>(c, n_px);
+}
+
+static inline int64_t coo_count_range(const uint8_t* p, int64_t j0,
+                                      int64_t j1, int thr) {
+    int64_t c = 0;
+    for (int64_t j = j0; j < j1; j++) {
+        const uint8_t* px = p + j * 3;
+        c += (px[0] > thr) | (px[1] > thr) | (px[2] > thr);
+    }
+    return c;
+}
+
 void cdm_coo_count(const uint8_t* arena, int64_t n_img, int64_t n_px,
                    int thr, int64_t* counts, int n_threads) {
+    const int64_t chunk = coo_chunk_px(n_img, n_px, n_threads);
+    const int64_t cpi = (n_px + chunk - 1) / chunk;  // chunks per image
+    const int64_t n_work = n_img * cpi;
+    for (int64_t i = 0; i < n_img; i++) counts[i] = 0;
+    std::vector<std::atomic<int64_t>> acc(n_img);
+    for (auto& a : acc) a.store(0, std::memory_order_relaxed);
     std::atomic<int64_t> next{0};
     auto worker = [&]() {
         for (;;) {
-            int64_t i = next.fetch_add(1);
-            if (i >= n_img) break;
-            const uint8_t* p = arena + i * n_px * 3;
-            int64_t c = 0;
-            for (int64_t j = 0; j < n_px; j++) {
-                const uint8_t* px = p + j * 3;
-                c += (px[0] > thr) | (px[1] > thr) | (px[2] > thr);
-            }
-            counts[i] = c;
+            int64_t wi = next.fetch_add(1);
+            if (wi >= n_work) break;
+            int64_t i = wi / cpi, k = wi % cpi;
+            int64_t j0 = k * chunk, j1 = std::min(j0 + chunk, n_px);
+            acc[i].fetch_add(
+                coo_count_range(arena + i * n_px * 3, j0, j1, thr),
+                std::memory_order_relaxed);
         }
     };
-    int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_img));
+    int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_work));
     std::vector<std::thread> threads;
     for (int i = 0; i < nt; i++) threads.emplace_back(worker);
     for (auto& th : threads) th.join();
+    for (int64_t i = 0; i < n_img; i++)
+        counts[i] = acc[i].load(std::memory_order_relaxed);
 }
 
 void cdm_coo_fill(const uint8_t* arena, int64_t n_img, int64_t n_px,
                   int thr, const int64_t* offsets, int32_t* pos_out,
                   int32_t* tidx_out, uint8_t* rgb_out, int n_threads) {
+    const int64_t chunk = coo_chunk_px(n_img, n_px, n_threads);
+    const int64_t cpi = (n_px + chunk - 1) / chunk;
+    const int64_t n_work = n_img * cpi;
+    // pass 1 (parallel): per-chunk foreground counts; pass 2 (serial,
+    // cheap): prefix-sum into per-chunk output offsets — position
+    // order within each image is preserved because chunks are
+    // contiguous; pass 3 (parallel): compact each chunk at its offset
+    std::vector<int64_t> coff(n_work);
+    {
+        std::atomic<int64_t> next{0};
+        auto worker = [&]() {
+            for (;;) {
+                int64_t wi = next.fetch_add(1);
+                if (wi >= n_work) break;
+                int64_t i = wi / cpi, k = wi % cpi;
+                int64_t j0 = k * chunk, j1 = std::min(j0 + chunk, n_px);
+                coff[wi] = coo_count_range(arena + i * n_px * 3, j0, j1,
+                                           thr);
+            }
+        };
+        int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_work));
+        std::vector<std::thread> threads;
+        for (int i = 0; i < nt; i++) threads.emplace_back(worker);
+        for (auto& th : threads) th.join();
+    }
+    for (int64_t i = 0; i < n_img; i++) {
+        int64_t o = offsets[i];
+        for (int64_t k = 0; k < cpi; k++) {
+            int64_t c = coff[i * cpi + k];
+            coff[i * cpi + k] = o;
+            o += c;
+        }
+    }
     std::atomic<int64_t> next{0};
     auto worker = [&]() {
         for (;;) {
-            int64_t i = next.fetch_add(1);
-            if (i >= n_img) break;
+            int64_t wi = next.fetch_add(1);
+            if (wi >= n_work) break;
+            int64_t i = wi / cpi, k = wi % cpi;
+            int64_t j0 = k * chunk, j1 = std::min(j0 + chunk, n_px);
             const uint8_t* p = arena + i * n_px * 3;
-            int64_t o = offsets[i];
-            for (int64_t j = 0; j < n_px; j++) {
+            int64_t o = coff[wi];
+            for (int64_t j = j0; j < j1; j++) {
                 const uint8_t* px = p + j * 3;
                 if ((px[0] > thr) | (px[1] > thr) | (px[2] > thr)) {
                     pos_out[o] = (int32_t)j;
@@ -696,7 +762,7 @@ void cdm_coo_fill(const uint8_t* arena, int64_t n_img, int64_t n_px,
             }
         }
     };
-    int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_img));
+    int nt = std::max(1, (int)std::min<int64_t>(n_threads, n_work));
     std::vector<std::thread> threads;
     for (int i = 0; i < nt; i++) threads.emplace_back(worker);
     for (auto& th : threads) th.join();
