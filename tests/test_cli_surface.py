@@ -157,6 +157,79 @@ def test_cds_batch_launcher(tmp_path, capsys):
     assert "--targets-length 3" in out[-1]
 
 
+def test_cds_batch_target_split_tiles_merge(tmp_path, monkeypatch):
+    """Tiles that split the TARGET axis into one shared -od must not
+    clobber each other's per-mask grouped files (VERDICT r4 weak #6:
+    each tile process rewrote the same per-mask file from scratch and
+    the last tile silently won).  The launcher isolates each tile's
+    output in a subdir and merges, so the merged per-mask file holds
+    BOTH tiles' matches (the reference guards its concurrent-append
+    case with FileLock+retry, cmd_v2/ColorMIPSearchResultsWriter.java:
+    32-58, and in production ran one tile per matrix, cdsparams.sh:11-12)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import cds_batch
+
+    repo = Path(__file__).resolve().parents[1]
+    monkeypatch.setenv("PYTHONPATH", str(repo))
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("XLA_FLAGS",
+                       "--xla_force_host_platform_device_count=2")
+
+    rng = np.random.default_rng(3)
+    h, w = 40, 64
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    img = np.zeros((h, w, 3), np.uint8)
+    n = 400
+    img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+        rng.integers(0, 256, (n, 3))
+    Image.fromarray(img).save(lib / "mask0.png")
+    # both targets are the mask image → every tile yields a match
+    Image.fromarray(img).save(lib / "t0.png")
+    Image.fromarray(img).save(lib / "t1.png")
+
+    out = subprocess.run(
+        [sys.executable, "-m", "colormipsearch_tpu.cli.main",
+         "createColorDepthSearchDataInput", "-i", str(lib), "-l", "tb",
+         "-od", str(tmp_path), "--output-filename", "all.json"],
+        capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    neurons = json.loads((tmp_path / "all.json").read_text())
+    masks = [x for x in neurons if x["mipId"].startswith("mask")]
+    targets = [x for x in neurons if x["mipId"].startswith("t")]
+    assert len(masks) == 1 and len(targets) == 2
+    (tmp_path / "masks.json").write_text(json.dumps(masks))
+    (tmp_path / "targets.json").write_text(json.dumps(targets))
+
+    od = tmp_path / "out"
+    rc = cds_batch.main(
+        ["--masks", str(tmp_path / "masks.json"),
+         "--targets", str(tmp_path / "targets.json"),
+         "--total-masks", "1", "--total-targets", "2",
+         "--masks-per-job", "1", "--targets-per-job", "1",
+         "-od", str(od), "--run", "--",
+         "--maskThreshold", "20", "--dataThreshold", "20",
+         "--pixColorFluctuation", "2.0", "--xyShift", "2",
+         "--no-name-labels", "--no-colormap-labels",
+         "--perMaskSubdir", "pm"])
+    assert rc == 0
+    doc = json.loads((od / "pm" / "mask0.json").read_text())
+    got = {r["image"]["mipId"] for r in doc["results"]}
+    # BOTH target tiles' matches survive in the merged per-mask file
+    assert got == {"t0", "t1"}, got
+    # merged results keep the writer's ordering (score-descending)
+    scores = [r["matchingPixels"] for r in doc["results"]]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_reference_flag_parity():
     """Every JCommander @Parameter name reachable from each reference
     command (inheritance + delegate aware) is accepted by our CLI —
