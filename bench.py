@@ -704,24 +704,22 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
             "no result files written (golden pair missing?)"
         pairs = m * t
         decode_upload = st["decodeTargets"] + st["packUpload"]
-        # projection to the production 44,593 x 7,391 run on THIS rig:
-        # per-mask prep and per-target decode/upload scale linearly;
-        # scoring scales by pairs at the in-run device rate
-        # shard-0 decode+upload overlaps prepMasks (it starts BEFORE
-        # scoring), so only its excess past prep can sit inside
-        # scoreAllPairs — subtracting the full stage seconds would
-        # inflate the device rate (review r4)
-        du_in_score = max(0.0, st["decodeTargets"] + st["packUpload"]
-                          - st["prepMasks"])
-        score_s = max(st["scoreAllPairs"] - du_in_score, 1e-9)
-        device_rate = pairs / score_s
+        # projection to the production 44,593 x 7,391 run on THIS rig.
+        # Since the round-5 streaming prep, ALL three big components
+        # overlap: mask prep streams into shard-0 scoring, and shard
+        # i+1 decode+upload overlaps shard-i scoring — so the
+        # projection is the max of the scaled components, not their
+        # sum.  The device term scales by pairs at the in-run
+        # dispatch+emit rate (dispatch = device step incl. result
+        # materialization; emit = host JSON writes, serial with
+        # dispatch in the scoring thread).
+        dev_serial_s = max(st["dispatch"] + st["emit"], 1e-9)
+        device_rate = pairs / dev_serial_s
         pm, pt = 44593, 7391
-        proj = (st["prepMasks"] * pm / m
-                + decode_upload * pt / t
-                + pm * pt / device_rate)
-        # decode+pack of the single target shard OVERLAPS the mask
-        # prep (engine starts shard 0 before prep): only the excess
-        # past prep sits on the critical path
+        comp_prep = st["prepMasks"] * pm / m
+        comp_du = decode_upload * pt / t
+        comp_score = pm * pt / device_rate
+        proj = max(comp_prep, comp_du, comp_score)
         critical = max(0.0, decode_upload - st["prepMasks"])
         split = {
             "masks": m, "targets": t, "wall_s": round(wall, 1),
@@ -731,9 +729,13 @@ def bench_dress_rehearsal(mask_rgb, target_rgb):
             "device_score_pairs_per_s": round(device_rate, 1),
             "synth_s": round(synth_s, 1),
             "production_44593x7391_projection_s": round(proj, 1),
-            "note": "prepMasks overlaps nothing (runs first); "
-                    "decode/packUpload of shard i+1 overlap scoring "
-                    "of shard i, so stage seconds can overlap wall",
+            "projection_components_s": {
+                "prep": round(comp_prep, 1), "decode_upload":
+                round(comp_du, 1), "score": round(comp_score, 1)},
+            "note": "streamed stages: prepMasks overlaps shard-0 "
+                    "scoring, decode/packUpload of shard i+1 overlap "
+                    "scoring of shard i, so stage seconds can overlap "
+                    "wall; projection = max of scaled components",
         }
         return pairs / wall, split
 
@@ -1016,6 +1018,36 @@ def main() -> int:
     return 0
 
 
+def _recent_bands(out_dir: str, current: dict, n_windows: int = 8) -> dict:
+    """min/max bands over the most recent bench windows (including this
+    one) for the headline kernel rate and the dress e2e rate — tunnel
+    weather swings single points by ±10-40%, so cross-round comparisons
+    need the band, not one draw (VERDICT r4 weak #3)."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(_os.path.join(out_dir, "bench_*.json")))
+    series: dict[str, list] = {"kernel_pairs_per_s": [],
+                               "e2e_dress_pairs_per_s": []}
+    docs = []
+    for p in paths[-(n_windows - 1):]:
+        try:
+            with open(p) as f:
+                docs.append(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            continue
+    docs.append(current)
+    for d in docs:
+        v = d.get("value")
+        if isinstance(v, (int, float)) and v > 0:
+            series["kernel_pairs_per_s"].append(float(v))
+        dv = (d.get("extra") or {}).get("e2e_dress_pairs_per_s")
+        if isinstance(dv, (int, float)) and dv > 0:
+            series["e2e_dress_pairs_per_s"].append(float(dv))
+    return {k: {"min": round(min(v), 1), "max": round(max(v), 1),
+                "n_windows": len(v)}
+            for k, v in series.items() if v}
+
+
 def _emit_result(full) -> None:
     """Spill the full result (kernel variants, e2e splits, mesh sweep)
     to bench_runs/ and print a COMPACT headline line LAST: the round-3
@@ -1024,6 +1056,7 @@ def _emit_result(full) -> None:
     out_dir = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                             "bench_runs")
     _os.makedirs(out_dir, exist_ok=True)
+    full["band"] = _recent_bands(out_dir, full)
     stamp = time.strftime("%Y%m%dT%H%M%S")
     full_path = _os.path.join(out_dir, f"bench_{stamp}.json")
     with open(full_path, "w") as f:
@@ -1036,8 +1069,10 @@ def _emit_result(full) -> None:
         "vs_baseline": full["vs_baseline"],
         "extra": {k: full["extra"][k] for k in (
             "shape_pairs_per_s", "e2e_cds_pairs_per_s",
-            "e2e_shape_targets_per_s", "e2e_dress_pairs_per_s")
+            "e2e_shape_targets_per_s", "e2e_dress_pairs_per_s",
+            "e2e_gradscore_dress")
             if k in full["extra"]},
+        "band": full["band"],
         "full_result": full_path,
     }
     print(json.dumps(compact), flush=True)

@@ -765,102 +765,154 @@ class CDSearchEngine:
             max_workers=1)
         shard0_fut = shard0_pool.submit(lambda: next(shard_iter, None))
 
-        groups: dict[tuple, list] = {}
-        with stage_timer("cds.prepMasks"), \
-                concurrent.futures.ThreadPoolExecutor(
-                    max_workers=self.decode_concurrency) as pool:
-            prepped = list(pool.map(prep_mask, masks))
-        for entry in prepped:
-            if entry is None:
-                continue
+        # Mask prep STREAMS into shard-0 scoring (VERDICT r4 weak #5:
+        # building all 44.6k plans up front was ~8 min of dead critical
+        # path).  All prep futures are submitted at once; batches form
+        # as results arrive IN SUBMIT ORDER (deterministic: batch
+        # composition is identical to the old all-up-front grouping),
+        # and each full batch scores against the first target shard
+        # while later masks are still prepping.  Remaining shards
+        # iterate the recorded batch list exactly as before.
+        prep_t0 = time.time()
+        prep_done_ts: list[float] = []
+
+        def prep_one(mask):
+            try:
+                return prep_mask(mask)
+            finally:
+                prep_done_ts.append(time.time())
+
+        prep_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=self.decode_concurrency)
+        prep_futs = [prep_pool.submit(prep_one, m) for m in masks]
+
+        def entry_key(entry):
             _, mask_rgb, _, plan, neg_plan = entry
             q_pad = (plan.u_pos.shape[1] if union_prep
                      else plan.positions.shape[1])
-            key = (mask_rgb.shape[:2], q_pad,
-                   None if neg_plan is None else neg_plan.positions.shape[1])
-            groups.setdefault(key, []).append(entry)
-        if masks and not groups:
-            LOG.warning(
-                "no usable masks: every mask image failed to load or "
-                "produced an EMPTY query (threshold %d over the "
-                "non-excluded region — note the name/color-scale label "
-                "regions cover x<330/y<100 and the right corner and are "
-                "excluded by default)", p.mask_threshold)
-        if not groups:
-            # nothing to score: do NOT consume shard0 (the prefetch may
-            # already be decoding+uploading the first target shard over
-            # the ~10 MB/s tunnel) and do not stream the rest (ADVICE r4)
-            shard0_fut.cancel()
-            shard0_pool.shutdown(wait=False, cancel_futures=True)
-            return
+            return (mask_rgb.shape[:2], q_pad,
+                    None if neg_plan is None
+                    else neg_plan.positions.shape[1])
+
+        def stream_batches():
+            # yields (group key, batch) with full batches as soon as
+            # MASK_BATCH same-key masks have prepped; remainders after
+            # prep drains.  The prep pool runs independently of this
+            # consumption, so the recorded prepMasks span is the true
+            # (overlapped) prep time, not the consumption time.
+            pending: dict[tuple, list] = {}
+            for fut in prep_futs:
+                entry = fut.result()
+                if entry is None:
+                    continue
+                k = entry_key(entry)
+                pending.setdefault(k, []).append(entry)
+                if len(pending[k]) >= self.MASK_BATCH:
+                    yield k, pending.pop(k)
+            prep_pool.shutdown()
+            span = (max(prep_done_ts) - prep_t0) if prep_done_ts else 0.0
+            GLOBAL.add("cds.prepMasks.seconds", span)
+            LOG.info("cds.prepMasks finished in %.2fs (overlapped with "
+                     "shard-0 scoring)", span)
+            for k, b in pending.items():
+                if b:
+                    yield k, b
 
         n_matches = 0
         n_targets = 0
         n_pairs = 0
-        def _shards():
-            first = shard0_fut.result()
-            shard0_pool.shutdown()
-            if first is not None:
-                yield first
-            yield from shard_iter
+        first_shard = None
+        all_batches: list[tuple[tuple, list]] = []
 
+        def warm(key, batch):
+            # build+upload a batch's plan args on a worker thread while
+            # the device scores the previous batch (the union-plan
+            # build + its ~MB-scale arg upload is the per-batch serial
+            # cost at production mask counts; _stacked_*_args caches by
+            # plan identity and shares in-flight builds, so
+            # _score_batch then hits the cache)
+            n_px = key[0][0] * key[0][1]
+            try:
+                if self.use_key_planes and self.use_union_keys:
+                    self._stacked_union_args(batch, n_px)
+                elif self.use_key_planes:
+                    self._stacked_key_args([e[3] for e in batch], n_px)
+            except Exception:  # noqa: BLE001 - warm only
+                pass  # the real call surfaces the error
+
+        def score(key, batch, shard):
+            nonlocal n_pairs, n_matches
+            out = self._score_batch(batch, shard, tags, session_ref_id,
+                                    top_k=max_matches_per_mask)
+            GLOBAL.add("pairsScored", len(batch) * shard.count)
+            n_pairs += len(batch) * shard.count
+            n_matches += len(out)
+            return out
+
+        warm_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         with stage_timer("cds.scoreAllPairs"):
-            # targets stream in device-sized tiles, decode of the next
-            # tile overlapping the scoring of the current one (and the
-            # FIRST tile overlapping the mask prep above)
-            for shard in _shards():
+            # phase 1: shard 0 scores each mask batch as prep yields it
+            # (prep of later masks + the next batch's plan-arg warm
+            # overlap the device scoring of the current batch)
+            prev = None
+            for kb in stream_batches():
+                all_batches.append(kb)
+                if first_shard is None:
+                    # first usable batch: now (and only now) consume the
+                    # prefetched shard — if every mask fails, the tunnel
+                    # never pays for the target upload (ADVICE r4)
+                    first_shard = shard0_fut.result()
+                    shard0_pool.shutdown()
+                    if first_shard is not None:
+                        n_targets += first_shard.count
+                if first_shard is None:
+                    continue  # no targets: just record batches
+                warm_pool.submit(warm, *kb)
+                if prev is not None and prev[0][0] == first_shard.shape:
+                    yield score(prev[0], prev[1], first_shard)
+                prev = kb
+            if prev is not None and first_shard is not None \
+                    and prev[0][0] == first_shard.shape:
+                yield score(prev[0], prev[1], first_shard)
+            warm_pool.shutdown()
+            if not all_batches:
+                if masks:
+                    LOG.warning(
+                        "no usable masks: every mask image failed to "
+                        "load or produced an EMPTY query (threshold %d "
+                        "over the non-excluded region — note the "
+                        "name/color-scale label regions cover "
+                        "x<330/y<100 and the right corner and are "
+                        "excluded by default)", p.mask_threshold)
+                # nothing to score: do NOT consume shard0 (the prefetch
+                # may already be decoding+uploading the first target
+                # shard over the ~10 MB/s tunnel) and do not stream the
+                # rest (ADVICE r4)
+                shard0_fut.cancel()
+                shard0_pool.shutdown(wait=False, cancel_futures=True)
+                return
+            # phase 2: remaining shards iterate the recorded batches
+            for shard in shard_iter:
                 n_targets += shard.count
-                for (shape, *_), entries in groups.items():
-                    if shape != shard.shape:
-                        # the reference requires target size == query size
-                        continue
-                    batches = [entries[i:i + self.MASK_BATCH]
-                               for i in range(0, len(entries),
-                                              self.MASK_BATCH)]
-                    # build+upload the NEXT batch's plan args on a
-                    # worker thread while the device scores the current
-                    # batch (the union-plan build + its ~MB-scale arg
-                    # upload is the per-batch serial cost at production
-                    # mask counts; _stacked_*_args caches by plan
-                    # identity, so _score_batch then hits the cache)
-                    n_px = shape[0] * shape[1]
-
-                    def warm(batch):
-                        try:
-                            if self.use_key_planes and \
-                                    self.use_union_keys:
-                                self._stacked_union_args(batch, n_px)
-                            elif self.use_key_planes:
-                                self._stacked_key_args(
-                                    [e[3] for e in batch], n_px)
-                        except Exception:  # noqa: BLE001 - warm only
-                            pass  # the real call surfaces the error
-
-                    with concurrent.futures.ThreadPoolExecutor(
-                            max_workers=1) as argpool:
-                        fut = None
-                        for bi, batch in enumerate(batches):
-                            if bi + 1 < len(batches):
-                                fut = argpool.submit(
-                                    warm, batches[bi + 1])
-                            out = self._score_batch(
-                                batch, shard, tags, session_ref_id,
-                                top_k=max_matches_per_mask)
-                            GLOBAL.add("pairsScored",
-                                       len(batch) * shard.count)
-                            n_pairs += len(batch) * shard.count
-                            n_matches += len(out)
-                            yield out
-                            if fut is not None:
-                                fut.result()
-                                fut = None
+                matching = [kb for kb in all_batches
+                            if kb[0][0] == shard.shape]
+                with concurrent.futures.ThreadPoolExecutor(
+                        max_workers=1) as argpool:
+                    fut = None
+                    for bi, kb in enumerate(matching):
+                        if bi + 1 < len(matching):
+                            fut = argpool.submit(warm, *matching[bi + 1])
+                        yield score(kb[0], kb[1], shard)
+                        if fut is not None:
+                            fut.result()
+                            fut = None
         GLOBAL.add("matchesFound", n_matches)
-        if n_pairs == 0 and groups and n_targets > 0:
+        if n_pairs == 0 and all_batches and n_targets > 0:
             LOG.warning(
                 "0 pairs scored: no target tile matched any mask's image "
                 "shape (the reference requires target size == query "
                 "size); mask shapes: %s",
-                sorted({shape for (shape, *_) in groups}))
+                sorted({k[0] for k, _ in all_batches}))
         LOG.info("found %d matches for %d masks x %d targets in %.1fs "
                  "(%.0f pairs/s)",
                  n_matches, len(masks), n_targets, time.time() - t0,
