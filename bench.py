@@ -797,6 +797,142 @@ def mesh_sweep_one(n_devices: int) -> float:
     return rate
 
 
+MESH_DEV_TOTAL = int(_os.environ.get("CDS_BENCH_MESH_DEV_TOTAL", "512"))
+
+
+def mesh_sweep_device_one(n_devices: int) -> None:
+    """Child process: device-step isolation (VERDICT r4 weak #4).
+
+    STRONG scaling with a FIXED total workload (MESH_DEV_TOTAL targets
+    sharded over n virtual devices): every input is device-resident
+    before timing and the loop materializes only the [B] global-max —
+    host feeding, decode, and result pulls are all out of the measured
+    window.  On shared host cores total compute is constant vs n, so
+    ideal wall is FLAT; the growth of step time with n isolates the
+    partition + collective overhead, which is the only part of the
+    curve that generalizes to a real pod slice (the existing weak-
+    scaling sweep measures host oversubscription past the core count).
+    Also times the collective tail alone (pmax; top-k merge) on a
+    resident sharded score array."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from __graft_entry__ import _synthetic_inputs
+    from colormipsearch_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.create_mesh(n_devices)
+    t = MESH_DEV_TOTAL
+    plan, planes, _q, _t = _synthetic_inputs(n_targets=t)
+    planes = pmesh.shard_target_planes(mesh, planes)
+    batch = 4
+    step = pmesh.make_sharded_batch_step(
+        mesh, target_threshold=20, ztol_num=1, ztol_den=100,
+        n_straight=plan.n_straight)
+    args = (planes,
+            jnp.asarray(np.stack([plan.positions] * batch)),
+            jnp.asarray(np.stack([plan.q_cls] * batch)),
+            jnp.asarray(np.stack([plan.q_s] * batch)),
+            jnp.asarray(np.stack([plan.q_p] * batch)))
+    np.asarray(step(*args)[3])  # compile + warm
+    reps = 12
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = step(*args)
+        np.asarray(out[3])  # [B] global max: forces the step, ~0 bytes
+    step_s = (time.perf_counter() - t0) / reps
+
+    # collective tails alone on a resident sharded [B, T] score array
+    scores = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).integers(
+            0, 1 << 16, (batch, t), dtype=np.int32)),
+        NamedSharding(mesh, P(None, pmesh.TARGET_AXIS)))
+
+    def pmax_only(s):
+        return jax.lax.pmax(s.max(axis=-1), pmesh.TARGET_AXIS)
+
+    def topk_merge(s):
+        k = 16
+        ts, li = jax.lax.top_k(s, k)
+        shard = jax.lax.axis_index(pmesh.TARGET_AXIS)
+        gi = li + shard * s.shape[1]
+        g = lambda x: jax.lax.all_gather(  # noqa: E731
+            x, pmesh.TARGET_AXIS, axis=1, tiled=True)
+        return g(ts), g(gi)
+
+    spec = P(None, pmesh.TARGET_AXIS)
+    cstep_pmax = jax.jit(pmesh.shard_map(
+        pmax_only, mesh=mesh, in_specs=spec, out_specs=P(None),
+        check_rep=False))
+    cstep_topk = jax.jit(pmesh.shard_map(
+        topk_merge, mesh=mesh, in_specs=spec, out_specs=(P(), P()),
+        check_rep=False))
+    np.asarray(cstep_pmax(scores))
+    np.asarray(cstep_topk(scores)[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(cstep_pmax(scores))
+    pmax_s = (time.perf_counter() - t0) / reps
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(cstep_topk(scores)[0])
+    topk_s = (time.perf_counter() - t0) / reps
+    print(json.dumps({"n": n_devices, "step_s": step_s,
+                      "pmax_s": pmax_s, "topk_merge_s": topk_s}))
+
+
+def mesh_sweep_device() -> dict:
+    """Parent: the strong-scaling device-step curve at each mesh size
+    in its own CPU process; reports per-step seconds, the overhead
+    ratio vs 1 device (ideal = 1.0 on shared cores), and the
+    collective-tail costs."""
+    import subprocess
+
+    repo = _os.path.dirname(_os.path.abspath(__file__))
+    rows: dict[int, dict] = {}
+    sizes = [n for n in (1, 2, 4, 8)
+             if n <= MESH_DEV_TOTAL]
+    for n in sizes:
+        env = dict(_os.environ)
+        env["PYTHONPATH"] = repo  # NOT /root/.axon_site (CPU run)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n}"
+        try:
+            out = subprocess.run(
+                [sys.executable, _os.path.join(repo, "bench.py"),
+                 "--mesh-dev-one", str(n)],
+                capture_output=True, text=True, timeout=600, env=env)
+            rows[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception as e:  # keep the sweep best-effort per size
+            print(f"# mesh dev sweep n={n} failed: {e}", file=sys.stderr)
+    if not rows or 1 not in rows:
+        return {}
+    base = rows[1]["step_s"]
+    return {
+        "step_s_per_it": {str(n): round(r["step_s"], 4)
+                          for n, r in rows.items()},
+        "overhead_vs_1dev": {str(n): round(r["step_s"] / base, 3)
+                             for n, r in rows.items()},
+        "collective_pmax_ms": {str(n): round(r["pmax_s"] * 1e3, 2)
+                               for n, r in rows.items()},
+        "collective_topk_merge_ms": {
+            str(n): round(r["topk_merge_s"] * 1e3, 2)
+            for n, r in rows.items()},
+        "unit": "STRONG scaling, fixed total "
+                f"{MESH_DEV_TOTAL} targets sharded over n virtual CPU "
+                "devices, all inputs device-resident, only the [B] "
+                "global-max materialized (host feeding/decode/result "
+                "pulls excluded).  Each virtual device gets its own "
+                f"XLA executor thread on {_os.cpu_count()} cores: up "
+                "to the core count the ratio tracks the sharded "
+                "step's real parallel efficiency, past it "
+                "oversubscription; the collective tails (pmax, top-k "
+                "merge) are timed alone and are the directly pod-"
+                "generalizable cost.  The host-inclusive weak-scaling "
+                "sweep is reported separately",
+    }
+
+
 def mesh_sweep() -> dict:
     """Parent: run mesh_sweep_one at each size in its own CPU process
     (axon site dropped so the TPU tunnel is never dialed) and compute
@@ -954,6 +1090,9 @@ def main() -> int:
         sweep = mesh_sweep()
         if sweep:
             e2e["mesh_sweep"] = sweep
+        dev_sweep = mesh_sweep_device()
+        if dev_sweep:
+            e2e["mesh_sweep_device"] = dev_sweep
     e2e_done = False
     if _os.environ.get("CDS_BENCH_E2E", "1") != "0":
         try:
@@ -1108,6 +1247,12 @@ def _arm_emit_backstop(make_full, seconds: int):
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--mesh-one":
         mesh_sweep_one(int(sys.argv[2]))
+        sys.exit(0)
+    if len(sys.argv) >= 3 and sys.argv[1] == "--mesh-dev-one":
+        mesh_sweep_device_one(int(sys.argv[2]))
+        sys.exit(0)
+    if len(sys.argv) >= 2 and sys.argv[1] == "--mesh-dev-sweep":
+        print(json.dumps({"mesh_sweep_device": mesh_sweep_device()}))
         sys.exit(0)
     if len(sys.argv) >= 2 and sys.argv[1] == "--mesh-sweep":
         print(json.dumps({"mesh_sweep": mesh_sweep()}))
