@@ -628,6 +628,199 @@ def bench_e2e_shape(mask_rgb, target_rgb):
 
 
 # ---------------------------------------------------------------------------
+# gradientScores production dress rehearsal (VERDICT r5 #1): the REAL
+# gradientScores CLI over M masks x T packed-store targets — the
+# production access pattern (CalculateGradientScoresCmd.java:124-222
+# iterates mask partitions of 100-200 mask files, cdsparams.sh:56-66)
+# — A/B: host tile pack (default) vs the device-resident store
+# (CDS_SHAPE_STORE_DEVICE=1), reporting targets/s, per-mask wire
+# bytes, and the stage split.
+# ---------------------------------------------------------------------------
+
+GRAD_DRESS_MASKS = int(_os.environ.get("CDS_BENCH_GRAD_DRESS_MASKS", 128))
+GRAD_DRESS_TARGETS = int(_os.environ.get(
+    "CDS_BENCH_GRAD_DRESS_TARGETS", 2048))
+
+
+def bench_e2e_gradscore_dress(mask_rgb, target_rgb):
+    """dict with A/B walls, rates, per-mask wire bytes, stage splits."""
+    import gc
+    import tempfile
+
+    import jax
+    from PIL import Image
+
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.model import (
+        CDMatch,
+        ComputeFileType,
+        FileData,
+        Neuron,
+    )
+    from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb as mfn
+    from colormipsearch_tpu.utils.metrics import GLOBAL
+
+    # earlier sections must not pin device memory next to the ~GB-scale
+    # device-store fields
+    gc.collect()
+    for a in [a for a in jax.live_arrays() if a.nbytes > (64 << 20)]:
+        a.delete()
+    gc.collect()
+
+    m_count, t_count = GRAD_DRESS_MASKS, GRAD_DRESS_TARGETS
+    h, w = target_rgb.shape[:2]
+    rng = np.random.default_rng(5)
+    with tempfile.TemporaryDirectory() as tmp:
+        # --- target triplets (CDM + grad + zgap), byte-copied encodes
+        lib = _os.path.join(tmp, "lib")
+        _os.makedirs(lib)
+        t0 = time.perf_counter()
+        tpaths = _synth_cdm_library(lib, target_rgb, t_count, seed=21,
+                                    n_threads=4)
+        grad = rng.integers(0, 400, (h, w)).astype(np.uint16)
+        grad_bytes = None
+        zg_bytes = None
+        for i, p in enumerate(tpaths):
+            stem = p[:-4]
+            if grad_bytes is None:
+                Image.fromarray(grad).save(stem + "_grad.png")
+                grad_bytes = open(stem + "_grad.png", "rb").read()
+            else:
+                open(stem + "_grad.png", "wb").write(grad_bytes)
+            if i % 256 == 0:
+                zg = dilate_rgb(mfn(read_image(p).as_rgb(), 20), 20)
+                buf = io.BytesIO()
+                Image.fromarray(zg).save(buf, format="PNG")
+                zg_bytes = buf.getvalue()
+            open(stem + "_zgap.png", "wb").write(zg_bytes)
+
+        # --- M distinct masks (rolled variants of the real EM mask —
+        # every mask has its own support set / gather plan)
+        masks_dir = _os.path.join(tmp, "masks")
+        _os.makedirs(masks_dir)
+        mpaths = _synth_cdm_library(masks_dir, mask_rgb, m_count,
+                                    seed=22, n_threads=4)
+        synth_s = time.perf_counter() - t0
+
+        # --- per-mask grouped matches files: every mask rescores the
+        # full T-target store (the "top lines" of a production mask)
+        t0 = time.perf_counter()
+        t_neurons = []
+        for i, p in enumerate(tpaths):
+            t_n = Neuron(mip_id=f"t{i:05d}", published_name=f"t{i:05d}")
+            t_n.set_compute_file(ComputeFileType.InputColorDepthImage,
+                                 FileData(p))
+            t_n.set_compute_file(ComputeFileType.GradientImage,
+                                 FileData(p[:-4] + "_grad.png"))
+            t_n.set_compute_file(ComputeFileType.ZGapImage,
+                                 FileData(p[:-4] + "_zgap.png"))
+            t_neurons.append(t_n)
+        mdir = _os.path.join(tmp, "matches")
+        writer = JSONMatchesWriter(per_masks_dir=mdir, pretty=False)
+        for i, p in enumerate(mpaths):
+            m_n = Neuron(mip_id=f"m{i:04d}", published_name=f"m{i:04d}")
+            m_n.set_compute_file(ComputeFileType.InputColorDepthImage,
+                                 FileData(p))
+            writer.write([CDMatch(mask_image=m_n, matched_image=t_n,
+                                  matching_pixels=100,
+                                  matching_pixels_ratio=0.05)
+                          for t_n in t_neurons])
+        writer.close()
+        matches_s = time.perf_counter() - t0
+
+        store = _os.path.join(tmp, "pack")
+        mask_files = sorted(_os.listdir(mdir))
+        gs_keys = ("gs.queryPack.seconds", "gs.storeGather.seconds",
+                   "gs.deviceTileBuild.seconds", "gs.dispatch.seconds",
+                   "gs.wireBytes", "gs.storeUpload.seconds",
+                   "gs.storeUploadBytes")
+
+        def run_pass(name, files, out, device_store: bool):
+            before = {k: GLOBAL.get(k) for k in gs_keys}
+            if device_store:
+                _os.environ["CDS_SHAPE_STORE_DEVICE"] = "1"
+            try:
+                t0 = time.perf_counter()
+                _run_cli(["gradientScores", "--matches",
+                          *[_os.path.join(mdir, f) for f in files],
+                          "-od", out, "--maskThreshold", 20,
+                          "--mirrorMask",
+                          "--packed-variants-store", store])
+                wall = time.perf_counter() - t0
+            finally:
+                _os.environ.pop("CDS_SHAPE_STORE_DEVICE", None)
+            st = {k.split(".")[1]: round(GLOBAL.get(k) - before[k], 2)
+                  for k in gs_keys}
+            print(f"# gradscore dress {name}: {wall:.1f}s "
+                  f"({len(files) * t_count / wall:.0f} targets/s)",
+                  file=sys.stderr, flush=True)
+            return wall, st
+
+        # store BUILD pass (decode-inclusive): one mask populates all
+        # T rows — after this, every pass is store-hit, the production
+        # decode-once state
+        build_wall, _build_st = run_pass("store-build", mask_files[:1],
+                                         _os.path.join(tmp, "out_b"),
+                                         False)
+        ab_files = mask_files[1:]
+        m_ab = len(ab_files)
+        wall_host, st_host = run_pass("A host-pack", ab_files,
+                                      _os.path.join(tmp, "out_a"),
+                                      False)
+        wall_dev, st_dev = run_pass("B device-store", ab_files,
+                                    _os.path.join(tmp, "out_d"),
+                                    True)
+
+        # consistency: both passes produced identical scores
+        import glob as _glob
+        a_files = sorted(_glob.glob(_os.path.join(tmp, "out_a", "*.json")))
+        mismatched = 0
+        for af in a_files[:8]:  # spot-check 8 masks
+            df = _os.path.join(tmp, "out_d", _os.path.basename(af))
+            da = json.load(open(af))
+            dd = json.load(open(df))
+            ka = [(r["image"]["mipId"], r.get("gradientAreaGap"),
+                   r.get("highExpressionArea")) for r in da["results"]]
+            kd = [(r["image"]["mipId"], r.get("gradientAreaGap"),
+                   r.get("highExpressionArea")) for r in dd["results"]]
+            mismatched += sorted(ka) != sorted(kd)
+        assert mismatched == 0, "host vs device-store scores differ"
+
+        host_wire_per_mask = st_host["wireBytes"] / max(m_ab, 1)
+        dev_fixed = st_dev["storeUploadBytes"]  # separate counter from
+        dev_wire_per_mask = st_dev["wireBytes"] / max(m_ab, 1)  # wireBytes
+        # masks needed for the one-time field upload to pay for itself
+        # on wire bytes alone (host-side gather time is a separate win)
+        breakeven = (dev_fixed / max(host_wire_per_mask
+                                     - dev_wire_per_mask, 1)
+                     if dev_fixed else 0)
+        return {
+            "masks": m_ab, "targets_per_mask": t_count,
+            "store_build_wall_s": round(build_wall, 1),
+            "host_pack": {
+                "wall_s": round(wall_host, 1),
+                "targets_per_s": round(m_ab * t_count / wall_host, 1),
+                "wire_mb_per_mask": round(host_wire_per_mask / 1e6, 2),
+                "split": st_host,
+            },
+            "device_store": {
+                "wall_s": round(wall_dev, 1),
+                "targets_per_s": round(m_ab * t_count / wall_dev, 1),
+                "wire_kb_per_mask": round(dev_wire_per_mask / 1e3, 2),
+                "store_upload_gb": round(dev_fixed / 1e9, 2),
+                "split": st_dev,
+            },
+            "speedup_device_over_host": round(wall_host / wall_dev, 2),
+            "wire_breakeven_masks": int(breakeven),
+            "synth_s": round(synth_s + matches_s, 1),
+            "note": "A/B on the same store-hit state; storeUploadBytes "
+                    "is the device pass's one-time fixed cost "
+                    "(amortizes across masks)",
+        }
+
+
+# ---------------------------------------------------------------------------
 # production dress rehearsal: the REAL colorDepthSearch CLI at amortized
 # shape — T on-disk targets decoded + uploaded ONCE (sparse COO), reused
 # across M on-disk masks (the production access pattern; cdsparams.sh
@@ -1133,6 +1326,22 @@ def main() -> int:
             e2e["e2e_dress_error"] = f"dress failed: {e!r}"[:300]
             print(f"# dress section failed: {e!r}", file=sys.stderr,
                   flush=True)
+    if _os.environ.get("CDS_BENCH_GRAD_DRESS", "1") != "0":
+        try:
+            with _watchdog("gradscore_dress", int(_os.environ.get(
+                    "CDS_BENCH_GRAD_DRESS_TIMEOUT", "2400"))):
+                e2e["e2e_gradscore_dress"] = bench_e2e_gradscore_dress(
+                    mask_rgb, target_rgb)
+        except _SectionTimeout:
+            e2e["e2e_gradscore_dress_error"] = \
+                "gradscore dress timed out (wedged tunnel?)"
+            print("# gradscore dress timed out", file=sys.stderr,
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 - keep the headline alive
+            e2e["e2e_gradscore_dress_error"] = \
+                f"gradscore dress failed: {e!r}"[:300]
+            print(f"# gradscore dress failed: {e!r}", file=sys.stderr,
+                  flush=True)
     if e2e_done:
         e2e |= {
             "e2e_cds_pairs_per_s": round(e2e_cds_rate, 1),
@@ -1208,12 +1417,17 @@ def _emit_result(full) -> None:
         "vs_baseline": full["vs_baseline"],
         "extra": {k: full["extra"][k] for k in (
             "shape_pairs_per_s", "e2e_cds_pairs_per_s",
-            "e2e_shape_targets_per_s", "e2e_dress_pairs_per_s",
-            "e2e_gradscore_dress")
+            "e2e_shape_targets_per_s", "e2e_dress_pairs_per_s")
             if k in full["extra"]},
         "band": full["band"],
         "full_result": full_path,
     }
+    gd = full["extra"].get("e2e_gradscore_dress")
+    if isinstance(gd, dict):
+        compact["extra"]["e2e_gradscore_dress"] = {
+            "host_targets_per_s": gd["host_pack"]["targets_per_s"],
+            "device_targets_per_s": gd["device_store"]["targets_per_s"],
+            "speedup": gd["speedup_device_over_host"]}
     print(json.dumps(compact), flush=True)
 
 

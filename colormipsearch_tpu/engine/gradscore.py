@@ -24,6 +24,7 @@ from colormipsearch_tpu.io import mips as mips_io
 from colormipsearch_tpu.model import CDMatch, ComputeFileType
 from colormipsearch_tpu.oracle.shape import ShapeMatchOracle, normalized_score
 from colormipsearch_tpu.engine.cds import CDSParams
+from colormipsearch_tpu.utils.metrics import GLOBAL
 
 LOG = logging.getLogger(__name__)
 
@@ -270,12 +271,20 @@ class GradScoreEngine:
             for k in [k for k, e in cache.items()
                       if k[0] == id(store) and e[0] is store]:
                 cache.pop(k)
+        t_up = time.time()
         fields = shape_score.device_store_fields(store)
+        import jax
+
+        jax.block_until_ready(fields)
+        GLOBAL.add("gs.storeUpload.seconds", time.time() - t_up)
+        GLOBAL.add("gs.storeUploadBytes",
+                   sum(f.nbytes for f in fields))
         while len(cache) >= 2:  # two stores may alternate; bound HBM
             cache.pop(next(iter(cache)))
         cache[key] = (store, fields)
-        LOG.info("uploaded %d store rows to device (%.1f GB)",
-                 len(store), sum(f.nbytes for f in fields) / 1e9)
+        LOG.info("uploaded %d store rows to device (%.1f GB) in %.1fs",
+                 len(store), sum(f.nbytes for f in fields) / 1e9,
+                 time.time() - t_up)
         return fields
 
     def _store_ctx(self, mask_shape, region, pos_gap, n_gap_pad,
@@ -428,8 +437,10 @@ class GradScoreEngine:
             roi = clear_region(roi_rgb, region)
             roi_keep = roi.astype(np.int32).sum(axis=-1) > 0
             roi_keep_m = roi_keep[:, ::-1]
+        t_qp = time.time()
         q_pack = shape_score.pack_query(
             mask_rgb, excluded_region=region, roi_keep=roi_keep)
+        GLOBAL.add("gs.queryPack.seconds", time.time() - t_qp)
         q_pack_m = None
         if p.mirror_mask and roi_keep is not None:
             q_pack_m = shape_score.pack_query(
@@ -538,11 +549,20 @@ class GradScoreEngine:
                     import jax.numpy as jnp
 
                     g_pos, h_pos, keep_he = gather_plan
+                    t_build = time.time()
                     t_gap, t_he = shape_score.shape_tile_device(
                         dev_fields, [r for _, r in chunk],
                         pos_gap, g_pos, h_pos, keep_he,
                         n_gap_pad=n_gap_pad, n_he_words=n_he_w,
                         mirror=p.mirror_mask)
+                    GLOBAL.add("gs.deviceTileBuild.seconds",
+                               time.time() - t_build)
+                    # wire cost of the device build: only support
+                    # positions + row indices cross the tunnel
+                    GLOBAL.add("gs.wireBytes",
+                               pos_gap.nbytes + g_pos.nbytes
+                               + h_pos.nbytes + keep_he.nbytes
+                               + 4 * len(chunk))
                     t_pad_d = shape_score.support_bucket(
                         len(chunk), minimum=512)
                     if t_pad_d > len(chunk):
@@ -554,11 +574,15 @@ class GradScoreEngine:
                         q_gap, q_he, [m for m, _ in chunk],
                         (t_gap, t_he))
                     continue
+                t_gather = time.time()
                 t_gap, t_he = \
                     shape_score.select_target_tile_from_store(
                         store, [r for _, r in chunk], pos_gap,
                         n_gap_pad, n_he_w, gather_plan,
                         mirror=p.mirror_mask)
+                GLOBAL.add("gs.storeGather.seconds",
+                           time.time() - t_gather)
+                GLOBAL.add("gs.wireBytes", t_gap.nbytes + t_he.nbytes)
                 t_pad = shape_score.support_bucket(len(chunk), minimum=512)
                 if t_pad > len(chunk):
                     padw = ((0, 0), (0, 0), (0, t_pad - len(chunk)))
@@ -596,9 +620,11 @@ class GradScoreEngine:
             if pad:
                 t_gap = np.pad(t_gap, ((0, 0), (0, 0), (0, pad)))
                 t_he = np.pad(t_he, ((0, 0), (0, 0), (0, pad)))
+        t_disp = time.time()
         gap, he, mirrored = shape_score.score_shape_batch_split(
             t_gap, t_he, q_gap, q_he,
             pairs_split_fn=self._pairs_split_fn(t_gap.shape[2]))
+        GLOBAL.add("gs.dispatch.seconds", time.time() - t_disp)
         gap, he = gap[:n_real], he[:n_real]
         for i, m in enumerate(matches):
             m.gradient_area_gap = int(gap[i])
