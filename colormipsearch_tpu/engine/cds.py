@@ -758,8 +758,12 @@ class CDSearchEngine:
         # threaded C++ + device transfer, prep is numpy): at production
         # mask counts prep takes minutes and fully hides the target
         # decode+upload
+        # CDS_TARGET_TILE: shard width override (default 4096 — the
+        # measured best HBM-fitting width; tests shrink it to exercise
+        # the multi-shard phase-2 path on tiny target sets)
         shard_iter = iter_target_shards(
             list(targets), pack_threshold=p.data_threshold,
+            tile_size=int(os.environ.get("CDS_TARGET_TILE", "4096")),
             plane_kind="keys" if self.use_key_planes else "packed")
         shard0_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1)

@@ -98,3 +98,59 @@ def test_search_local_files(tmp_path, fixture_library):
     assert doc["maskId"] is not None
     for r in doc["results"]:
         assert r["sourceId"] == doc["maskId"]
+
+
+def test_multi_shard_streaming(tmp_path, monkeypatch):
+    """Targets spanning several shards (CDS_TARGET_TILE shrunk) must
+    score identically to a single-shard run — exercises the streamed
+    phase-2 loop (recorded batches x later shards) of
+    find_all_matches_iter after the round-5 streaming-prep rewrite."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(11)
+    h, w = 40, 64
+    lib = tmp_path / "lib"
+    lib.mkdir()
+    for i in range(3):
+        img = np.zeros((h, w, 3), np.uint8)
+        n = 500
+        img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+            rng.integers(0, 256, (n, 3))
+        Image.fromarray(img).save(lib / f"m{i}.png")
+    for i in range(20):
+        img = np.zeros((h, w, 3), np.uint8)
+        n = 500
+        img[rng.integers(0, h, n), rng.integers(0, w, n)] = \
+            rng.integers(0, 256, (n, 3))
+        Image.fromarray(img).save(lib / f"t{i:02d}.png")
+
+    inputs = tmp_path / "inputs"
+    run_cli("createColorDepthSearchDataInput", "-i", lib, "-l", "ms",
+            "-od", inputs, "--output-filename", "all.json")
+    data = json.loads((inputs / "all.json").read_text())
+    (inputs / "masks.json").write_text(json.dumps(
+        [d for d in data if d["mipId"].startswith("m")]))
+    (inputs / "targets.json").write_text(json.dumps(
+        [d for d in data if d["mipId"].startswith("t")]))
+
+    args = ["colorDepthSearch", "-m", inputs / "masks.json",
+            "-i", inputs / "targets.json",
+            "--maskThreshold", 20, "--dataThreshold", 20,
+            "--pixColorFluctuation", 2.0, "--xyShift", 2,
+            "--mirrorMask", "--no-name-labels", "--no-colormap-labels",
+            "--perMaskSubdir", "pm"]
+
+    def rows(d):
+        out = {}
+        for f in sorted((d / "pm").glob("*.json")):
+            doc = json.loads(f.read_text())
+            out[f.name] = {(r["image"]["mipId"], r["matchingPixels"],
+                            r["mirrored"]) for r in doc["results"]}
+        return out
+
+    run_cli(*args, "-od", tmp_path / "single")
+    monkeypatch.setenv("CDS_TARGET_TILE", "8")  # 20 targets -> 3 shards
+    run_cli(*args, "-od", tmp_path / "multi")
+    single, multi = rows(tmp_path / "single"), rows(tmp_path / "multi")
+    assert single and single == multi
