@@ -559,9 +559,12 @@ class GradScoreEngine:
                                time.time() - t_build)
                     # wire cost of the device build: only support
                     # positions + row indices cross the tunnel
+                    # (keep_he is None when no he row needs gating)
                     GLOBAL.add("gs.wireBytes",
                                pos_gap.nbytes + g_pos.nbytes
-                               + h_pos.nbytes + keep_he.nbytes
+                               + h_pos.nbytes
+                               + (keep_he.nbytes
+                                  if keep_he is not None else 0)
                                + 4 * len(chunk))
                     t_pad_d = shape_score.support_bucket(
                         len(chunk), minimum=512)
