@@ -412,3 +412,20 @@ def test_native_tile_pack_equals_numpy(tmp_path, monkeypatch, mirror,
         store, rows, pos_gap, n_gap, n_he, plan, mirror=mirror)
     np.testing.assert_array_equal(native[0], ref[0])
     np.testing.assert_array_equal(native[1], ref[1])
+
+
+def test_upload_pixel_major_chunked_equals_direct():
+    """The chunked device upload (tunnel-safe <=256 MB slices) must
+    place bit-identical pixel-major fields; force multi-chunk with a
+    tiny chunk_bytes."""
+    import numpy as np
+
+    from colormipsearch_tpu.ops import shape_score
+
+    rng = np.random.default_rng(0)
+    field = rng.integers(0, 1 << 16, (7, 1003), dtype=np.uint16)
+    direct = np.asarray(shape_score._upload_pixel_major(field))
+    chunked = np.asarray(shape_score._upload_pixel_major(
+        field, chunk_bytes=4096))
+    assert np.array_equal(direct, field.T)
+    assert np.array_equal(chunked, field.T)
