@@ -759,8 +759,11 @@ def bench_e2e_gradscore_dress(mask_rgb, target_rgb):
 
         def run_pass(name, files, out, device_store: bool):
             before = {k: GLOBAL.get(k) for k in gs_keys}
-            if device_store:
-                _os.environ["CDS_SHAPE_STORE_DEVICE"] = "1"
+            # pin explicitly: the CLI auto-enables the device store
+            # above a mask-count threshold, and the host arm must stay
+            # the host arm
+            _os.environ["CDS_SHAPE_STORE_DEVICE"] = \
+                "1" if device_store else "0"
             try:
                 t0 = time.perf_counter()
                 _run_cli(["gradientScores", "--matches",

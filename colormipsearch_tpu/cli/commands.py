@@ -512,6 +512,22 @@ def cmd_gradient_scores(args) -> int:
     LOG.info("gradientScores over %d match %s", len(locations),
              "mask ids" if use_db else "files")
 
+    # Device-resident shape store auto-default: above this mask count
+    # the one-time field upload beats the per-mask ~27 MB host-pack
+    # dispatch planes (whose sustained uploads also degrade the
+    # tunnel-attached rig measurably).  Threshold from the round-5
+    # hardware A/B (bench_runs/gradscore_dress_*); 0 disables the
+    # auto-default, and an explicit CDS_SHAPE_STORE_DEVICE env always
+    # wins.
+    auto_thr = int(os.environ.get("CDS_SHAPE_STORE_DEVICE_AUTO_MASKS",
+                                  "64"))
+    if (args.packStore and "CDS_SHAPE_STORE_DEVICE" not in os.environ
+            and auto_thr > 0 and len(locations) >= auto_thr):
+        os.environ["CDS_SHAPE_STORE_DEVICE"] = "1"
+        LOG.info("device-resident shape store auto-enabled: %d mask "
+                 "files >= %d (set CDS_SHAPE_STORE_DEVICE=0 to force "
+                 "the host tile pack)", len(locations), auto_thr)
+
     roi_rgb = None
     if args.queryROIMask:
         roi_rgb = mips_io.load_image(FileData(args.queryROIMask)).as_rgb()
