@@ -512,15 +512,18 @@ def cmd_gradient_scores(args) -> int:
     LOG.info("gradientScores over %d match %s", len(locations),
              "mask ids" if use_db else "files")
 
-    # Device-resident shape store auto-default: above this mask count
-    # the one-time field upload beats the per-mask ~27 MB host-pack
-    # dispatch planes (whose sustained uploads also degrade the
-    # tunnel-attached rig measurably).  Threshold from the round-5
-    # hardware A/B (bench_runs/gradscore_dress_*); 0 disables the
-    # auto-default, and an explicit CDS_SHAPE_STORE_DEVICE env always
-    # wins.
+    # Device-resident shape store auto-default.  Hardware A/B at 127
+    # masks x 2048 store targets (bench_runs/
+    # gradscore_dress_20260820T210357.json): host tile pack = 8.7
+    # s/mask and 221 MB/mask of dispatch-plane wire (7 GB per 32
+    # masks — sustained uploads that measurably degrade the tunnel);
+    # device store = one-time 5.8 GB field upload (204 s here,
+    # chunked) then ~1.0 s/mask and 0.7 MB/mask -> 3.4x overall,
+    # break-even ~27 masks on both time and wire.  Threshold 32 keeps
+    # a safety margin; 0 disables the auto-default, and an explicit
+    # CDS_SHAPE_STORE_DEVICE env always wins.
     auto_thr = int(os.environ.get("CDS_SHAPE_STORE_DEVICE_AUTO_MASKS",
-                                  "64"))
+                                  "32"))
     if (args.packStore and "CDS_SHAPE_STORE_DEVICE" not in os.environ
             and auto_thr > 0 and len(locations) >= auto_thr):
         os.environ["CDS_SHAPE_STORE_DEVICE"] = "1"
