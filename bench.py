@@ -1320,7 +1320,7 @@ def main() -> int:
 
     # hard deadline for the tunnel-touching tail (see _arm_emit_backstop)
     disarm = _arm_emit_backstop(make_full, int(_os.environ.get(
-        "CDS_BENCH_HARD_DEADLINE", "4200")))
+        "CDS_BENCH_HARD_DEADLINE", "6000")))
     if _os.environ.get("CDS_BENCH_MESH", "1") != "0":
         sweep = mesh_sweep()
         if sweep:
