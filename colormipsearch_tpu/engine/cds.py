@@ -160,6 +160,12 @@ class TargetShard:
     # padded target-axis width (kernel shape; stable even after the
     # unsharded planes are released under a mesh)
     t_pad: int = 0
+    # decoded uint8 stack pending a DEFERRED device pack: shards after
+    # the first defer their pack until consumed, because two packed
+    # T=4096 plane sets (11.2 GB each) cannot coexist in the 16 GB HBM
+    # — the eager prefetch OOMed the first real multi-shard run
+    # (44,593 x 7,391, round 5)
+    host_stack: np.ndarray | None = None
 
     def __post_init__(self):
         if not self.t_pad and self.planes is not None:
@@ -168,6 +174,36 @@ class TargetShard:
     @property
     def count(self) -> int:
         return len(self.neurons)
+
+    def ensure_planes(self) -> None:
+        """Pack the deferred host stack onto the device (no-op for
+        eagerly-packed shards).  Callers release the PREVIOUS shard
+        first so only one packed plane set is ever resident."""
+        if self.planes is not None or self.host_stack is None:
+            return
+        from colormipsearch_tpu.utils.metrics import GLOBAL
+        t0 = time.time()
+        self.planes = _pack_target_stack(
+            self.host_stack, self.t_pad, self.kind,
+            self.packed_threshold)
+        np.asarray(self.planes[-1, :1])  # honest stage timing
+        GLOBAL.add("cds.packUpload.seconds", time.time() - t0)
+        self.host_stack = None
+
+    def release(self) -> None:
+        """Free this shard's device arrays (planes, mesh-sharded and
+        split copies) so the next shard's pack has the HBM."""
+        for arr in (self.planes, self.device_planes,
+                    *(self.split_planes or ())):
+            if arr is not None:
+                try:
+                    arr.delete()
+                except Exception:  # noqa: BLE001 - already deleted
+                    pass
+        self.planes = None
+        self.device_planes = None
+        self.split_planes = None
+        self.host_stack = None
 
     def host_rgb(self, t_idx: int) -> np.ndarray:
         """Re-decode one target's RGB (ambiguity-flagged rescore only)."""
@@ -182,7 +218,8 @@ def load_target_shards(targets: Sequence[Neuron], *,
                        ComputeFileType.InputColorDepthImage,
                        tile_size: int = 4096,
                        pack_threshold: int | None = None,
-                       plane_kind: str = "packed"
+                       plane_kind: str = "packed",
+                       defer_pack: bool = False
                        ) -> list[TargetShard]:
     """Decode target CDMs and pack them into device planes, grouped by
     image shape and tiled to bound single-allocation size.
@@ -269,35 +306,18 @@ def load_target_shards(targets: Sequence[Neuron], *,
             stack = np.stack(rgbs[i:i + tile_size])
             t = stack.shape[0]
             t_pad = _target_bucket(t)
-            if plane_kind == "keys":
-                # rank-key planes packed directly (never materializing
-                # the u32 summary planes alongside — the two together
-                # would not fit HBM at production shard widths)
-                assert pack_threshold is not None, \
-                    "key planes require a folded data threshold"
-                if os.environ.get("CDS_DENSE_UPLOAD", "0") == "1":
-                    # dense A/B path: upload the full uint8 stack and
-                    # pack on device
-                    planes = common.pack_target_planes_keys(
-                        jnp.asarray(stack), pack_threshold,
-                        common.rank_lut_device())
-                    if t_pad != t:
-                        planes = jnp.pad(planes,
-                                         ((0, 0), (0, t_pad - t)))
-                else:
-                    # default: sparse COO upload of the ~2% foreground
-                    # (bit-identical planes, ~25x less tunnel traffic)
-                    planes = common.pack_target_planes_keys_sparse(
-                        stack, pack_threshold, common.rank_lut_device(),
-                        t_pad)
-            else:
-                planes = common.pack_target_planes(
-                    jnp.asarray(stack), data_threshold=pack_threshold)
-                # pad the target axis to power-of-two buckets so kernel
-                # shapes (and their compilations) are reused across
-                # shards; zero columns can never score (zero word/key)
-                if t_pad != t:
-                    planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
+            if defer_pack:
+                # keep the decoded stack on the host; the consumer
+                # packs it after releasing the previous shard's planes
+                # (two packed plane sets would exceed HBM)
+                shards.append(TargetShard(
+                    neurons[i:i + tile_size], shape, None,
+                    kind=plane_kind, file_type=file_type,
+                    packed_threshold=pack_threshold, t_pad=t_pad,
+                    host_stack=stack))
+                continue
+            planes = _pack_target_stack(stack, t_pad, plane_kind,
+                                        pack_threshold)
             # force the pack/upload to complete so the stage split is
             # honest (block_until_ready can be a no-op on the tunneled
             # backend; a 1-element materialization is not)
@@ -308,6 +328,40 @@ def load_target_shards(targets: Sequence[Neuron], *,
                                       file_type=file_type,
                                       packed_threshold=pack_threshold))
     return shards
+
+
+def _pack_target_stack(stack: np.ndarray, t_pad: int, plane_kind: str,
+                       pack_threshold: int | None):
+    """Pack a decoded uint8 [T, H, W, 3] stack into device planes."""
+    t = stack.shape[0]
+    if plane_kind == "keys":
+        # rank-key planes packed directly (never materializing the u32
+        # summary planes alongside — the two together would not fit
+        # HBM at production shard widths)
+        assert pack_threshold is not None, \
+            "key planes require a folded data threshold"
+        if os.environ.get("CDS_DENSE_UPLOAD", "0") == "1":
+            # dense A/B path: upload the full uint8 stack and pack on
+            # device
+            planes = common.pack_target_planes_keys(
+                jnp.asarray(stack), pack_threshold,
+                common.rank_lut_device())
+            if t_pad != t:
+                planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
+        else:
+            # default: sparse COO upload of the ~2% foreground
+            # (bit-identical planes, ~25x less tunnel traffic)
+            planes = common.pack_target_planes_keys_sparse(
+                stack, pack_threshold, common.rank_lut_device(), t_pad)
+    else:
+        planes = common.pack_target_planes(
+            jnp.asarray(stack), data_threshold=pack_threshold)
+        # pad the target axis to power-of-two buckets so kernel shapes
+        # (and their compilations) are reused across shards; zero
+        # columns can never score (zero word/key)
+        if t_pad != t:
+            planes = jnp.pad(planes, ((0, 0), (0, t_pad - t)))
+    return planes
 
 
 def _target_bucket(t: int, minimum: int = 32) -> int:
@@ -356,12 +410,19 @@ def iter_target_shards(targets: Sequence[Neuron], *,
 
     chunks = [list(targets[i:i + tile_size])
               for i in range(0, len(targets), tile_size)]
+    # only the FIRST chunk packs eagerly (its device planes can build
+    # during mask prep, nothing else resident); later chunks DECODE in
+    # the prefetch thread but defer their device pack to the consumer,
+    # which releases the previous shard first — two packed T=4096
+    # plane sets (11.2 GB each) cannot coexist in 16 GB HBM (the
+    # eager-prefetch OOM of the first real 44,593x7,391 run, round 5)
     if not prefetch or len(chunks) <= 1:
-        for chunk in chunks:
+        for ci, chunk in enumerate(chunks):
             yield from load_target_shards(chunk, file_type=file_type,
                                           tile_size=tile_size,
                                           pack_threshold=pack_threshold,
-                                          plane_kind=plane_kind)
+                                          plane_kind=plane_kind,
+                                          defer_pack=ci > 0)
         return
     with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(load_target_shards, chunks[0],
@@ -373,7 +434,7 @@ def iter_target_shards(targets: Sequence[Neuron], *,
             fut = pool.submit(load_target_shards, nxt,
                               file_type=file_type, tile_size=tile_size,
                               pack_threshold=pack_threshold,
-                              plane_kind=plane_kind)
+                              plane_kind=plane_kind, defer_pack=True)
             yield from shards
         yield from fut.result()
 
@@ -868,6 +929,7 @@ class CDSearchEngine:
                     first_shard = shard0_fut.result()
                     shard0_pool.shutdown()
                     if first_shard is not None:
+                        first_shard.ensure_planes()
                         n_targets += first_shard.count
                 if first_shard is None:
                     continue  # no targets: just record batches
@@ -895,8 +957,16 @@ class CDSearchEngine:
                 shard0_fut.cancel()
                 shard0_pool.shutdown(wait=False, cancel_futures=True)
                 return
-            # phase 2: remaining shards iterate the recorded batches
+            # phase 2: remaining shards iterate the recorded batches;
+            # the previous shard's device planes are RELEASED before
+            # the next shard packs (one packed plane set in HBM at a
+            # time — see iter_target_shards)
+            prev_shard = first_shard
             for shard in shard_iter:
+                if prev_shard is not None:
+                    prev_shard.release()
+                prev_shard = shard
+                shard.ensure_planes()
                 n_targets += shard.count
                 matching = [kb for kb in all_batches
                             if kb[0][0] == shard.shape]
