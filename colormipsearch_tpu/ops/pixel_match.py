@@ -1385,14 +1385,55 @@ def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
     n_slots = lane_lo.shape[1]
     u_count = lane_lo.shape[2]
     seg = (u2 is not None and n_slots == 2 and 0 <= u2 < u_count)
+    # Chunked software pipeline (round 5): the kernel is RANGE-TEST
+    # (VPU)-bound with only partial gather/test overlap (kernel
+    # surgery, DESIGN §6 round-5 entry), so the union is processed in
+    # contiguous chunks — XLA overlaps the gather of chunk i+1 with
+    # the tests of chunk i.  Chunk bounds are MULTIPLES OF u2 so chunk
+    # 0 is exactly the slot-2 prefix: its slot-2 test reuses the
+    # chunk's own gather (no separate prefix re-gather, and no
+    # mid-chunk slicing — the r4 fusion-break).  Measured at
+    # T=4096×B=8: 3.26M vs 2.51M pairs/s unchunked (+29%,
+    # bench_runs/chunked_union_*.json); misaligned bounds (k=6) lose
+    # most of the win.  CDS_UNION_CHUNKS=0 restores the unchunked
+    # form; a value N forces N equal u2-aligned chunks.
+    bounds = _union_chunk_bounds(u_count, u2 if seg else None)
     outs = []
     pos_sets = [u_pos, mu_pos] if mu_pos.shape[0] else [u_pos]
     for pos in pos_sets:
         for i in range(pos.shape[0]):
+            if len(bounds) > 2:
+                cnts = None
+                for c0, c1 in zip(bounds[:-1], bounds[1:]):
+                    g = jnp.take(t_keys, pos[i, c0:c1],
+                                 axis=0).astype(jnp.uint32)
+                    # slot-2 rows live only below u2; aligned bounds
+                    # make this all-or-nothing per chunk
+                    lo2 = min(max((u2 or 0) - c0, 0), c1 - c0)
+                    g2 = g[:lo2] if seg and lo2 > 0 else None
+                    step = []
+                    for j in range(n_lanes):
+                        lo, sp = lane_lo[j], lane_span[j]
+                        m = (g - lo[0][c0:c1, None]) <= sp[0][c0:c1, None]
+                        cnt = m.sum(axis=0, dtype=jnp.int32)
+                        if g2 is not None:
+                            m2 = ((g2 - lo[1][c0:c0 + lo2, None])
+                                  <= sp[1][c0:c0 + lo2, None])
+                            cnt = cnt + m2.sum(axis=0, dtype=jnp.int32)
+                        if not seg:
+                            for s in range(1, n_slots):
+                                m = m | ((g - lo[s][c0:c1, None])
+                                         <= sp[s][c0:c1, None])
+                            cnt = m.sum(axis=0, dtype=jnp.int32)
+                        step.append(cnt)
+                    cnts = step if cnts is None else [
+                        a + b for a, b in zip(cnts, step)]
+                outs.extend(cnts)
+                continue
             g = jnp.take(t_keys, pos[i], axis=0).astype(jnp.uint32)  # [U, T]
-            # segmented form: a SEPARATE small gather for the slot-2
-            # prefix — slicing the big gathered intermediate defeated
-            # XLA fusion and measured 1.8x slower.  An element's two
+            # unchunked fallback — segmented form: a SEPARATE small
+            # gather for the slot-2 prefix (slicing the big gathered
+            # intermediate defeated XLA fusion, r4).  An element's two
             # windows live in distinct class segments (verified at plan
             # build), so a key matches at most one and the two indicator
             # sums add without an OR.
@@ -1416,6 +1457,33 @@ def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
                     m = m | ((g - lo[s][:, None]) <= sp[s][:, None])
                 outs.append(m.sum(axis=0, dtype=jnp.int32))
     return jnp.stack(outs)
+
+
+def _union_chunk_bounds(u_count: int, u2: int | None) -> list[int]:
+    """Static chunk bounds for the union software pipeline.
+
+    Aligned to u2 (the slot-2 prefix) so chunk 0 IS the prefix; ~4
+    chunks target the measured optimum; env CDS_UNION_CHUNKS overrides
+    (0 = unchunked)."""
+    import os
+
+    force = os.environ.get("CDS_UNION_CHUNKS")
+    if force is not None:
+        k = int(force)
+        if k <= 1:
+            return [0, u_count]
+        step = max(1, -(-u_count // k))
+        if u2 and 0 < u2 < u_count:
+            step = max(1, round(step / u2)) * u2
+        bounds = list(range(0, u_count, step)) + [u_count]
+        return sorted(set(bounds))
+    if not u2 or not 0 < u2 < u_count:
+        return [0, u_count]  # no aligned prefix: keep unchunked
+    # chunk 0 IS the slot-2 prefix (never a mid-chunk slice); the rest
+    # splits into <=5 roughly-equal chunks no smaller than u2
+    step = max(u2, -(-(u_count - u2) // 5))
+    bounds = [0] + list(range(u2, u_count, step)) + [u_count]
+    return sorted(set(bounds))
 
 
 @functools.partial(jax.jit, static_argnames=("u2",))
