@@ -859,3 +859,40 @@ def test_interval_slot_compaction():
     fp = pixel_match.build_full_union_key_plan(
         q, 20, mirror=True, xy_shift=2, pix_color_fluctuation=1.0)
     assert fp.lane_lo.shape[1] <= 2
+
+
+def test_full_union_chunked_forms_identical(monkeypatch):
+    """The chunked software-pipelined union (round 5) must produce
+    bit-identical per-variant counts across CDS_UNION_CHUNKS=0
+    (unchunked), the auto default, and forced chunk counts — the
+    chunking only changes summation grouping of exact int32 adds."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(41)
+    h, w = 40, 60
+    query = _mk(rng, h, w, 400)
+    targets = [_mk(rng, h, w, 300) for _ in range(6)] + [query]
+    thr, flu = 20, 1.0
+
+    fp = pixel_match.build_full_union_key_plan(
+        query, thr, mirror=True, xy_shift=2, pix_color_fluctuation=flu)
+    t_keys = common.pack_target_planes_keys(
+        jnp.asarray(np.stack(targets)), thr, common.rank_lut_device())
+    u2 = fp.u2 if fp.u2 is not None and fp.u2 >= 0 else None
+
+    def run():
+        # fresh trace per env setting (the bounds are baked at trace
+        # time, so jitted caches must not be reused across settings)
+        return np.asarray(pixel_match.score_query_union_keys_raw(
+            t_keys, jnp.asarray(fp.u_pos), jnp.asarray(fp.mu_pos),
+            jnp.asarray(fp.lane_lo), jnp.asarray(fp.lane_span), u2=u2))
+
+    monkeypatch.setenv("CDS_UNION_CHUNKS", "0")
+    ref = run()
+    for setting in (None, "2", "4", "7"):
+        if setting is None:
+            monkeypatch.delenv("CDS_UNION_CHUNKS")
+        else:
+            monkeypatch.setenv("CDS_UNION_CHUNKS", setting)
+        got = run()
+        assert (got == ref).all(), setting
