@@ -1288,6 +1288,7 @@ class CDSearchEngine:
                 neg_plan=neg_plan,
                 neg_best=None if neg_plan is None or neg_best is None
                 else neg_best[b]))
+        _METRICS.add("cds.emit.seconds", time.time() - t_emit0)
         return out
 
     def _emit_from_topk(self, batch, shard, scores_k, idx_k, mirr_k,
@@ -1298,6 +1299,7 @@ class CDSearchEngine:
         target column lives on its own devices (per-process sharded
         writes, same as the dense pull)."""
         out: list[CDMatch] = []
+        t_emit0 = time.time()
         t_pad = shard.t_pad
         lmask = None
         if jax.process_count() > 1 and shard.device_planes is not None:
@@ -1320,6 +1322,7 @@ class CDSearchEngine:
                 mask, mask_rgb, region, plan, shard,
                 np.unique(ti), best, mirrored, flags, tags,
                 session_ref_id))
+        _METRICS.add("cds.emit.seconds", time.time() - t_emit0)
         return out
 
     def _emit_matches(self, mask, mask_rgb, region, plan, shard,
