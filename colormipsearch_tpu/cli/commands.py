@@ -434,6 +434,16 @@ def cmd_color_depth_search(args) -> int:
         finish_writer()  # flush deferred streaming rows
     dest = "DB store" if args.resultsStorage == "DB" else "grouped files"
     LOG.info("wrote %d matches to %s", total, dest)
+    # one machine-parseable line with EVERY stage counter — most
+    # stages are GLOBAL.add counters that never emit the stage_timer
+    # "finished in" lines, so log scrapers saw only prepMasks and
+    # scoreAllPairs (review r5; scripts/production_run.py parses this)
+    from colormipsearch_tpu.utils.metrics import GLOBAL as _G
+    stages = {s: round(_G.get(f"cds.{s}.seconds"), 2)
+              for s in ("prepMasks", "decodeTargets", "packUpload",
+                        "scoreAllPairs", "planArgs", "dispatch",
+                        "emit", "packSelect", "packScatter")}
+    LOG.info("cds stage seconds: %s", json.dumps(stages))
     return 0
 
 
@@ -526,7 +536,10 @@ def cmd_gradient_scores(args) -> int:
                                   "32"))
     if (args.packStore and "CDS_SHAPE_STORE_DEVICE" not in os.environ
             and auto_thr > 0 and len(locations) >= auto_thr):
-        os.environ["CDS_SHAPE_STORE_DEVICE"] = "1"
+        # per-invocation engine parameter, NOT a process-env mutation
+        # (a sticky env would silently flip later small runs in the
+        # same process — review r5); an explicit env always wins
+        engine.device_store = True
         LOG.info("device-resident shape store auto-enabled: %d mask "
                  "files >= %d (set CDS_SHAPE_STORE_DEVICE=0 to force "
                  "the host tile pack)", len(locations), auto_thr)

@@ -915,7 +915,8 @@ class CDSearchEngine:
             return out
 
         warm_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        with stage_timer("cds.scoreAllPairs"):
+        try:
+          with stage_timer("cds.scoreAllPairs"):
             # phase 1: shard 0 scores each mask batch as prep yields it
             # (prep of later masks + the next batch's plan-arg warm
             # overlap the device scoring of the current batch)
@@ -950,12 +951,23 @@ class CDSearchEngine:
                         "name/color-scale label regions cover "
                         "x<330/y<100 and the right corner and are "
                         "excluded by default)", p.mask_threshold)
-                # nothing to score: do NOT consume shard0 (the prefetch
-                # may already be decoding+uploading the first target
-                # shard over the ~10 MB/s tunnel) and do not stream the
-                # rest (ADVICE r4)
+                # nothing to score: do not stream the REMAINING shards.
+                # shard0's decode+upload may already be in flight on its
+                # worker thread — cancel() is a no-op on a running
+                # future (review r5), so the honest best effort is to
+                # release its device planes the moment it completes
+                # (masks that never prepped means nobody else will)
                 shard0_fut.cancel()
-                shard0_pool.shutdown(wait=False, cancel_futures=True)
+
+                def _drop(fut):
+                    try:
+                        sh = fut.result()
+                        if sh is not None:
+                            sh.release()
+                    except Exception:  # noqa: BLE001 - cleanup only
+                        pass
+
+                shard0_fut.add_done_callback(_drop)
                 return
             # phase 2: remaining shards iterate the recorded batches;
             # the previous shard's device planes are RELEASED before
@@ -980,6 +992,15 @@ class CDSearchEngine:
                         if fut is not None:
                             fut.result()
                             fut = None
+        finally:
+            # a scoring failure (e.g. a wedged tunnel) must not leave
+            # tens of thousands of queued prep tasks grinding through
+            # mask decodes — they would block process exit for minutes
+            # (review r5); normal completion has drained everything and
+            # these are no-ops
+            prep_pool.shutdown(wait=False, cancel_futures=True)
+            warm_pool.shutdown(wait=False, cancel_futures=True)
+            shard0_pool.shutdown(wait=False, cancel_futures=True)
         GLOBAL.add("matchesFound", n_matches)
         if n_pairs == 0 and all_batches and n_targets > 0:
             LOG.warning(

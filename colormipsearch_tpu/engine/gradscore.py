@@ -49,11 +49,18 @@ class GradScoreEngine:
     def __init__(self, params: CDSParams, *, use_device: bool = True,
                  use_mesh: bool | None = None,
                  decode_workers: int | None = None,
-                 pack_store: str | None = None):
+                 pack_store: str | None = None,
+                 device_store: bool | None = None):
         import jax
 
         self.params = params
         self.use_device = use_device
+        # device-resident shape store: None = off unless the
+        # CDS_SHAPE_STORE_DEVICE env says otherwise; an explicit env
+        # setting always wins over this parameter (the CLI passes the
+        # >=32-mask auto-default here instead of mutating the process
+        # env — review r5)
+        self.device_store = device_store
         if decode_workers:
             # --cdsConcurrency: host decode/select thread count
             # (defaults to os.cpu_count via the class attribute)
@@ -245,7 +252,11 @@ class GradScoreEngine:
         host tile pack path is unchanged."""
         import os
 
-        if os.environ.get("CDS_SHAPE_STORE_DEVICE", "0") != "1":
+        env = os.environ.get("CDS_SHAPE_STORE_DEVICE")
+        if env is not None:
+            if env != "1":
+                return None  # explicit off wins over the auto-default
+        elif not self.device_store:
             return None
         from colormipsearch_tpu.ops import shape_score
 
@@ -273,9 +284,11 @@ class GradScoreEngine:
                 cache.pop(k)
         t_up = time.time()
         fields = shape_score.device_store_fields(store)
-        import jax
-
-        jax.block_until_ready(fields)
+        # honest completion: block_until_ready can be a no-op on the
+        # tunneled backend (CLAUDE.md timing rule); pull one element
+        # of each field instead
+        for f_arr in fields:
+            np.asarray(f_arr[-1:, -1:])
         GLOBAL.add("gs.storeUpload.seconds", time.time() - t_up)
         GLOBAL.add("gs.storeUploadBytes",
                    sum(f.nbytes for f in fields))

@@ -598,31 +598,36 @@ def device_store_fields(store, rows=None):
             _upload_pixel_major(tfg_mm))
 
 
+@functools.partial(jax.jit, donate_argnums=0)
+def _write_rows(buf, chunk, start):
+    # module-level so the jit executable cache is shared across calls
+    # and fields (a per-call closure re-traced every upload — review r5)
+    return jax.lax.dynamic_update_slice(buf, chunk, (start, 0))
+
+
 def _upload_pixel_major(field_mm, chunk_bytes: int = 256 << 20):
     """Transpose a [R, n_px] store field to pixel-major [n_px, R] on
     the device in bounded chunks: one multi-GB `jnp.asarray` is
     exactly the sustained-large-transfer pattern that degrades (and
     can wedge) the tunnel, so rows stream in <=chunk_bytes slices into
     a donated buffer — peak host pin and per-transfer size stay
-    bounded at any store size."""
-    import functools
-
+    bounded at any store size.  The final 1-element np.asarray forces
+    REAL completion (block_until_ready can be a no-op on the tunneled
+    backend — CLAUDE.md timing rule)."""
     n_r, n_px = field_mm.shape
     dt = field_mm.dtype
     total = n_r * n_px * dt.itemsize
     if total <= chunk_bytes:
-        return jnp.asarray(np.ascontiguousarray(field_mm.T))
+        out = jnp.asarray(np.ascontiguousarray(field_mm.T))
+        np.asarray(out[-1:, -1:])
+        return out
     rows_per = max(1, int(chunk_bytes // (n_r * dt.itemsize)))
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def write(buf, chunk, start):
-        return jax.lax.dynamic_update_slice(buf, chunk, (start, 0))
-
     buf = jnp.zeros((n_px, n_r), dt)
     for p0 in range(0, n_px, rows_per):
         sl = np.ascontiguousarray(field_mm[:, p0:p0 + rows_per].T)
-        buf = write(buf, jnp.asarray(sl), jnp.int32(p0))
-    return jax.block_until_ready(buf)
+        buf = _write_rows(buf, jnp.asarray(sl), jnp.int32(p0))
+    np.asarray(buf[-1:, -1:])  # honest completion
+    return buf
 
 
 @functools.partial(jax.jit, static_argnames=("n_gap_pad", "n_he_words",

@@ -42,7 +42,9 @@ WORK = os.environ.get("PROD_DIR", "/tmp/cds_prod")
 STAGE_RE = re.compile(
     r"cds\.(prepMasks|decodeTargets|packUpload|scoreAllPairs|planArgs|"
     r"dispatch|emit|packSelect|packScatter)\S* finished in ([0-9.]+)s")
-PREP_RE = re.compile(r"cds\.prepMasks finished in ([0-9.]+)s")
+# the CLI's end-of-run machine-parseable counter line carries ALL
+# stages (most are plain counters with no "finished in" log)
+SUMMARY_RE = re.compile(r"cds stage seconds: (\{.*\})")
 
 
 def synth() -> tuple[str, str]:
@@ -146,8 +148,13 @@ def main() -> int:
         assert rc == 0, f"tile {i} failed (see {log_path})"
         stages: dict[str, float] = {}
         for line in open(log_path, errors="replace"):
+            sm = SUMMARY_RE.search(line)
+            if sm:
+                stages = {k: v for k, v in json.loads(sm.group(1)).items()
+                          if v}
+                continue
             mm = STAGE_RE.search(line)
-            if mm:
+            if mm and mm.group(1) not in stages:
                 stages[mm.group(1)] = stages.get(mm.group(1), 0.0) \
                     + float(mm.group(2))
         tile = {"tile": i, "masks": ln, "wall_s": round(wall, 1),
@@ -165,16 +172,21 @@ def main() -> int:
     for f in glob.glob(os.path.join(out_dir, "pm", "*.json"))[:500]:
         n_matches += len(json.load(open(f)).get("results", ()))
     pairs = M * T
+    # the e2e rate must use the SUM of tile walls, not the wall of
+    # this invocation: resumed tiles (done markers) contribute pairs
+    # without contributing wall here (review r5)
+    tiles_wall = sum(t["wall_s"] for t in tiles)
     result = {
         "masks": M, "targets": T, "pairs": pairs,
         "n_tiles": len(tiles), "tiles": tiles,
-        "run_wall_s": round(run_wall, 1),
-        "pairs_per_s_e2e": round(pairs / run_wall, 1),
+        "run_wall_s": round(tiles_wall, 1),
+        "this_invocation_wall_s": round(run_wall, 1),
+        "pairs_per_s_e2e": round(pairs / tiles_wall, 1),
         "synth_s": round(synth_s, 1),
         "result_files": n_files,
         "matches_in_first_500_files": n_matches,
         "r4_projection_s": 1817,
-        "vs_r4_projection": round(run_wall / 1817, 2),
+        "vs_r4_projection": round(tiles_wall / 1817, 2),
         "note": "real 44,593x7,391 production workload through the "
                 "real CLI on one tunneled TPU v5e chip (reference "
                 "envelope: cdsparams.sh one 20-core/170GB grid node "
