@@ -252,3 +252,82 @@ def test_gradient_scores_golden_381229(tmp_path):
     assert r["gradientAreaGap"] == 381229
     assert r["highExpressionArea"] == 0
     assert r["normalizedScore"] == 100.0
+
+
+def test_device_store_auto_default(tmp_path, monkeypatch):
+    """gradientScores auto-enables the device-resident shape store at
+    >= CDS_SHAPE_STORE_DEVICE_AUTO_MASKS mask files (round-5 A/B), as
+    a PER-INVOCATION engine flag (no process-env mutation), and an
+    explicit CDS_SHAPE_STORE_DEVICE=0 wins over the auto-default."""
+    from colormipsearch_tpu.dataio.json_io import JSONMatchesWriter
+    from colormipsearch_tpu.io.image import read_image
+    from colormipsearch_tpu.model import (
+        CDMatch,
+        ComputeFileType,
+        FileData,
+        Neuron,
+    )
+    from colormipsearch_tpu.oracle.shape import dilate_rgb, mask_rgb
+    from colormipsearch_tpu.utils.metrics import GLOBAL
+
+    rng = np.random.default_rng(5)
+    h, w = 40, 64
+    lib = tmp_path / "lib"
+    lib.mkdir()
+
+    def synth(path, seed):
+        img = np.zeros((h, w, 3), np.uint8)
+        r = np.random.default_rng(seed)
+        img[r.integers(0, h, 400), r.integers(0, w, 400)] = \
+            r.integers(0, 256, (400, 3))
+        Image.fromarray(img).save(path)
+        return img
+
+    t_img = synth(lib / "t0.png", 1)
+    grad = rng.integers(0, 400, (h, w)).astype(np.uint16)
+    Image.fromarray(grad).save(lib / "t0_grad.png")
+    Image.fromarray(dilate_rgb(mask_rgb(t_img, 20), 20)).save(
+        lib / "t0_zgap.png")
+    t_n = Neuron(mip_id="t0", published_name="t0")
+    t_n.set_compute_file(ComputeFileType.InputColorDepthImage,
+                         FileData(str(lib / "t0.png")))
+    t_n.set_compute_file(ComputeFileType.GradientImage,
+                         FileData(str(lib / "t0_grad.png")))
+    t_n.set_compute_file(ComputeFileType.ZGapImage,
+                         FileData(str(lib / "t0_zgap.png")))
+
+    mdir = tmp_path / "matches"
+    writer = JSONMatchesWriter(per_masks_dir=mdir)
+    for i in range(4):  # 4 mask files >= threshold of 3 below
+        synth(lib / f"m{i}.png", 10 + i)
+        m_n = Neuron(mip_id=f"m{i}", published_name=f"m{i}")
+        m_n.set_compute_file(ComputeFileType.InputColorDepthImage,
+                             FileData(str(lib / f"m{i}.png")))
+        writer.write([CDMatch(mask_image=m_n, matched_image=t_n,
+                              matching_pixels=50,
+                              matching_pixels_ratio=0.1)])
+    writer.close()
+
+    monkeypatch.setenv("CDS_SHAPE_STORE_DEVICE_AUTO_MASKS", "3")
+    monkeypatch.delenv("CDS_SHAPE_STORE_DEVICE", raising=False)
+    store = tmp_path / "pack"
+    before = GLOBAL.get("gs.storeUploadBytes")
+    # build pass populates the store; auto-default already on (4 >= 3)
+    run_cli("gradientScores", "--matches", mdir, "-od", tmp_path / "o1",
+            "--maskThreshold", 20, "--no-name-labels",
+            "--no-colormap-labels", "--packed-variants-store", store)
+    run_cli("gradientScores", "--matches", mdir, "-od", tmp_path / "o2",
+            "--maskThreshold", 20, "--no-name-labels",
+            "--no-colormap-labels", "--packed-variants-store", store)
+    assert GLOBAL.get("gs.storeUploadBytes") > before, \
+        "auto-default did not engage the device store"
+    assert "CDS_SHAPE_STORE_DEVICE" not in __import__("os").environ, \
+        "auto-default must not mutate the process env"
+
+    # explicit off wins over the auto-default
+    monkeypatch.setenv("CDS_SHAPE_STORE_DEVICE", "0")
+    mid = GLOBAL.get("gs.storeUploadBytes")
+    run_cli("gradientScores", "--matches", mdir, "-od", tmp_path / "o3",
+            "--maskThreshold", 20, "--no-name-labels",
+            "--no-colormap-labels", "--packed-variants-store", store)
+    assert GLOBAL.get("gs.storeUploadBytes") == mid
