@@ -139,9 +139,14 @@ class CDSParams:
 class TargetShard:
     """Packed targets of one image shape, device-resident.
 
-    Raw pixels are NOT retained (a 4096-target production shard would
-    hold ~8 GB of host RAM): the rare ambiguity-flagged pairs re-decode
-    their one target through host_rgb() / the MIP cache."""
+    Raw pixels are NOT retained once packed (the rare ambiguity-flagged
+    pairs re-decode their one target through host_rgb() / the MIP
+    cache) — EXCEPT for deferred shards, which hold their decoded
+    uint8 stack (~8 GB at production width) on the HOST until the
+    consumer packs them; peak host RSS in the multi-shard prefetch
+    path is therefore ~2 stacks (~17 GB), traded deliberately against
+    the HBM limit that forbids two PACKED plane sets (ensure_planes
+    docstring)."""
     neurons: list[Neuron]
     shape: tuple[int, int]           # (H, W)
     planes: jax.Array                # uint32 [P, T] (or int32 [P+1, T]
@@ -424,7 +429,8 @@ def iter_target_shards(targets: Sequence[Neuron], *,
                                           plane_kind=plane_kind,
                                           defer_pack=ci > 0)
         return
-    with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
         fut = pool.submit(load_target_shards, chunks[0],
                           file_type=file_type, tile_size=tile_size,
                           pack_threshold=pack_threshold,
@@ -437,6 +443,11 @@ def iter_target_shards(targets: Sequence[Neuron], *,
                               plane_kind=plane_kind, defer_pack=True)
             yield from shards
         yield from fut.result()
+    finally:
+        # on abnormal close (a scoring failure upstream) do NOT join
+        # the in-flight next-chunk decode — the old `with` waited on
+        # it, stalling process exit by a full chunk decode (review r5)
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 class CDSearchEngine:
@@ -978,10 +989,12 @@ class CDSearchEngine:
                 if prev_shard is not None:
                     prev_shard.release()
                 prev_shard = shard
-                shard.ensure_planes()
                 n_targets += shard.count
                 matching = [kb for kb in all_batches
                             if kb[0][0] == shard.shape]
+                if not matching:
+                    continue  # never pack a shard no batch can score
+                shard.ensure_planes()
                 with concurrent.futures.ThreadPoolExecutor(
                         max_workers=1) as argpool:
                     fut = None

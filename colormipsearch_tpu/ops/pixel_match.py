@@ -1415,12 +1415,17 @@ def score_query_union_keys_raw(t_keys: jax.Array, u_pos: jax.Array,
                     for j in range(n_lanes):
                         lo, sp = lane_lo[j], lane_span[j]
                         m = (g - lo[0][c0:c1, None]) <= sp[0][c0:c1, None]
-                        cnt = m.sum(axis=0, dtype=jnp.int32)
-                        if g2 is not None:
-                            m2 = ((g2 - lo[1][c0:c0 + lo2, None])
-                                  <= sp[1][c0:c0 + lo2, None])
-                            cnt = cnt + m2.sum(axis=0, dtype=jnp.int32)
-                        if not seg:
+                        if seg:
+                            # disjoint-window segmented form: indicator
+                            # sums ADD (no OR); slot 2 only on the
+                            # aligned prefix rows of this chunk
+                            cnt = m.sum(axis=0, dtype=jnp.int32)
+                            if g2 is not None:
+                                m2 = ((g2 - lo[1][c0:c0 + lo2, None])
+                                      <= sp[1][c0:c0 + lo2, None])
+                                cnt = cnt + m2.sum(axis=0,
+                                                   dtype=jnp.int32)
+                        else:
                             for s in range(1, n_slots):
                                 m = m | ((g - lo[s][c0:c1, None])
                                          <= sp[s][c0:c1, None])
