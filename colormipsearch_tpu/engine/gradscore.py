@@ -260,28 +260,26 @@ class GradScoreEngine:
             return None
         from colormipsearch_tpu.ops import shape_score
 
-        # small dict keyed by (id, len) with FIFO eviction: a single
-        # slot churned (multi-GB re-upload per swap) when two stores
-        # alternated or one grew mid-run (ADVICE r4).  Each entry pins
-        # its store so a recycled id can never alias a freed store.
-        key = (id(store), len(store))
+        # small dict keyed by store identity: fields upload ONCE per
+        # store and are PINNED at their upload-time row count — when
+        # the store grows mid-run (the build-interleaved auto-default
+        # scenario: every mask appends a few missed rows), re-uploading
+        # the multi-GB fields per growth measured ~80 s every few
+        # masks on the real production grad pass (review r5).  Rows
+        # beyond the pinned count are served by the HOST tile pack
+        # (the caller partitions on dev_len); the next CLI run uploads
+        # the then-complete store.
         cache = getattr(self, "_dev_store_cache", None)
         if cache is None:
             cache = self._dev_store_cache = {}
-        cached = cache.get(key)
+        cached = cache.get(id(store))
         if cached is not None and cached[0] is store:
-            return cached[1]
-        grew = any(k[0] == id(store) and entry[0] is store
-                   for k, entry in cache.items())
-        if grew:
-            # the store grew mid-run: evict its stale-length fields so
-            # HBM isn't held twice, and say so (the re-upload is real)
-            LOG.warning("device store fields re-upload: store grew "
-                        "to %d rows (cache churn is multi-GB over "
-                        "the tunnel)", len(store))
-            for k in [k for k, e in cache.items()
-                      if k[0] == id(store) and e[0] is store]:
-                cache.pop(k)
+            if len(store) > cached[2] and not cached[3]:
+                LOG.info("device store fields pinned at %d rows; the "
+                         "%d newer rows use the host tile pack this "
+                         "run", cached[2], len(store) - cached[2])
+                cache[id(store)] = cached[:3] + (True,)
+            return cached[1], cached[2]
         t_up = time.time()
         fields = shape_score.device_store_fields(store)
         # honest completion: block_until_ready can be a no-op on the
@@ -294,11 +292,12 @@ class GradScoreEngine:
                    sum(f.nbytes for f in fields))
         while len(cache) >= 2:  # two stores may alternate; bound HBM
             cache.pop(next(iter(cache)))
-        cache[key] = (store, fields)
+        dev_len = len(store)
+        cache[id(store)] = (store, fields, dev_len, False)
         LOG.info("uploaded %d store rows to device (%.1f GB) in %.1fs",
-                 len(store), sum(f.nbytes for f in fields) / 1e9,
+                 dev_len, sum(f.nbytes for f in fields) / 1e9,
                  time.time() - t_up)
-        return fields
+        return fields, dev_len
 
     def _store_ctx(self, mask_shape, region, pos_gap, n_gap_pad,
                    pos_he, n_he_w):
@@ -551,10 +550,25 @@ class GradScoreEngine:
                 row = store.lookup(key) if key else None
                 (hits if row is not None else misses).append((m, row))
             group = [m for m, _ in misses]
-            dev_fields = self._device_store_fields(store) if hits else None
-            for i in range(0, len(hits), dispatch_tile):
-                chunk = hits[i:i + dispatch_tile]
-                if dev_fields is not None:
+            dev = self._device_store_fields(store) if hits else None
+            dev_fields = dev[0] if dev else None
+            if dev_fields is not None:
+                # rows appended AFTER the one-time field upload (the
+                # build-interleaved scenario) are served by the host
+                # tile pack this run — re-uploading multi-GB fields
+                # per growth measured ~80 s every few masks on the
+                # real production grad pass (review r5)
+                dev_len = dev[1]
+                late = [hr for hr in hits if hr[1] >= dev_len]
+                hits = [hr for hr in hits if hr[1] < dev_len]
+            else:
+                late = []
+            chunks = [(hits[i:i + dispatch_tile], dev_fields is not None)
+                      for i in range(0, len(hits), dispatch_tile)]
+            chunks += [(late[i:i + dispatch_tile], False)
+                       for i in range(0, len(late), dispatch_tile)]
+            for chunk, on_device in chunks:
+                if on_device:
                     # device-resident store (CDS_SHAPE_STORE_DEVICE=1):
                     # only the mask's support positions cross the wire,
                     # and the built planes STAY on device (the T-axis
@@ -607,9 +621,10 @@ class GradScoreEngine:
                 n += self._score_group_tile(q_gap, q_he,
                                             [m for m, _ in chunk],
                                             (t_gap, t_he))
-            if hits:
+            if hits or late:
+                n_hit = len(hits) + len(late)
                 LOG.info("packed store: %d/%d targets served without "
-                         "decode", len(hits), len(hits) + len(group))
+                         "decode", n_hit, n_hit + len(group))
             if not group:
                 return n
         for matches, planes in self._iter_group_tiles(

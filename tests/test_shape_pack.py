@@ -429,3 +429,72 @@ def test_upload_pixel_major_chunked_equals_direct():
         field, chunk_bytes=4096))
     assert np.array_equal(direct, field.T)
     assert np.array_equal(chunked, field.T)
+
+
+def test_device_store_growth_pins_fields(tmp_path, monkeypatch):
+    """When the store GROWS after the one-time field upload (the
+    build-interleaved scenario), the fields stay pinned — no multi-GB
+    re-upload — and the newer rows are served by the host tile pack
+    with identical scores (round-5 fix: re-uploading per growth
+    measured ~80 s every few masks on the real production grad pass)."""
+    from colormipsearch_tpu.utils.metrics import GLOBAL
+
+    rng = np.random.default_rng(31)
+    h, w = 60, 80
+    mask_img = _mk_cdm(rng, h, w, 400)
+    Image.fromarray(mask_img).save(tmp_path / "mask.png")
+    mask_neuron = Neuron(mip_id="mask-1")
+    mask_neuron.set_compute_file(
+        ComputeFileType.InputColorDepthImage, str(tmp_path / "mask.png"))
+
+    def mk_match(i):
+        target = Neuron(mip_id=f"t-{i}")
+        for suffix, ftype in (
+                ("", ComputeFileType.InputColorDepthImage),
+                ("_grad", ComputeFileType.GradientImage),
+                ("_zgap", ComputeFileType.ZGapImage)):
+            target.set_compute_file(
+                ftype, str(tmp_path / f"t{i}{suffix}.png"))
+        return CDMatch(mask_image=mask_neuron, matched_image=target,
+                       matching_pixels=40 + i)
+
+    for i in range(6):
+        t_img = _mk_cdm(rng, h, w, 500)
+        Image.fromarray(t_img).save(tmp_path / f"t{i}.png")
+        Image.fromarray(
+            rng.integers(0, 300, (h, w)).astype(np.uint16)).save(
+            tmp_path / f"t{i}_grad.png")
+        Image.fromarray(dilate_rgb(mask_rgb(t_img, 20), 20)).save(
+            tmp_path / f"t{i}_zgap.png")
+
+    params = CDSParams(mask_threshold=20, data_threshold=20,
+                       mirror_mask=True, negative_radius=20)
+    store_dir = str(tmp_path / "pack")
+    # seed the store with targets 0-2 only
+    GradScoreEngine(params, use_device=True,
+                    pack_store=store_dir).score_matches(
+        [mk_match(i) for i in range(3)])
+
+    # host-path reference over ALL 6 targets (fresh engine)
+    ref = [mk_match(i) for i in range(6)]
+    GradScoreEngine(params, use_device=True,
+                    pack_store=store_dir).score_matches(ref)
+
+    # device-store engine: first call uploads fields for rows 0-2;
+    # second call sees rows 3-5 appended (store grew) — fields must
+    # stay pinned (ONE upload) and scores must still match
+    monkeypatch.setenv("CDS_SHAPE_STORE_DEVICE", "1")
+    eng = GradScoreEngine(params, use_device=True,
+                          pack_store=store_dir)
+    got_a = [mk_match(i) for i in range(3)]
+    eng.score_matches(got_a)
+    up1 = GLOBAL.get("gs.storeUploadBytes")
+    got_b = [mk_match(i) for i in range(6)]
+    eng.score_matches(got_b)  # rows 3-5 miss -> decode+append (grow)
+    got_c = [mk_match(i) for i in range(6)]
+    eng.score_matches(got_c)  # all 6 hit; 3 are past the pinned count
+    assert GLOBAL.get("gs.storeUploadBytes") == up1, \
+        "store growth must not re-upload the device fields"
+    for a, b in zip(ref, got_c):
+        assert b.gradient_area_gap == a.gradient_area_gap
+        assert b.high_expression_area == a.high_expression_area
