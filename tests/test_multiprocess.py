@@ -37,7 +37,11 @@ def test_two_process_distributed_scoring(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # REPO only, NOT the inherited path: the harness exports
+    # /root/.axon_site, whose sitecustomize dials the TPU relay at
+    # interpreter startup — these "CPU" subprocesses were silently
+    # running through the tunnel and hung when it wedged (round 5)
+    env["PYTHONPATH"] = str(REPO)
 
     procs = []
     outs = []
@@ -103,7 +107,11 @@ def test_multi_process_cli_colordepthsearch(tmp_path, n_procs):
         Image.fromarray(img).save(lib / f"n{i:02d}.png")
 
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # REPO only, NOT the inherited path: the harness exports
+    # /root/.axon_site, whose sitecustomize dials the TPU relay at
+    # interpreter startup — these "CPU" subprocesses were silently
+    # running through the tunnel and hung when it wedged (round 5)
+    env["PYTHONPATH"] = str(REPO)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
