@@ -1117,6 +1117,39 @@ class CDSearchEngine:
 
         return self._cached_plan_args("packed", plans, build)
 
+    def _emit_select_k(self, top_k: int) -> int:
+        """Device-side emit-selection width (0 = disabled).
+
+        With a positive pctPositivePixels threshold and no negative
+        query, only pairs with score/querySize > pct/100 can emit (the
+        reference's isMatch filter), so union-key dispatches can pull a
+        [B, k] per-mask top-k selection instead of the dense [B, T]
+        rows — ~10-30x less result wire per dispatch, the dominant
+        production dispatch cost over a slow host link and the
+        pod-scale bottleneck.  Lossless by construction: the caller
+        checks every mask's k-th (smallest selected) score against the
+        emit test and falls back to the dense pull if a dropped pair
+        could still emit.  CDS_EMIT_TOPK overrides the width (0
+        disables); read per invocation like the other dispatch knobs."""
+        if (top_k > 0 or self.neg_query_rgb is not None
+                or self.params.pct_positive_pixels <= 0):
+            return 0
+        return max(0, int(os.environ.get("CDS_EMIT_TOPK", "256")))
+
+    def _topk_kth_emittable(self, kth: np.ndarray, batch) -> bool:
+        """True if any mask's k-th selected score passes the emit test
+        (score > 0 and score/querySize > pct/100) — a dropped pair
+        could then also pass, so the top-k selection is not provably
+        lossless and the caller must pull dense.  ``kth`` is [B] or
+        [B, n_shards] (per-device-shard k-th under the mesh step)."""
+        pct = self.params.pct_positive_pixels / 100.0
+        for b, e in enumerate(batch):
+            qsize = e[3].query_size
+            for s in np.ravel(kth[b]):
+                if s > 0 and s / qsize > pct:
+                    return True
+        return False
+
     def _score_batch(self, batch, shard: TargetShard, tags: set,
                      session_ref_id, top_k: int = 0) -> list[CDMatch]:
         p = self.params
@@ -1172,18 +1205,60 @@ class CDSearchEngine:
                             self._keys_step(plans[0].n_straight, top_k))
                     scores_k, idx_k, mirr_k, flags_k, _gmax, _nf = \
                         step(planes, *kargs)
+                    _METRICS.add("cds.dispatch.seconds",
+                                 time.time() - t_disp0)
                     return self._emit_from_topk(
                         batch, shard, np.asarray(scores_k),
                         np.asarray(idx_k), np.asarray(mirr_k),
                         np.asarray(flags_k), tags, session_ref_id)
+                n_shard = shard.t_pad // n_dev
+                sel_k = self._emit_select_k(top_k) if union else 0
+                if sel_k and sel_k < n_shard:
+                    # threshold-emit selection: per-shard device top-k
+                    # (the existing collective step), dense re-dispatch
+                    # only if a mask's k-th could still emit
+                    step = self._union_keys_step(sel_k, u2, uform)
+                    scores_k, idx_k, mirr_k, flags_k, _gmax, _nf = \
+                        step(planes, *kargs)
+                    sk = np.asarray(scores_k)  # [B, n_shards*k]
+                    kth = sk.reshape(sk.shape[0], -1, sel_k)[:, :, -1]
+                    if not self._topk_kth_emittable(kth, batch):
+                        _METRICS.add("cds.emitSelect.count", 1)
+                        _METRICS.add("cds.dispatch.seconds",
+                                     time.time() - t_disp0)
+                        return self._emit_from_topk(
+                            batch, shard, sk, np.asarray(idx_k),
+                            np.asarray(mirr_k), np.asarray(flags_k),
+                            tags, session_ref_id)
+                    _METRICS.add("cds.emitSelectFallback.count", 1)
                 step = (self._union_keys_step(u2=u2, form=uform)
                         if union else
                         self._keys_step(plans[0].n_straight))
                 best, mirrored, pair_flags, _gmax = step(planes, *kargs)
             elif union:
-                best, mirrored, pair_flags = \
-                    pixel_match.score_query_batch_union_keys(
-                        shard.planes, *kargs, u2=u2)
+                sel_k = self._emit_select_k(top_k)
+                if sel_k and sel_k < shard.t_pad:
+                    # threshold-emit selection: pull only the [B, k]
+                    # top-k; the dense arrays stay on device as the
+                    # no-recompute fallback handle
+                    sk, ik, mk, best, mirrored = \
+                        pixel_match.score_query_batch_union_keys_topk(
+                            shard.planes, *kargs, u2=u2, k=sel_k)
+                    sk = np.asarray(sk)
+                    if not self._topk_kth_emittable(sk[:, -1], batch):
+                        del best, mirrored  # free the device buffers
+                        ik, mk = np.asarray(ik), np.asarray(mk)
+                        _METRICS.add("cds.emitSelect.count", 1)
+                        _METRICS.add("cds.dispatch.seconds",
+                                     time.time() - t_disp0)
+                        return self._emit_from_topk(
+                            batch, shard, sk, ik, mk,
+                            np.zeros_like(sk), tags, session_ref_id)
+                    _METRICS.add("cds.emitSelectFallback.count", 1)
+                else:
+                    best, mirrored, _pf = \
+                        pixel_match.score_query_batch_union_keys(
+                            shard.planes, *kargs, u2=u2)
                 pair_flags = None  # structurally zero: skip the pull
             else:
                 best, mirrored, pair_flags = \

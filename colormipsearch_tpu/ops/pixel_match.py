@@ -1513,6 +1513,34 @@ def score_query_batch_union_keys(t_keys: jax.Array, u_pos: jax.Array,
     return jax.lax.map(one, (u_pos, mu_pos, lane_lo, lane_span))
 
 
+@functools.partial(jax.jit, static_argnames=("u2", "k"))
+def score_query_batch_union_keys_topk(t_keys: jax.Array, u_pos: jax.Array,
+                                      mu_pos: jax.Array,
+                                      lane_lo: jax.Array,
+                                      lane_span: jax.Array,
+                                      u2: int | None = None, *, k: int):
+    """Batched union scoring + per-mask device top-k emit selection.
+
+    Returns (scores_k [B, k] descending, idx_k [B, k] target columns,
+    mirr_k [B, k], best [B, T], mirrored [B, T]).  The dense arrays stay
+    ON DEVICE as the lossless fallback handle: with a positive
+    pctPositivePixels threshold only pairs with
+    score/querySize > pct/100 can emit (the reference's isMatch filter,
+    ColorMIPSearch.java:42-44), so the caller pulls just the [B, k]
+    selection and checks the k-th (smallest selected) score per mask —
+    the emit test is monotone in score, so if the k-th fails it, every
+    dropped pair fails it too.  If any mask's k-th could still emit the
+    caller materializes the dense arrays instead (no recompute).  The
+    dense [B, T] result pull is the production dispatch stage's dominant
+    wire cost on tunneled rigs and the pod-scale bottleneck the mesh
+    top-k path already removes (engine/cds._score_batch)."""
+    best, mirrored, _flags = score_query_batch_union_keys(
+        t_keys, u_pos, mu_pos, lane_lo, lane_span, u2=u2)
+    scores_k, idx_k = jax.lax.top_k(best, k)
+    mirr_k = jnp.take_along_axis(mirrored, idx_k, axis=1)
+    return scores_k, idx_k, mirr_k, best, mirrored
+
+
 def split_key_planes(t_keys: jax.Array):
     """int32 [P+1, T] key planes -> (rank uint16, cls uint8) planes.
 
