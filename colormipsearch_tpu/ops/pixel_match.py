@@ -1641,17 +1641,25 @@ def expand_union_tables(qidx: jax.Array, key_list: jax.Array,
     (the original qkey kernel) halved the measured rate — expanded
     device tables restore the full tables-kernel speed while the WIRE
     stays the ~110 KB/mask factored form."""
+    # pack the four per-key values into one row so the expansion is a
+    # single ROW gather (XLA's fast take-axis-0 path, the same lowering
+    # as the kernel's key-plane gather) instead of four element
+    # gathers — the element-gather form measured 1.4-1.7 s per
+    # 256-mask batch of device-serial time (scripts/warm_cost_bench.py)
+    tab = jnp.stack([tab_lo[0], tab_lo[1],
+                     tab_span[0], tab_span[1]], axis=1)  # [N, 4]
+
     def one(args):
         qi, kl = args
         qk = jnp.take(kl, qi.astype(jnp.int32))          # [L, U]
-        lo = jnp.take(tab_lo, qk, axis=1)                # [2, L, U]
-        sp = jnp.take(tab_span, qk, axis=1)
-        return (jnp.transpose(lo, (1, 0, 2)),
-                jnp.transpose(sp, (1, 0, 2)))            # [L, 2, U]
+        t = jnp.transpose(jnp.take(tab, qk, axis=0),
+                          (0, 2, 1))                     # [L, 4, U]
+        return t[:, :2], t[:, 2:]                        # [L, 2, U] x2
 
-    # sequential over the batch: vmap's whole-batch gather transients
-    # (~2.4 GB at B=128) OOMed next to a T=4096 plane set
-    return jax.lax.map(one, (qidx, key_list))
+    # chunked map+vmap: sequential over chunks (whole-batch vmap's
+    # gather transients, ~2.4 GB at B=128, OOMed next to a T=4096
+    # plane set), vectorized within
+    return _map_vmap_chunks(one, (qidx, key_list))
 
 
 def stack_union_pos_args(plans: list, n_pixels: int):
@@ -1686,6 +1694,10 @@ def expand_union_tables_from_pos(u_pos: jax.Array, q_pos: jax.Array,
     pads inactive).  Returns (lane_lo, lane_span) uint32 [B, L, 2, U].
     """
     n_px = w * h
+    # packed [N, 4] interval rows: one row gather replaces four element
+    # gathers (see expand_union_tables)
+    tab = jnp.stack([tab_lo[0], tab_lo[1],
+                     tab_span[0], tab_span[1]], axis=1)
 
     def one(args):
         up, qp, kl = args
@@ -1698,25 +1710,42 @@ def expand_union_tables_from_pos(u_pos: jax.Array, q_pos: jax.Array,
         pos_index = pos_index.at[qp].set(qi, mode="drop")
         ux = u % w
         uy = u // w
-        los = []
-        sps = []
+        js = []
         for dx, dy in offsets:
             qx = ux - dx
             qy = uy - dy
             src = u - dx - dy * w
             ok = ((u < n_px) & (qx >= 0) & (qx < w)
                   & (qy >= 0) & (qy < h))
-            j = jnp.where(
+            js.append(jnp.where(
                 ok, jnp.take(pos_index,
-                             jnp.clip(src, 0, n_px - 1)), n_inact)
-            qk = jnp.take(kl, j)
-            los.append(jnp.stack([jnp.take(tab_lo[0], qk),
-                                  jnp.take(tab_lo[1], qk)]))
-            sps.append(jnp.stack([jnp.take(tab_span[0], qk),
-                                  jnp.take(tab_span[1], qk)]))
-        return jnp.stack(los), jnp.stack(sps)  # [L, 2, U]
+                             jnp.clip(src, 0, n_px - 1)), n_inact))
+        qk = jnp.take(kl, jnp.stack(js))       # [L, U]
+        t = jnp.transpose(jnp.take(tab, qk, axis=0),
+                          (0, 2, 1))           # [L, 4, U]
+        return t[:, :2], t[:, 2:]              # (lane_lo, lane_span)
 
-    return jax.lax.map(one, (u_pos, q_pos, key_list))
+    return _map_vmap_chunks(one, (u_pos, q_pos, key_list))
+
+
+def _map_vmap_chunks(one, args, default_chunk: int = 8):
+    """lax.map over CHUNKS of masks with a vmap inside: amortizes the
+    per-iteration map overhead while bounding the batched-gather
+    transients that made a whole-batch vmap OOM next to a T=4096 plane
+    set (~2.4 GB at B=128; a chunk of 8 stays ~150 MB).  Falls back to
+    the plain per-mask map when the batch doesn't divide
+    (CDS_EXPAND_VMAP overrides the chunk; <=1 disables)."""
+    import os
+
+    b = args[0].shape[0]
+    chunk = int(os.environ.get("CDS_EXPAND_VMAP", str(default_chunk)))
+    if chunk <= 1 or b % chunk or b <= chunk:
+        return jax.lax.map(one, args)
+    folded = tuple(a.reshape((b // chunk, chunk) + a.shape[1:])
+                   for a in args)
+    lo, sp = jax.lax.map(jax.vmap(one), folded)
+    return (lo.reshape((b,) + lo.shape[2:]),
+            sp.reshape((b,) + sp.shape[2:]))
 
 
 def interval_table_arrays(z_tol: float):

@@ -896,3 +896,47 @@ def test_full_union_chunked_forms_identical(monkeypatch):
             monkeypatch.setenv("CDS_UNION_CHUNKS", setting)
         got = run()
         assert (got == ref).all(), setting
+
+
+def test_expansion_chunked_vmap_identical(monkeypatch):
+    """The chunked map+vmap lane-table expansion (CDS_EXPAND_VMAP) must
+    produce bit-identical tables to the per-mask map, for BOTH wire
+    forms (positional and factored qkey), and the two forms must agree
+    with each other — the chunking and the packed-row gather only
+    reorganize exact u32 copies."""
+    import jax.numpy as jnp
+
+    from colormipsearch_tpu.oracle.pixel import shift_offsets
+
+    rng = np.random.default_rng(17)
+    h, w = 40, 64
+    plans = [pixel_match.build_full_union_key_plan(
+        _mk(rng, h, w, 200), 20, mirror=True, xy_shift=2,
+        pix_color_fluctuation=1.0) for _ in range(16)]
+    u_pos, _mu, q_pos, kl, _u2 = pixel_match.stack_union_pos_args(
+        plans, h * w)
+    _u, _m, qidx, qkl, _u2b = pixel_match.stack_union_qkey_args(
+        plans, h * w)
+    tabs = pixel_match.interval_table_arrays(0.01)
+    offs = tuple((int(dx), int(dy)) for dx, dy in shift_offsets(2))
+    pos_args = (jnp.asarray(u_pos), jnp.asarray(q_pos), jnp.asarray(kl),
+                jnp.asarray(tabs[0]), jnp.asarray(tabs[1]))
+    qk_args = (jnp.asarray(qidx), jnp.asarray(qkl),
+               jnp.asarray(tabs[0]), jnp.asarray(tabs[1]))
+
+    outs = {}
+    for setting in ("1", "8", "16"):
+        monkeypatch.setenv("CDS_EXPAND_VMAP", setting)
+        # the chunking is baked at trace time: fresh traces per setting
+        pixel_match.expand_union_tables_from_pos.clear_cache()
+        pixel_match.expand_union_tables.clear_cache()
+        lo, sp = pixel_match.expand_union_tables_from_pos(
+            *pos_args, offsets=offs, w=w, h=h)
+        qlo, qsp = pixel_match.expand_union_tables(*qk_args)
+        outs[setting] = tuple(np.asarray(a) for a in (lo, sp, qlo, qsp))
+    ref = outs["1"]
+    for setting in ("8", "16"):
+        for a, b in zip(ref, outs[setting]):
+            assert (a == b).all(), setting
+    assert (ref[0] == ref[2]).all() and (ref[1] == ref[3]).all(), \
+        "positional vs qkey expansion differ"
